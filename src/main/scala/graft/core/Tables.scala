@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated testdata lake (TESTDATA.md).
   *
@@ -20,7 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark has no
+    * native type for. Sessions set spark.sql.legacy.parquet.nanosAsLong, and
+    * this reader converts the nano count to a microsecond TimestampType with
+    * integer division (a double intermediate would lose precision at 1e18).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

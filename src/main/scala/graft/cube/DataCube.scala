@@ -1,0 +1,334 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Raised when an operator needs a dimension the cube doesn't have
+  * (reference: openeo DimensionMissing / DimensionMismatch exceptions).
+  */
+final class DimensionMissing(msg: String) extends IllegalArgumentException(msg)
+
+/** Named reducers accepted by reduce/aggregate operators (the openEO
+  * `reducer` callback, restricted to the built-in set so everything stays
+  * inside whole-stage codegen).
+  */
+object Reducers {
+  import graft.core.Exact
+  def apply(name: String): Column => Column = name.toLowerCase match {
+    // mean/sum are decimal-backed (graft.core.Exact) so results are
+    // independent of partial-aggregation order — required for the oracle
+    // gate and a sane property at 1000-executor scale too.
+    case "mean" | "avg" => Exact.eavg
+    case "sum"          => Exact.esum
+    case "fmean"        => avg // fast double variants for perf-only paths
+    case "fsum"         => sum
+    case "min"          => min
+    case "max"          => max
+    case "count"        => c => count(c)
+    case "median"       => c => median(c)
+    case "sd" | "stddev" => c => stddev_samp(c)
+    case "variance"     => c => var_samp(c)
+    case "product"      => c => exp(sum(log(c))) // openeo product reducer
+    case other => throw new IllegalArgumentException(s"Unknown reducer: $other")
+  }
+
+  /** Windowed form: `.over` must attach to the aggregate, so the exact
+    * decimal reducers need their cast applied outside the window expression.
+    */
+  def over(name: String, c: Column,
+           w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    name.toLowerCase match {
+      case "mean" | "avg" => Exact.esumOver(c, w) / count(c).over(w)
+      case "sum"          => Exact.esumOver(c, w)
+      case other          => apply(other)(c).over(w)
+    }
+}
+
+/** An openEO raster/vector datacube re-expressed Spark-first.
+  *
+  * Long format: one row per cell; every column except `valueCol` is a
+  * dimension. All operators below are declarative DataFrame transforms, so
+  * Catalyst gets to push filters into the scan, prune columns, broadcast
+  * small sides and re-plan under AQE — the 100 TB story is the plan shape,
+  * not this wrapper.
+  *
+  * Reference semantics: openeo-processes-dask cube processes as used by
+  * /root/reference (see SURVEY.md §2C), with the dimension-alias behavior of
+  * `utils/dim_utils.py`.
+  */
+final case class DataCube(df: DataFrame, valueCol: String = "value") {
+
+  def dims: Seq[String] = df.columns.toSeq.filterNot(_ == valueCol)
+
+  def bandDim: Option[String] = DimAliases.resolve(dims, DimAliases.band)
+  def timeDim: Option[String] = DimAliases.resolve(dims, DimAliases.time)
+  def xDim: Option[String]    = DimAliases.resolve(dims, DimAliases.x)
+  def yDim: Option[String]    = DimAliases.resolve(dims, DimAliases.y)
+
+  def requireDim(opt: Option[String], what: String): String =
+    opt.getOrElse(throw new DimensionMissing(
+      s"Cube has no $what dimension among [${dims.mkString(", ")}]"))
+
+  private def v: Column = col(valueCol)
+
+  // ---- apply family -------------------------------------------------------
+
+  /** openEO `apply`: unary function on every cell value. */
+  def applyUnary(f: Column => Column): DataCube =
+    copy(df = df.withColumn(valueCol, f(v)))
+
+  /** openEO `apply_dimension` with a cumulative process (e.g. cumsum) along
+    * `dim`, per series identified by the remaining dimensions in
+    * `seriesDims`. Window-partitioned: scales with the number of series.
+    */
+  def cumulateOverDim(dim: String, seriesDims: Seq[String],
+                      tieBreak: Seq[String] = Nil,
+                      reducer: String = "sum"): DataCube = {
+    val w = Window.partitionBy(seriesDims.map(col): _*)
+      .orderBy((col(dim) +: tieBreak.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    copy(df = df.withColumn(valueCol, Reducers.over(reducer, v, w)))
+  }
+
+  // ---- reduce / aggregate -------------------------------------------------
+
+  /** openEO `reduce_dimension`: drop `dim`, reducing values over it. */
+  def reduceDimension(dim: String, reducer: String): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"reduce_dimension: no dimension $dim"))
+    val keep = dims.filterNot(_ == resolved)
+    copy(df = df.groupBy(keep.map(col): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
+  /** openEO `aggregate_temporal_period`: truncate the time dimension to
+    * `period` (spark date_trunc unit: "day"/"week"/"month"/…) and reduce.
+    */
+  def aggregateTemporalPeriod(period: String, reducer: String): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val bucketed = df.withColumn(t, date_trunc(period, col(t)))
+    val cube = copy(df = bucketed)
+    copy(df = bucketed.groupBy(cube.dims.map(col): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
+  /** openEO `aggregate_spatial` (zonal statistics).
+    *
+    * The reference rasterizes polygons into a zone-label grid then
+    * group-aggregates (overrides/aggregate.py:105). Spark-first analog:
+    * label each cell with its zone via a broadcast range-join against the
+    * zone table (rectangles: zone_id, xmin, xmax, ymin, ymax — the
+    * rasterization of arbitrary polygons at a given resolution), then one
+    * groupBy. Map-side label assignment, single shuffle for the stats.
+    */
+  def aggregateSpatial(zones: DataFrame, reducer: String,
+                       extraKeys: Seq[String] = Nil): DataFrame = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val joined = df.join(broadcast(zones),
+      col(xd) >= col("xmin") && col(xd) < col("xmax") &&
+      col(yd) >= col("ymin") && col(yd) < col("ymax"))
+    joined.groupBy((col("zone_id") +: extraKeys.map(col)): _*)
+      .agg(Reducers(reducer)(v).as(valueCol), count(lit(1)).as("n_cells"))
+  }
+
+  // ---- filters ------------------------------------------------------------
+
+  /** openEO `filter_temporal`: [from, to) on the time dimension. Plain
+    * predicate → parquet row-group pruning.
+    */
+  def filterTemporal(from: String, to: String): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    copy(df = df.filter(col(t) >= lit(from).cast("timestamp") &&
+                        col(t) < lit(to).cast("timestamp")))
+  }
+
+  /** openEO `filter_bbox` on the spatial dimensions. */
+  def filterBbox(xmin: Double, xmax: Double, ymin: Double, ymax: Double): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    copy(df = df.filter(col(xd) >= xmin && col(xd) < xmax &&
+                        col(yd) >= ymin && col(yd) < ymax))
+  }
+
+  /** openEO `filter_bands`, honoring band-name alias groups. */
+  def filterBands(bands: Seq[String]): DataCube = {
+    val b = requireDim(bandDim, "bands")
+    val expanded = bands.flatMap(BandAliases.alternatives)
+    copy(df = df.filter(lower(col(b)).isin(expanded.map(_.toLowerCase): _*) ||
+                        col(b).isin(bands: _*)))
+  }
+
+  /** openEO `filter_labels`: arbitrary predicate on one dimension. */
+  def filterLabels(dim: String, pred: Column => Column): DataCube =
+    copy(df = df.filter(pred(col(dim))))
+
+  // ---- merge / mask -------------------------------------------------------
+
+  /** openEO `merge_cubes` with an overlap resolver. Full outer join on the
+    * shared dimensions; at scale this is a shuffle join on the dim key —
+    * pre-partitioned cubes co-locate and skip the exchange.
+    */
+  def merge(other: DataCube, resolver: (Column, Column) => Column): DataCube = {
+    val common = dims.intersect(other.dims)
+    require(common.nonEmpty, "merge_cubes: no shared dimensions")
+    val l = df.withColumnRenamed(valueCol, "_v_left")
+    val r = other.df.withColumnRenamed(other.valueCol, "_v_right")
+    val joined = l.join(r, common, "full_outer")
+    copy(df = joined
+      .withColumn(valueCol, resolver(col("_v_left"), col("_v_right")))
+      .drop("_v_left", "_v_right"))
+  }
+
+  /** openEO `mask`: null out (or replace) cells where the mask cube is
+    * non-zero. Left join on the mask's dimensions.
+    */
+  def mask(maskCube: DataCube, replacement: Option[Double] = None): DataCube = {
+    val keys = dims.intersect(maskCube.dims)
+    require(keys.nonEmpty, "mask: no shared dimensions")
+    val m = maskCube.df.withColumnRenamed(maskCube.valueCol, "_mask")
+    val joined = df.join(m, keys, "left_outer")
+    val repl: Column = replacement.map(lit(_).cast("double")).getOrElse(lit(null).cast("double"))
+    copy(df = joined
+      .withColumn(valueCol,
+        when(col("_mask").isNotNull && col("_mask") =!= 0.0, repl).otherwise(v))
+      .drop("_mask"))
+  }
+
+  // ---- band math ----------------------------------------------------------
+
+  /** openEO `ndvi` (reference override: overrides/indices.py:9): compute
+    * (nir-red)/(nir+red) from the band dimension; with `targetBand` the
+    * result is appended as a new band (the reference's bug-fixed append),
+    * otherwise the band dimension is dropped.
+    *
+    * Implemented as conditional aggregation (a 2-column pivot) — one
+    * shuffle over the non-band dims, no UDFs.
+    */
+  def ndvi(nir: String = "nir", red: String = "red",
+           targetBand: Option[String] = None): DataCube = {
+    val b = requireDim(bandDim, "bands")
+    val keep = dims.filterNot(_ == b)
+    val nirAlts = BandAliases.alternatives(nir) :+ nir
+    val redAlts = BandAliases.alternatives(red) :+ red
+    val isNir = lower(col(b)).isin(nirAlts.map(_.toLowerCase): _*)
+    val isRed = lower(col(b)).isin(redAlts.map(_.toLowerCase): _*)
+    val agg = df.groupBy(keep.map(col): _*)
+      .agg(sum(when(isNir, v)).as("_nir"), sum(when(isRed, v)).as("_red"))
+      .withColumn(valueCol, (col("_nir") - col("_red")) / (col("_nir") + col("_red")))
+      .drop("_nir", "_red")
+    targetBand match {
+      case None => copy(df = agg)
+      case Some(tb) =>
+        val cubeBands = Seq(nir, red) // appended cube keeps original rows
+        require(!cubeBands.contains(tb), s"ndvi: band $tb exists")
+        val appended = agg.withColumn(b, lit(tb)).select(df.columns.map(col): _*)
+        copy(df = df.unionByName(appended))
+    }
+  }
+
+  // ---- interpolation / resampling -----------------------------------------
+
+  /** openEO `array_interpolate_linear` along the time dimension
+    * (reference override: overrides/arrays.py:7 — xarray interpolate_na with
+    * use_coordinate=True): nulls are linearly interpolated between the
+    * nearest non-null neighbors using the time coordinate as abscissa; ends
+    * are not extrapolated.
+    *
+    * Windowed last/first with ignoreNulls — no per-series collect, scales
+    * with series count. The prev/next value+coordinate pairs stay consistent
+    * because both CASE expressions share the same null condition.
+    */
+  def interpolateLinear(seriesDims: Seq[String], tieBreak: Seq[String] = Nil): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val ord = (col(t) +: tieBreak.map(col))
+    val base = Window.partitionBy(seriesDims.map(col): _*).orderBy(ord: _*)
+    val before = base.rowsBetween(Window.unboundedPreceding, -1)
+    val after  = base.rowsBetween(1, Window.unboundedFollowing)
+    // exact integer µs (oracle: DuckDB epoch_us) — a double-seconds coordinate
+    // would diverge in the last bit between engines
+    val tsec = unix_micros(col(t))
+    val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(before)
+    val prevT = last(when(v.isNotNull, tsec), ignoreNulls = true).over(before)
+    val nextV = first(when(v.isNotNull, v), ignoreNulls = true).over(after)
+    val nextT = first(when(v.isNotNull, tsec), ignoreNulls = true).over(after)
+    val interp = prevV + (nextV - prevV) * (tsec - prevT) / (nextT - prevT)
+    copy(df = df.withColumn(valueCol, when(v.isNotNull, v).otherwise(interp)))
+  }
+
+  /** openEO `resample_cube_temporal` with method=nearest: for every target
+    * timestamp (per series) take the value of the temporally nearest source
+    * cell; ties prefer the earlier source.
+    *
+    * As-of join without UDFs or per-key collects: union source and target
+    * rows, one ordered window per series, pick the nearer of
+    * last-source-before and first-source-after. One shuffle on the series
+    * key — survives arbitrary series counts.
+    */
+  def resampleCubeTemporal(targets: DataFrame, seriesDims: Seq[String]): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val src = df.select((seriesDims.map(col) :+ col(t) :+ v.as("_v")): _*)
+      .withColumn("_tag", lit(0))
+    val tgt = targets.select((seriesDims.map(col) :+ col(t)): _*)
+      .withColumn("_v", lit(null).cast("double")).withColumn("_tag", lit(1))
+    val all = src.unionByName(tgt)
+    val base = Window.partitionBy(seriesDims.map(col): _*)
+      .orderBy(col(t), col("_tag"))
+    val upto  = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = base.rowsBetween(1, Window.unboundedFollowing)
+    val tsec = unix_micros(col(t))
+    val src_v = when(col("_tag") === 0, col("_v"))
+    val src_t = when(col("_tag") === 0, tsec)
+    val prevV = last(src_v, ignoreNulls = true).over(upto)
+    val prevT = last(src_t, ignoreNulls = true).over(upto)
+    val nextV = first(src_v, ignoreNulls = true).over(after)
+    val nextT = first(src_t, ignoreNulls = true).over(after)
+    val nearer = when(nextT.isNull, prevV)
+      .when(prevT.isNull, nextV)
+      .when(tsec - prevT <= nextT - tsec, prevV)
+      .otherwise(nextV)
+    copy(df = all
+      .withColumn(valueCol, nearer)
+      .filter(col("_tag") === 1)
+      .select((seriesDims.map(col) :+ col(t) :+ col(valueCol)): _*))
+  }
+
+  // ---- value scaling (STAC-MLM ValueScaling, scaling_utils.py:63) ---------
+
+  /** min-max: (v - min)/(max - min), statistics per band computed over the
+    * cube (partial aggregation map-side, then broadcast back).
+    */
+  def scaleMinMax(perDim: Option[String]): DataCube = scaleWith(perDim) { w =>
+    (v - min(v).over(w)) / (max(v).over(w) - min(v).over(w))
+  }
+
+  /** z-score: (v - mean)/stddev_pop, statistics per band. Mean and variance
+    * come from exact decimal sums (see graft.core.Exact) via the explicit
+    * E[v²]−E[v]² formulation, so the result is bitwise reproducible across
+    * engines and runs.
+    */
+  def scaleZScore(perDim: Option[String]): DataCube = scaleWith(perDim) { w =>
+    import graft.core.Exact
+    val n = count(v).over(w)
+    val mu = Exact.esumOver(v, w) / n
+    val m2n = Exact.esumOver(v * v, w) / n
+    (v - mu) / sqrt(m2n - mu * mu)
+  }
+
+  private def scaleWith(perDim: Option[String])(f: org.apache.spark.sql.expressions.WindowSpec => Column): DataCube = {
+    val w = perDim match {
+      case Some(d) => Window.partitionBy(col(d))
+      case None    => Window.partitionBy()
+    }
+    copy(df = df.withColumn(valueCol, f(w)))
+  }
+
+  def clip(minV: Option[Double], maxV: Option[Double]): DataCube = applyUnary { c =>
+    val lo = minV.map(m => greatest(c, lit(m))).getOrElse(c)
+    maxV.map(m => least(lo, lit(m))).getOrElse(lo)
+  }
+
+  def offset(o: Double): DataCube = applyUnary(_ - lit(o))
+  def scale(s: Double): DataCube  = applyUnary(_ / lit(s))
+}

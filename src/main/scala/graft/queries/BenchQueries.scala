@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Exact, Tables}
 
 /** Headline analytics queries (SURVEY.md §2E). TPC-H-shaped anchors used by
   * Bench; every float output is rounded to 4 decimals on both the Spark and
@@ -17,11 +17,11 @@ object BenchQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Exact.rnd4(Exact.esum(col("l_quantity"))).as("sum_qty"),
+          Exact.rnd4(Exact.esum(col("l_extendedprice"))).as("sum_base_price"),
+          Exact.rnd4(Exact.esum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          Exact.rnd4(Exact.eavg(col("l_quantity"))).as("avg_qty"),
+          Exact.rnd4(Exact.eavg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order")
         )
     },
@@ -37,7 +37,7 @@ object BenchQueries {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(Exact.rnd4(Exact.esum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
@@ -59,25 +59,25 @@ object BenchQueries {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .agg(Exact.rnd4(Exact.esum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
     }
   )
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice), 4) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_qty,
+        | floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_base_price,
+        | floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_disc_price,
+        | floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity)) * 10000 + 0.5) / 10000.0 AS avg_qty,
+        | floor((CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        | floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
@@ -88,7 +88,7 @@ object BenchQueries {
         |LIMIT 10""".stripMargin,
     "q5_region" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        | floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+import graft.cube.DataCube
+
+/** openEO cube operators exercised on the testdata lake (SURVEY.md §2B/§2C).
+  *
+  * Cube constructions used below:
+  *  - events cube: dims (time ← ts, band ← event_type, user_id [, event_id]),
+  *    value ← value. A sparse irregular time-series cube.
+  *  - grid cube: a 64×64 raster derived from lineitem
+  *    (x ← l_partkey % 64, y ← l_suppkey % 64, band ← l_returnflag), cell
+  *    value = sum of l_quantity. Pre-aggregated so cells are unique.
+  *
+  * Every float output goes through Exact.rnd4 (identical IEEE rounding on
+  * both sides); every window has a deterministic tie-break.
+  */
+object CubeQueries {
+
+  private def eventsCube(s: SparkSession, d: String): DataCube =
+    DataCube(Tables.events(s, d).select(
+      col("ts").as("time"), col("event_type").as("band"),
+      col("user_id"), col("event_id"), col("value")))
+
+  private def gridCube(s: SparkSession, d: String): DataCube =
+    DataCube(Tables.lineitem(s, d)
+      .select(pmod(col("l_partkey"), lit(64)).as("x"),
+              pmod(col("l_suppkey"), lit(64)).as("y"),
+              col("l_returnflag").as("band"), col("l_quantity"))
+      .groupBy("x", "y", "band")
+      .agg(Exact.rnd4(sum(col("l_quantity"))).as("value")))
+
+  private val gridCubeSql =
+    """cube AS (
+      |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
+      |         l_returnflag AS band,
+      |         floor((sum(l_quantity)) * 10000 + 0.5) / 10000.0 AS value
+      |  FROM lineitem GROUP BY 1, 2, 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "cube_apply_unary" -> { (s, d) =>
+      eventsCube(s, d)
+        .applyUnary(v => sqrt(abs(v)) + log(abs(v) + 1))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_apply_dimension" -> { (s, d) =>
+      eventsCube(s, d)
+        .cumulateOverDim("time", Seq("user_id"), tieBreak = Seq("event_id"))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_reduce_time" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("user_id"), col("value")))
+      c.reduceDimension("t", "mean") // alias 't' resolves to 'time'
+        .df.select(col("band"), col("user_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_agg_temporal" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.aggregateTemporalPeriod("day", "sum")
+        .df.select(to_date(col("time")).as("day"), col("band"),
+                   Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_zonal_stats" -> { (s, d) =>
+      val zones = s.range(64).select(
+        col("id").as("zone_id"),
+        (col("id") % 8 * 8).as("xmin"), (col("id") % 8 * 8 + 8).as("xmax"),
+        (floor(col("id") / 8) * 8).cast("long").as("ymin"),
+        (floor(col("id") / 8) * 8 + 8).cast("long").as("ymax"))
+      gridCube(s, d)
+        .aggregateSpatial(zones, "mean", extraKeys = Seq("band"))
+        .select(col("zone_id"), col("band"),
+                Exact.rnd4(col("value")).as("value"), col("n_cells"))
+    },
+
+    "cube_filter_temporal" -> { (s, d) =>
+      eventsCube(s, d)
+        .filterTemporal("2024-01-10", "2024-01-20")
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_filter_bbox" -> { (s, d) =>
+      gridCube(s, d).filterBbox(16, 48, 8, 40)
+        .df.select(col("x"), col("y"), col("band"), col("value"))
+    },
+
+    "cube_filter_bands" -> { (s, d) =>
+      eventsCube(s, d).filterBands(Seq("click", "view"))
+        .df.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    },
+
+    "cube_merge" -> { (s, d) =>
+      val g = gridCube(s, d)
+      val a = DataCube(g.df.filter(col("band") === "N").drop("band"))
+      val b = DataCube(g.df.filter(col("band") === "R").drop("band"))
+      a.merge(b, (l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0)))
+        .df.select(col("x"), col("y"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_mask" -> { (s, d) =>
+      val maskCube = DataCube(Tables.lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(64)).as("x"),
+                pmod(col("l_suppkey"), lit(64)).as("y"))
+        .groupBy("x", "y")
+        .agg(when(count(lit(1)) > 15, 1.0).otherwise(0.0).as("value")))
+      gridCube(s, d).mask(maskCube)
+        .df.select(col("x"), col("y"), col("band"), col("value"))
+    },
+
+    "cube_ndvi" -> { (s, d) =>
+      gridCube(s, d).ndvi(nir = "N", red = "R", targetBand = Some("ndvi"))
+        .df.select(col("x"), col("y"), col("band"),
+                   Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_interpolate" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("user_id"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value")))
+      c.interpolateLinear(Seq("user_id"), tieBreak = Seq("event_id"))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_resample_asof" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("user_id"), col("ts").as("time"), col("value")))
+      val users = Tables.events(s, d)
+        .filter(col("user_id") < 50).select(col("user_id")).distinct()
+      val times = s.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-03', timestamp'2024-01-28', interval 5 days)"
+      )).as("time"))
+      c.resampleCubeTemporal(users.crossJoin(times), Seq("user_id"))
+        .df.select(col("user_id"), col("time"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "scale_minmax" -> { (s, d) =>
+      eventsCube(s, d).scaleMinMax(perDim = Some("band"))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "scale_zscore" -> { (s, d) =>
+      eventsCube(s, d).scaleZScore(perDim = Some("band"))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "scale_clip" -> { (s, d) =>
+      eventsCube(s, d).clip(Some(0.2), Some(0.8)).offset(0.1).scale(0.5)
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "cube_apply_unary" ->
+      """SELECT event_id,
+        | floor((sqrt(abs(value)) + ln(abs(value) + 1)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events""".stripMargin,
+
+    "cube_apply_dimension" ->
+      """SELECT event_id, floor((CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events""".stripMargin,
+
+    "cube_reduce_time" ->
+      """SELECT event_type AS band, user_id,
+        | floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |       / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cube_agg_temporal" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | event_type AS band,
+        | floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cube_zonal_stats" ->
+      s"""WITH $gridCubeSql,
+        |zones AS (
+        |  SELECT i AS zone_id, (i % 8) * 8 AS xmin, (i % 8) * 8 + 8 AS xmax,
+        |         (i // 8) * 8 AS ymin, (i // 8) * 8 + 8 AS ymax
+        |  FROM range(64) t(i))
+        |SELECT zone_id, band,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |             / count(value)) * 10000 + 0.5) / 10000.0 AS value,
+        |       count(*) AS n_cells
+        |FROM cube JOIN zones
+        |  ON x >= xmin AND x < xmax AND y >= ymin AND y < ymax
+        |GROUP BY 1, 2""".stripMargin,
+
+    "cube_filter_temporal" ->
+      """SELECT event_id, floor((value) * 10000 + 0.5) / 10000.0 AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
+
+    "cube_filter_bbox" ->
+      s"""WITH $gridCubeSql
+        |SELECT x, y, band, value FROM cube
+        |WHERE x >= 16 AND x < 48 AND y >= 8 AND y < 40""".stripMargin,
+
+    "cube_filter_bands" ->
+      """SELECT event_type AS band, count(*) AS n FROM events
+        |WHERE event_type IN ('click', 'view') GROUP BY 1""".stripMargin,
+
+    "cube_merge" ->
+      s"""WITH $gridCubeSql,
+        |a AS (SELECT x, y, value FROM cube WHERE band = 'N'),
+        |b AS (SELECT x, y, value FROM cube WHERE band = 'R')
+        |SELECT coalesce(a.x, b.x) AS x, coalesce(a.y, b.y) AS y,
+        |  floor((coalesce(a.value, 0) + coalesce(b.value, 0)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM a FULL OUTER JOIN b ON a.x = b.x AND a.y = b.y""".stripMargin,
+
+    "cube_mask" ->
+      s"""WITH $gridCubeSql,
+        |m AS (
+        |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
+        |         CASE WHEN count(*) > 15 THEN 1.0 ELSE 0.0 END AS mv
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT cube.x, cube.y, band,
+        |  CASE WHEN mv IS NOT NULL AND mv <> 0 THEN NULL ELSE value END AS value
+        |FROM cube LEFT JOIN m ON cube.x = m.x AND cube.y = m.y""".stripMargin,
+
+    "cube_ndvi" ->
+      s"""WITH $gridCubeSql,
+        |nd AS (
+        |  SELECT x, y, 'ndvi' AS band,
+        |    (sum(CASE WHEN band = 'N' THEN value END) -
+        |     sum(CASE WHEN band = 'R' THEN value END)) /
+        |    (sum(CASE WHEN band = 'N' THEN value END) +
+        |     sum(CASE WHEN band = 'R' THEN value END)) AS value
+        |  FROM cube GROUP BY x, y)
+        |SELECT x, y, band, floor((value) * 10000 + 0.5) / 10000.0 AS value FROM
+        |(SELECT * FROM cube UNION ALL SELECT * FROM nd)""".stripMargin,
+
+    "cube_interpolate" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, ts, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER w_before AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w_before AS pt,
+        |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER w_after AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w_after AS nt
+        |  FROM c
+        |  WINDOW
+        |    w_before AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w_after AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, floor((CASE WHEN v IS NOT NULL THEN v
+        |  ELSE pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt) END) * 10000 + 0.5) / 10000.0 AS value
+        |FROM w""".stripMargin,
+
+    "cube_resample_asof" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+        |times AS (SELECT unnest(range(TIMESTAMP '2024-01-03',
+        |  TIMESTAMP '2024-01-29', INTERVAL 5 DAY)) AS time),
+        |tgt AS (SELECT user_id, time, CAST(NULL AS DOUBLE) AS v, 1 AS tag
+        |        FROM users CROSS JOIN times),
+        |src AS (SELECT user_id, ts AS time, value AS v, 0 AS tag FROM events),
+        |u AS (SELECT * FROM src UNION ALL SELECT * FROM tgt),
+        |w AS (
+        |  SELECT user_id, time, tag,
+        |    last_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS)
+        |      OVER w_upto AS pv,
+        |    last_value(CASE WHEN tag = 0 THEN epoch_us(time) END IGNORE NULLS)
+        |      OVER w_upto AS pt,
+        |    first_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS)
+        |      OVER w_after AS nv,
+        |    first_value(CASE WHEN tag = 0 THEN epoch_us(time) END IGNORE NULLS)
+        |      OVER w_after AS nt
+        |  FROM u
+        |  WINDOW
+        |    w_upto AS (PARTITION BY user_id ORDER BY time, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_after AS (PARTITION BY user_id ORDER BY time, tag
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, time, floor((CASE
+        |    WHEN nt IS NULL THEN pv
+        |    WHEN pt IS NULL THEN nv
+        |    WHEN epoch_us(time) - pt <= nt - epoch_us(time) THEN pv
+        |    ELSE nv END) * 10000 + 0.5) / 10000.0 AS value
+        |FROM w WHERE tag = 1""".stripMargin,
+
+    "scale_minmax" ->
+      """SELECT event_id, floor((
+        |  (value - min(value) OVER w) /
+        |  (max(value) OVER w - min(value) OVER w)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events WINDOW w AS (PARTITION BY event_type)""".stripMargin,
+
+    "scale_zscore" ->
+      """WITH t AS (
+        |  SELECT event_id, value,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sv2,
+        |    count(value) OVER w AS n
+        |  FROM events WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_id, floor((
+        |  (value - sv / n) / sqrt(sv2 / n - (sv / n) * (sv / n))) * 10000 + 0.5) / 10000.0 AS value
+        |FROM t""".stripMargin,
+
+    "scale_clip" ->
+      """SELECT event_id,
+        | floor(((least(greatest(value, 0.2), 0.8) - 0.1) / 0.5) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events""".stripMargin
+  )
+}
