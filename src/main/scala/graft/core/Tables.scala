@@ -27,6 +27,10 @@ object Tables {
     * integer division (a double intermediate would lose precision at 1e18).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Defensive: a driver-owned session may not carry this conf, and without
+    // it the TIMESTAMP(NANOS) column throws before our Long fallback can run.
+    // It is a runtime SQLConf, so setting it at read time is safe.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

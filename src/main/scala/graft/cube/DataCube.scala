@@ -29,7 +29,14 @@ object Reducers {
     case "median"       => c => median(c)
     case "sd" | "stddev" => c => stddev_samp(c)
     case "variance"     => c => var_samp(c)
-    case "product"      => c => exp(sum(log(c))) // openeo product reducer
+    // openEO product reducer. exp(sum(log)) alone breaks on zeros (-inf) and
+    // negatives (NaN); reconstruct sign from negative-count parity and
+    // short-circuit any zero — still a single distributive aggregation pass.
+    case "product" => c =>
+      when(sum(when(c === 0, 1).otherwise(0)) > 0, lit(0.0))
+        .otherwise(
+          pow(lit(-1.0), pmod(sum(when(c < 0, 1).otherwise(0)), lit(2)))
+            * exp(sum(log(abs(nullif(c, lit(0)))))))
     case other => throw new IllegalArgumentException(s"Unknown reducer: $other")
   }
 
@@ -221,10 +228,22 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     targetBand match {
       case None => copy(df = agg)
       case Some(tb) =>
-        val cubeBands = Seq(nir, red) // appended cube keeps original rows
-        require(!cubeBands.contains(tb), s"ndvi: band $tb exists")
+        // Reference raises BandExists when target_band already labels a band
+        // (overrides/indices.py:24). Long format doesn't know the label set
+        // without a scan, so the guard is an execution-time raise_error on
+        // the original rows — zero extra passes, fails on first conflict.
+        // Alias collisions (ndvi ↔ its alias group) checked statically.
+        val tbAlts = BandAliases.alternatives(tb).map(_.toLowerCase)
+        require(!(BandAliases.alternatives(nir) ++ BandAliases.alternatives(red))
+                  .map(_.toLowerCase).exists(tbAlts.contains),
+                s"ndvi: target band $tb collides with an input band")
+        val guarded = df.withColumn(b,
+          when(lower(col(b)).isin(tbAlts: _*),
+            raise_error(concat(lit(s"ndvi: band $tb already exists in cube: "), col(b)))
+              .cast(df.schema(b).dataType))
+          .otherwise(col(b)))
         val appended = agg.withColumn(b, lit(tb)).select(df.columns.map(col): _*)
-        copy(df = df.unionByName(appended))
+        copy(df = guarded.unionByName(appended))
     }
   }
 
@@ -266,15 +285,23 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     * last-source-before and first-source-after. One shuffle on the series
     * key — survives arbitrary series counts.
     */
-  def resampleCubeTemporal(targets: DataFrame, seriesDims: Seq[String]): DataCube = {
+  def resampleCubeTemporal(targets: DataFrame, seriesDims: Seq[String],
+                           tieBreak: Seq[String] = Nil): DataCube = {
     val t = requireDim(timeDim, "temporal")
-    val src = df.select((seriesDims.map(col) :+ col(t) :+ v.as("_v")): _*)
+    val src = df.select((seriesDims.map(col) ++ tieBreak.map(col)
+      :+ col(t) :+ v.as("_v")): _*)
       .withColumn("_tag", lit(0))
-    val tgt = targets.select((seriesDims.map(col) :+ col(t)): _*)
+    val tgt = tieBreak.foldLeft(
+        targets.select((seriesDims.map(col) :+ col(t)): _*)) {
+        (d, c) => d.withColumn(c, lit(null)) }
       .withColumn("_v", lit(null).cast("double")).withColumn("_tag", lit(1))
     val all = src.unionByName(tgt)
+    // Duplicate source timestamps within a series would make last/first over
+    // the tie nondeterministic; order by caller tie-break columns, then the
+    // value itself (explicit nulls-first so any SQL oracle can mirror it).
     val base = Window.partitionBy(seriesDims.map(col): _*)
-      .orderBy(col(t), col("_tag"))
+      .orderBy((col(t) +: col("_tag") +: tieBreak.map(c => col(c).asc_nulls_first)
+        :+ col("_v").asc_nulls_first): _*)
     val upto  = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val after = base.rowsBetween(1, Window.unboundedFollowing)
     val tsec = unix_micros(col(t))

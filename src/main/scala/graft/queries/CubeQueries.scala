@@ -31,13 +31,13 @@ object CubeQueries {
               pmod(col("l_suppkey"), lit(64)).as("y"),
               col("l_returnflag").as("band"), col("l_quantity"))
       .groupBy("x", "y", "band")
-      .agg(Exact.rnd4(sum(col("l_quantity"))).as("value")))
+      .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
 
   private val gridCubeSql =
     """cube AS (
       |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
       |         l_returnflag AS band,
-      |         floor((sum(l_quantity)) * 10000 + 0.5) / 10000.0 AS value
+      |         floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
       |  FROM lineitem GROUP BY 1, 2, 3)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,9 +286,9 @@ object CubeQueries {
         |      OVER w_after AS nt
         |  FROM u
         |  WINDOW
-        |    w_upto AS (PARTITION BY user_id ORDER BY time, tag
+        |    w_upto AS (PARTITION BY user_id ORDER BY time, tag, v ASC NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    w_after AS (PARTITION BY user_id ORDER BY time, tag
+        |    w_after AS (PARTITION BY user_id ORDER BY time, tag, v ASC NULLS FIRST
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, time, floor((CASE
         |    WHEN nt IS NULL THEN pv
