@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators
+  * (SURVEY.md §2D8–D11). Everything is `org.apache.spark.sql.functions`
+  * composition — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and each helper has an exact DuckDB mirror for the oracle gate.
+  *
+  * Hash primitive is md5 (hex string): bit-identical in Spark and DuckDB,
+  * and uniform enough for min-hash / sign-bit tricks.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space corpus; split keeps both engines'
+    * semantics identical: DuckDB mirror `string_split(text, ' ')`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: runs of ≤4 letters, single digits, single
+    * non-alphanumeric marks. DuckDB mirror:
+    * `len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]'))`.
+    */
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Word w-shingles ("w consecutive tokens joined by space"). For n tokens
+    * produces n-w+1 shingles. DuckDB mirror:
+    * `list_transform(generate_series(1, len(toks)-w+1),
+    *    i -> array_to_string(toks[i:i+w-1], ' '))`.
+    */
+  def shingles(toks: Column, w: Int): Column =
+    transform(sequence(lit(0), size(toks) - w),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+
+  /** Count of tokens found in `stop` (case-sensitive — corpus is
+    * lower-case). DuckDB mirror: `len(list_filter(toks, t -> t IN (...)))`.
+    */
+  def stopHits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stop.map(lit(_)): _*)))
+
+  /** Per-language stop-word tables for the language-ID heuristic.
+    * Scoring is hit-count of the language's function words; ties resolve by
+    * the declared order, all-zero scores → "und".
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "une", "du"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和")
+  )
+
+  /** Normalization for fingerprinting: lower-case, strip non-alphanumerics
+    * (keeping spaces), collapse whitespace runs, trim. DuckDB mirror:
+    * `trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),
+    *       ' +',' ','g'))`.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2D8–D11).
+  *
+  * All map-only column pipelines: at 100 TB each of these is a single pass
+  * over the corpus with no shuffle at all (the plans are scan → project),
+  * so they scale linearly with executors and are bounded by read bandwidth.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D10: whitespace + BPE-ish token counting, chars/4 estimator.
+    "text_tokens" -> { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        bpeCount(col("text")).as("bpe_tokens"),
+        expr("(length(text) + 3) DIV 4").as("est_tokens"))
+    },
+
+    // D9: quality scoring from length/stopword/word-length signals.
+    "text_quality" -> { (s, d) =>
+      val t = tokens(col("text"))
+      val nWords = size(t)
+      val nChars = length(col("text"))
+      val stopRatio = stopHits(t, Seq("the", "a", "of", "and", "to", "in", "is"))
+        .cast("double") / nWords
+      val avgWlen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nWords
+      val score =
+        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
+        lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
+      docs(s, d).select(
+        col("doc_id"), nWords.as("n_words"),
+        Exact.rnd4(stopRatio).as("stop_ratio"),
+        Exact.rnd4(avgWlen).as("avg_word_len"),
+        Exact.rnd4(score).as("quality"))
+    },
+
+    // D8: language ID — per-language stop-word hit scoring, deterministic
+    // priority order on ties, all-zero → 'und'.
+    "text_langid" -> { (s, d) =>
+      val t = tokens(col("text"))
+      val scores: Seq[(String, Column)] = langStopwords.map {
+        case (lang, words) => lang -> stopHits(t, words)
+      }
+      val best = greatest(scores.map(_._2): _*)
+      val pred = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+        when(sc === best && best > 0, lang).otherwise(acc)
+      }
+      // foldRight keeps declared priority: the first lang reaching the max
+      // wins because its `when` is evaluated first.
+      val cols = col("doc_id") +:
+        scores.map { case (l, c) => c.as(s"s_$l") } :+ pred.as("lang_pred")
+      docs(s, d).select(cols: _*)
+    },
+
+    // D11: document fingerprinting — md5 of normalized text plus a winnow
+    // fingerprint (min md5 over 3-word shingles), robust to reordering at
+    // the edges of the document.
+    "text_fingerprint" -> { (s, d) =>
+      val norm = normalize(col("text"))
+      val sh = shingles(split(norm, " "), 3)
+      docs(s, d).select(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        array_min(transform(sh, md5(_))).as("winnow_fp"))
+    }
+  )
+
+  private val stop7 = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  val oracle: Map[String, String] = Map(
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS bpe_tokens,
+        |  (length(text) + 3) // 4 AS est_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN $stop7)) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_word_len
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  floor((stop_ratio) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((avg_word_len) * 10000 + 0.5) / 10000.0 AS avg_word_len,
+        |  floor((0.4 * least(stop_ratio * 5.0, 1.0)
+        |       + 0.3 * least(avg_word_len / 8.0, 1.0)
+        |       + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
+        |    * 10000 + 0.5) / 10000.0 AS quality
+        |FROM t""".stripMargin,
+
+    "text_langid" -> {
+      val hits = langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(string_split(text, ' '), w -> w IN $inList)) AS s_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = langStopwords.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseExpr = langStopwords.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    $hits
+        |  FROM documents),
+        |b AS (SELECT *, $bestExpr AS best FROM t)
+        |SELECT doc_id, ${langStopwords.map { case (l, _) => s"s_$l" }.mkString(", ")},
+        |  $caseExpr AS lang_pred
+        |FROM b""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |         ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  list_aggregate(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> md5(array_to_string(toks[i:i+2], ' '))), 'min') AS winnow_fp
+        |FROM t""".stripMargin
+  )
+}
