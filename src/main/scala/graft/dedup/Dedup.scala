@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for LLM-scale corpora (SURVEY.md §2D1–D5).
+  *
+  * Scale design: every candidate-generation step is a groupBy/self-join on a
+  * fixed-width key (hash, band-signature, LSH bucket), so the shuffle volume
+  * is O(documents), never O(documents²). Quadratic work (Jaccard, cosine
+  * verification) only ever runs on bucket-mates. Hash primitive is md5 so
+  * the DuckDB oracle reproduces every signature bit-for-bit.
+  */
+object Dedup {
+
+  // ---- D1: exact dedup ----------------------------------------------------
+
+  /** Exact duplicate groups after text normalization: one row per distinct
+    * fingerprint with the surviving (minimum) id and the group size.
+    * One map pass + one groupBy on the 32-byte fingerprint.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(md5(TextFunctions.normalize(col(textCol))).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_dups"))
+
+  // ---- D2: MinHash + LSH --------------------------------------------------
+
+  /** Per-document MinHash band signatures: for each of `bands` hash families
+    * the minimum md5 over the document's `w`-word shingles. Output is long
+    * format (id, band, sig) ready for the bucket join. Map-only.
+    */
+  def minhashSignatures(docs: DataFrame, bands: Int = 8, w: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)
+    val bandSigs = array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        array_min(transform(sh, s => md5(concat(lit(s"$j:"), s)))).as("sig"))
+    }: _*)
+    docs.select(col(idCol), explode(bandSigs).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: documents sharing any band signature. The
+    * self-join shuffles on (band, sig) — bucket-local pairing, O(docs)
+    * shuffle. `n_bands` = number of agreeing bands (collision strength).
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = sigs.select(col("band"), col("sig"), col(idCol).as("doc_a"))
+    val b = sigs.select(col("band"), col("sig"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  // ---- D4: n-gram Jaccard verification ------------------------------------
+
+  /** Exact shingle-set Jaccard for candidate pairs (verification stage —
+    * only ever runs on LSH bucket-mates). Set algebra via exploded distinct
+    * shingles so the arithmetic is pure integer counting (cross-engine
+    * exact); |A∪B| = |A| + |B| − |A∩B|.
+    */
+  def jaccard(docs: DataFrame, candidates: DataFrame, w: Int = 3,
+              threshold: Double = 0.5, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w))
+          .as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val j = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
+  }
+
+  // ---- D3: SimHash --------------------------------------------------------
+
+  /** 32-bit SimHash signature groups. Bit i of a document's signature is the
+    * sign of Σ_tokens (hex digit i of md5(token) ≥ '8' ? +1 : −1) — token
+    * multiplicity acts as the weight. Explode + one groupBy per doc, then a
+    * groupBy on the signature for duplicate groups.
+    */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 32).map { i =>
+      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"s_$i")
+    }
+    val sig = concat((1 to 32).map { i =>
+      when(col(s"s_$i") > 0, "1").otherwise("0")
+    }: _*)
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), sig.as("sig"))
+      .groupBy("sig")
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_docs"))
+  }
+
+  // ---- D5: embedding cosine near-dup --------------------------------------
+
+  /** Sign-LSH bucket signature for an embedding: bit p = sign of the
+    * projection onto pseudo-random hyperplane p, whose ±1 components come
+    * from md5 parity of (plane, dim). Map-only; the signature is the
+    * bucketing key that makes near-dup detection O(n) in shuffle volume.
+    */
+  def lshBucket(emb: Column, planes: Int = 16): Column =
+    concat((0 until planes).map { p =>
+      val proj = aggregate(
+        transform(sequence(lit(0), lit(63)),
+          i => element_at(emb, i + 1).cast("double") *
+            when(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 1) >= "8", 1.0)
+              .otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, "1").otherwise("0")
+    }: _*)
+
+  /** Embedding near-duplicate pairs: sign-LSH bucketing for candidates, then
+    * native-codegen cosine (graft.functions.CosineSimilarity) verification
+    * on bucket-mates only.
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99,
+                        planes: Int = 16, idCol: String = "vec_id",
+                        embCol: String = "embedding"): DataFrame = {
+    val withBucket = embs.select(col(idCol), col(embCol),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"))
+    val cos = VectorFunctions.cosine(col("emb_a"), col("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), Exact.rnd4(col("_cos")).as("cos_sim"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+
+/** Deduplication operators exercised on the `documents` / `embeddings`
+  * tables (SURVEY.md §2D1–D5).
+  *
+  * The driver corpus has no duplicates, so each query dedups a corpus of
+  * documents ∪ deterministic variants (case/whitespace mutation for exact,
+  * truncated tail for near-dup, scaled vectors for embeddings) — the variant
+  * construction is mirrored verbatim in the oracle SQL.
+  */
+object DedupQueries {
+
+  /** documents ∪ case/whitespace-mutated copy — exact dups after
+    * normalization. */
+  private def exactCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(upper(col("text")), lit("  ")).as("text")))
+  }
+
+  /** documents ∪ tail-truncated copy (drop last 5 words, keep ≥ 3) —
+    * near-dups for MinHash/SimHash/Jaccard. */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val t = split(col("text"), " ")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+  }
+
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
+      |      ' ') AS text
+      |  FROM documents)""".stripMargin
+
+  /** Shared minhash CTE chain: shingles → 8 band signatures. */
+  private val minhashSigSql =
+    s"""$nearCorpusSql,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |sh AS (SELECT doc_id,
+      |  list_transform(generate_series(1, len(t) - 2),
+      |    i -> array_to_string(t[i:i+2], ' ')) AS shingles FROM toks),
+      |sig AS (
+      |  SELECT doc_id, j AS band,
+      |    list_aggregate(list_transform(shingles,
+      |      s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min') AS sig
+      |  FROM sh CROSS JOIN generate_series(0, 7) AS g(j)),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** embeddings ∪ 1.5×-scaled copy (cosine-invariant scaling → near-dups
+    * with similarity ≈ 1). Float multiply is single-rounding in both
+    * engines, so the variant vectors are bit-identical. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+  }
+
+  private val embCorpusSql =
+    """corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB mirror of Dedup.lshBucket (16 sign-LSH bits). */
+  private val lshBucketSql: String = (0 until 16).map { p =>
+    s"""CASE WHEN list_sum(list_transform(generate_series(0, 63),
+       |  i -> CAST(embedding[i + 1] AS DOUBLE) *
+       |       (CASE WHEN substr(md5('$p:' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+       |             THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" || ")
+
+  /** DuckDB mirror of the native CosineSimilarity expression (sequential
+    * double fold — verified bit-identical). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+       |     i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       | * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+       |     i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> { (s, d) => Dedup.exactGroups(exactCorpus(s, d)) },
+
+    "dedup_minhash" -> { (s, d) =>
+      Dedup.minhashCandidates(Dedup.minhashSignatures(nearCorpus(s, d)))
+    },
+
+    "dedup_jaccard" -> { (s, d) =>
+      val corpus = nearCorpus(s, d)
+      Dedup.jaccard(corpus,
+        Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+          .select("doc_a", "doc_b"))
+    },
+
+    "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
+
+    "dedup_embedding" -> { (s, d) => Dedup.embeddingNearDups(embCorpus(s, d)) }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+        |  FROM documents)
+        |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS survivor, count(*) AS n_dups
+        |FROM corpus GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $minhashSigSql
+        |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $minhashSigSql,
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.doc_a
+        |  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter))
+        |        * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitSums = (1 to 32).map { i =>
+        s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s_$i"
+      }.mkString(",\n    ")
+      val sigExpr = (1 to 32).map { i =>
+        s"(CASE WHEN s_$i > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH $nearCorpusSql,
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+        |hs AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id,
+        |    $bitSums
+        |  FROM hs GROUP BY 1),
+        |sigs AS (SELECT doc_id, $sigExpr AS sig FROM bits)
+        |SELECT sig, min(doc_id) AS survivor, count(*) AS n_docs
+        |FROM sigs GROUP BY 1""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH $embCorpusSql,
+        |bk AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${cosSql("a.embedding", "b.embedding")} AS c
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, floor((c) * 10000 + 0.5) / 10000.0 AS cos_sim
+        |FROM pairs WHERE c >= 0.99""".stripMargin
+  )
+}
