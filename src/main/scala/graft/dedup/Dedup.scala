@@ -121,12 +121,12 @@ object Dedup {
     * from md5 parity of (plane, dim). Map-only; the signature is the
     * bucketing key that makes near-dup detection O(n) in shuffle volume.
     */
-  def lshBucket(emb: Column, planes: Int = 16): Column =
+  def lshBucket(emb: Column, planes: Int = 16, seed: String = ""): Column =
     concat((0 until planes).map { p =>
       val proj = aggregate(
         transform(sequence(lit(0), lit(63)),
           i => element_at(emb, i + 1).cast("double") *
-            when(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 1) >= "8", 1.0)
+            when(substring(md5(concat(lit(s"$seed$p:"), i.cast("string"))), 1, 1) >= "8", 1.0)
               .otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, "1").otherwise("0")

@@ -1,0 +1,103 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2D6–D7).
+  *
+  * Brute force is the exact baseline: broadcast(queries) × corpus — the
+  * corpus is never shuffled, each partition computes its own similarities
+  * with the native codegen cosine and is pruned to ≤ k rows per query
+  * before anything moves, so the only shuffle is O(partitions · |Q| · k)
+  * pre-ranked triples. The LSH variant buckets the corpus once with
+  * sign-random-hyperplane bits (reusable partitioning) and ranks only
+  * bucket-mates — the 100 TB path where even one full corpus pass per
+  * query batch is too much.
+  */
+/** One (query, candidate, similarity) triple — public so Spark's generated
+  * row (de)serializers can instantiate it. */
+case class Scored(q_id: Long, c_id: Long, sim: Double)
+
+object Ann {
+
+  /** Exact cosine top-k: for every query vector the k nearest corpus
+    * vectors by cosine similarity, rank 1 = nearest, deterministic
+    * tie-break on the smaller corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb")))
+    val sims = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"))
+      .join(q, col("q_id") =!= col("c_id")) // broadcast nested loop, map-side
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .as[Scored]
+    // Per-partition prune in global order (sim desc, c_id asc): the global
+    // top-k is a subset of the union of per-partition top-k under the same
+    // total order, so correctness is preserved while the shuffle shrinks
+    // from |corpus|·|Q| to ≤ partitions·|Q|·k rows.
+    val pruned: Dataset[Scored] = sims.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.PriorityQueue[Scored]]
+      // min-heap on the global order so the worst survivor is on top
+      val ord = Ordering.by[Scored, (Double, Long)](s => (-s.sim, s.c_id))
+      it.foreach { s =>
+        val h = heaps.getOrElseUpdate(s.q_id,
+          new scala.collection.mutable.PriorityQueue[Scored]()(ord))
+        if (h.size < k) h.enqueue(s)
+        else if (ord.lt(s, h.head)) { h.dequeue(); h.enqueue(s) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    pruned.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        Exact.rnd4(col("sim")).as("sim"))
+  }
+
+  /** LSH-bucketed approximate top-k with OR-amplification: `tables`
+    * independent hash tables of `planes` sign-LSH bits each
+    * (Dedup.lshBucket with a per-table seed); a corpus vector is a
+    * candidate for a query if they share a bucket in ANY table — recall
+    * ≈ 1−(1−p^planes)^tables for per-bit agreement p. Ranking runs only on
+    * bucket-mates. The corpus is bucketed once (a `tables`-way explode —
+    * the classic LSH space/recall trade) and that layout is reusable
+    * across query batches; per-query work is bucket size, not corpus size.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 4,
+              tables: Int = 8, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    def buckets(emb: org.apache.spark.sql.Column) =
+      array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          Dedup.lshBucket(emb, planes, seed = s"$t/").as("bucket"))
+      }: _*)
+    val bucketed = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
+      explode(buckets(col(embCol))).as("tb"))
+      .select(col("c_id"), col("_c_emb"), col("tb.t"), col("tb.bucket"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb"), explode(buckets(col(embCol))).as("tb"))
+      .select(col("q_id"), col("_q_emb"), col("tb.t"), col("tb.bucket")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    bucketed.join(q, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .distinct() // a pair colliding in several tables ranks once
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        Exact.rnd4(col("sim")).as("sim"))
+  }
+}
