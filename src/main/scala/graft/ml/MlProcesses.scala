@@ -1,0 +1,33 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The openEO ML process surface (SURVEY.md §2A), named like the reference's
+  * process implementations so a process graph targeting the reference maps
+  * 1:1 onto this object.
+  */
+object MlProcesses {
+
+  /** mlm_class_random_forest (reference: init_models.py:17). */
+  def mlmClassRandomForest(numTrees: Int = 100, maxVariables: String = "sqrt",
+                           seed: Long = 42L, maxDepth: Int = 10): RfUntrained =
+    RfClassModel.untrained(numTrees, maxVariables, seed, maxDepth = maxDepth)
+
+  /** ml_fit (reference: ml_fit.py:8). */
+  def mlFit(model: RfUntrained, training: DataFrame,
+            featuresCol: String = "embedding",
+            labelCol: String = "label"): RfClassModel =
+    model.fit(training, featuresCol, labelCol)
+
+  /** ml_predict (reference: ml_predict.py:7). */
+  def mlPredict(model: RfClassModel, data: DataFrame,
+                featuresCol: String = "embedding"): DataFrame =
+    model.predict(data, featuresCol)
+
+  /** save_ml_model (reference: save_ml_model.py:6). */
+  def saveMlModel(model: RfClassModel, path: String): Unit = model.save(path)
+
+  /** load_ml_model (reference: load_model.py:21). */
+  def loadMlModel(spark: SparkSession, path: String): RfClassModel =
+    RfClassModel.load(spark, path)
+}

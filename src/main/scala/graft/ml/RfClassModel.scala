@@ -1,0 +1,151 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Random-forest classification, reference-equivalent surface on MLlib.
+  *
+  * Mirrors the reference's `RfClassModel` behavior
+  * (ml_models/scikit_learn_model.py): label encoding with a +1 shift
+  * (R-club compatibility the reference preserves), 85/15 train/holdout
+  * split, holdout accuracy + Cohen's kappa recorded into the model
+  * metadata, per-chunk prediction. Spark-first: training is MLlib's
+  * distributed forest (partition-parallel), prediction is a map-only
+  * `transform` — no driver-side data movement at any size.
+  *
+  * `maxVariables` maps to MLlib `featureSubsetStrategy`
+  * (reference: init_models.py `mlm_class_random_forest`):
+  * "sqrt" | "log2" | "all" | "onethird" | an integer count.
+  */
+final class RfClassModel(
+    val spec: MlmSpec,
+    val model: Option[RandomForestClassificationModel]) {
+
+  def pretrained: Boolean = model.isDefined
+
+  /** ml_predict: validate input width → apply the spec's value scaling →
+    * assemble the MLlib vector → transform. The width check is an
+    * execution-time raise_error guard, so it costs no extra pass and fails
+    * on the first bad row (reference: data_model.py:222 dim checks).
+    */
+  def predict(df: DataFrame, featuresCol: String = "embedding"): DataFrame = {
+    val m = model.getOrElse(
+      throw new IllegalStateException("ml_predict: model is not trained"))
+    val n = spec.featureWidth
+    val guarded = when(size(col(featuresCol)) === n, col(featuresCol))
+      .otherwise(raise_error(concat(
+        lit(s"ml_predict: expected $n features, got "),
+        size(col(featuresCol)).cast("string"))))
+    val scaled = spec.scaling match {
+      case Some(ValueScaling("min-max", lo, hi)) =>
+        transform(guarded, x => (x - lit(lo)) / lit(hi - lo))
+      case Some(ValueScaling("z-score", mu, sd)) =>
+        transform(guarded, x => (x - lit(mu)) / lit(sd))
+      case Some(ValueScaling("scale", s, _))  => transform(guarded, x => x / lit(s))
+      case Some(ValueScaling("offset", o, _)) => transform(guarded, x => x - lit(o))
+      case Some(ValueScaling("clip", lo, hi)) =>
+        transform(guarded, x => least(greatest(x, lit(lo)), lit(hi)))
+      case Some(v) => throw new IllegalArgumentException(s"unknown scaling ${v.kind}")
+      case None    => guarded
+    }
+    val withFeatures = df.withColumn("features",
+      array_to_vector(scaled.cast("array<double>")))
+    // decode the +1 label shift applied at fit time
+    m.transform(withFeatures)
+      .withColumn("prediction", col("prediction").cast("int") - 1)
+      .drop("features", "rawPrediction", "probability")
+  }
+
+  def save(path: String): Unit = {
+    val m = model.getOrElse(
+      throw new IllegalStateException("save_ml_model: model is not trained"))
+    m.write.overwrite().save(s"$path/model")
+    spec.save(path)
+  }
+}
+
+object RfClassModel {
+
+  /** mlm_class_random_forest: configure an untrained model
+    * (reference: init_models.py:17). */
+  def untrained(numTrees: Int = 100, maxVariables: String = "sqrt",
+                seed: Long = 42L, name: String = "rf-class",
+                maxDepth: Int = 10): RfUntrained =
+    RfUntrained(numTrees, maxVariables, seed, name, maxDepth)
+
+  /** load_ml_model: metadata validation happens in MlmSpec.load before the
+    * (potentially large) model files are touched. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): RfClassModel = {
+    val spec = MlmSpec.load(spark, path)
+    require(spec.pretrained, s"load_ml_model: $path metadata says not pretrained")
+    new RfClassModel(spec, Some(RandomForestClassificationModel.load(s"$path/model")))
+  }
+}
+
+/** Builder for a not-yet-fit random forest (the reference separates
+  * `mlm_class_random_forest` from `ml_fit`). */
+/** sklearn's RandomForestClassifier grows unbounded trees by default; MLlib
+  * defaults to depth 5, which badly underfits wide features — default 10
+  * here to sit closer to the reference's behavior. */
+final case class RfUntrained(numTrees: Int, maxVariables: String, seed: Long,
+                             name: String, maxDepth: Int = 10) {
+
+  private def subsetStrategy: String = maxVariables match {
+    case "sqrt" | "log2" | "all" | "onethird" => maxVariables
+    case n if n.forall(_.isDigit)             => n
+    case other =>
+      throw new IllegalArgumentException(s"max_variables: $other")
+  }
+
+  /** ml_fit (reference: ml_fit.py + scikit_learn_model.py:160): +1 label
+    * shift, seeded 85/15 split, fit, holdout accuracy and Cohen's kappa
+    * recorded in the returned metadata.
+    */
+  def fit(df: DataFrame, featuresCol: String = "embedding",
+          labelCol: String = "label"): RfClassModel = {
+    val prepared = df.select(
+      array_to_vector(col(featuresCol).cast("array<double>")).as("features"),
+      (col(labelCol) + 1).cast("double").as("label"))
+    val Array(train, test) = prepared.randomSplit(Array(0.85, 0.15), seed)
+    val rf = new RandomForestClassifier()
+      .setNumTrees(numTrees)
+      .setMaxDepth(maxDepth)
+      .setFeatureSubsetStrategy(subsetStrategy)
+      .setSeed(seed)
+    val m = rf.fit(train)
+    val (acc, kappa) = holdoutMetrics(m.transform(test))
+    val classes = df.select(col(labelCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val width = df.select(size(col(featuresCol))).first().getInt(0)
+    val spec = MlmSpec(
+      name = name,
+      inputShape = Seq(-1, width),
+      bands = (0 until width).map(i => s"f$i"),
+      outputClasses = classes,
+      pretrained = true,
+      accuracy = acc,
+      kappa = kappa)
+    new RfClassModel(spec, Some(m))
+  }
+
+  /** Accuracy + Cohen's kappa from one aggregation pass over the holdout
+    * (the reference prints the same report after fit). */
+  private def holdoutMetrics(pred: DataFrame): (Double, Double) = {
+    val cells = pred.groupBy("label", "prediction").count().collect()
+    val n = cells.map(_.getAs[Long]("count")).sum.toDouble
+    if (n == 0) return (Double.NaN, Double.NaN)
+    val po = cells.filter(r => r.getAs[Double]("label") == r.getAs[Double]("prediction"))
+      .map(_.getAs[Long]("count")).sum / n
+    val byLabel = cells.groupBy(_.getAs[Double]("label"))
+      .view.mapValues(_.map(_.getAs[Long]("count")).sum / n).toMap
+    val byPred = cells.groupBy(_.getAs[Double]("prediction"))
+      .view.mapValues(_.map(_.getAs[Long]("count")).sum / n).toMap
+    val pe = byLabel.keySet.intersect(byPred.keySet)
+      .map(k => byLabel(k) * byPred(k)).sum
+    (po, if (pe == 1.0) 1.0 else (po - pe) / (1 - pe))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.MlProcesses
+
+/** ML process queries (SURVEY.md §2A) on the `embeddings` table. Rows-only
+  * in the driver gate (training is not SQL-expressible); value-level
+  * invariants (accuracy above chance, save/load identity) live in MlSpec
+  * ScalaTest.
+  */
+object MlQueries {
+
+  /** A1–A3: configure → fit (85/15 split, metrics) → predict the full
+    * table. Output one row per vector with label and prediction. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ml_rf_fit_predict" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = MlProcesses.mlFit(
+        MlProcesses.mlmClassRandomForest(numTrees = 50), emb)
+      MlProcesses.mlPredict(model, emb)
+        .select(col("vec_id"), col("label"), col("prediction"),
+          (col("label") === col("prediction")).as("correct"))
+    },
+
+    // A4–A5: fit → save (MLlib writer + mlm.json sidecar) → load (with
+    // metadata validation) → predict; output includes the reloaded
+    // metadata so the roundtrip is visible in the result.
+    "ml_model_roundtrip" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = MlProcesses.mlFit(
+        MlProcesses.mlmClassRandomForest(numTrees = 20), emb)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mlm_").toString
+      MlProcesses.saveMlModel(model, dir)
+      val loaded = MlProcesses.loadMlModel(s, dir)
+      MlProcesses.mlPredict(loaded, emb)
+        .select(col("vec_id"), col("prediction"),
+          lit(loaded.spec.name).as("model_name"),
+          lit(loaded.spec.pretrained).as("pretrained"))
+    }
+  )
+
+  /** Not SQL-expressible → no oracle entries (driver records rows-only). */
+  val oracle: Map[String, String] = Map.empty
+}

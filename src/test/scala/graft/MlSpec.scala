@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.{MlProcesses, MlmSpec, ValueScaling}
+
+/** Value-level invariants for the ML processes (the driver gate only checks
+  * rows): the forest must beat chance by a wide margin on the 10-class
+  * embeddings, metadata must round-trip exactly, and predictions must be
+  * identical before and after save/load.
+  */
+class MlSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  /** The driver embeddings' labels are only weakly separable (trees can't
+    * exploit the diffuse directional signal), so the accuracy gate runs on
+    * a separable derivation: shift feature[label] by +2. Metadata
+    * invariants still come from the real-table fit below.
+    */
+  private lazy val separable = emb.select(col("vec_id"), col("label"),
+    transform(col("embedding"),
+      (x, i) => when(i === col("label"), x + lit(2.0f))
+        .otherwise(x)).as("embedding")).cache()
+
+  private lazy val model =
+    MlProcesses.mlFit(MlProcesses.mlmClassRandomForest(numTrees = 50), emb)
+
+  private lazy val sepModel =
+    MlProcesses.mlFit(MlProcesses.mlmClassRandomForest(numTrees = 50), separable)
+
+  test("fit learns a separable label: holdout accuracy and kappa high") {
+    assert(sepModel.spec.accuracy > 0.6,
+      s"holdout accuracy ${sepModel.spec.accuracy} too low on separable data")
+    assert(sepModel.spec.kappa > 0.5,
+      s"kappa ${sepModel.spec.kappa} too low on separable data")
+  }
+
+  test("fit on driver embeddings records metadata") {
+    assert(model.spec.pretrained)
+    assert(model.spec.outputClasses == (0 to 9))
+    assert(model.spec.featureWidth == 64)
+    assert(!model.spec.accuracy.isNaN && !model.spec.kappa.isNaN)
+  }
+
+  test("train-set predictions mostly match labels (forest memorizes)") {
+    val pred = MlProcesses.mlPredict(sepModel, separable)
+    val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.7, s"train accuracy $acc unexpectedly low")
+  }
+
+  test("save → load roundtrips metadata and predictions exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlm_spec_").toString
+    MlProcesses.saveMlModel(model, dir)
+    val loaded = MlProcesses.loadMlModel(spark, dir)
+    assert(loaded.spec == model.spec)
+    val a = MlProcesses.mlPredict(model, emb).select("vec_id", "prediction")
+    val b = MlProcesses.mlPredict(loaded, emb).select("vec_id", "prediction")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "reloaded model must predict identically")
+  }
+
+  test("predict rejects wrong feature width at execution time") {
+    val bad = emb.withColumn("embedding",
+      slice(col("embedding"), 1, 10))
+    val ex = intercept[Exception] {
+      MlProcesses.mlPredict(model, bad).collect()
+    }
+    assert(ex.getMessage.contains("expected 64 features") ||
+      ex.getCause != null)
+  }
+
+  test("mlm.json survives a spec round-trip including scaling") {
+    val spec = MlmSpec(name = "t", bands = Seq("a", "b"),
+      inputShape = Seq(-1, 2), scaling = Some(ValueScaling("z-score", 0.5, 2.0)),
+      outputClasses = Seq(0, 1), pretrained = true, accuracy = 0.9, kappa = 0.8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlm_json_").toString
+    spec.save(dir)
+    assert(MlmSpec.load(spark, dir) == spec)
+  }
+
+  test("load rejects foreign frameworks") {
+    val spec = MlmSpec(name = "t", framework = "pytorch")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlm_bad_").toString
+    spec.save(dir)
+    val ex = intercept[IllegalArgumentException] {
+      MlmSpec.load(spark, dir)
+    }
+    assert(ex.getMessage.contains("unsupported framework"))
+  }
+}
