@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BenchQueries.queries ++ CubeQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimQueries.queries ++ MlQueries.queries
+      DedupQueries.queries ++ SimQueries.queries ++ MlQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     BenchQueries.oracle ++ CubeQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimQueries.oracle ++ MlQueries.oracle
+      DedupQueries.oracle ++ SimQueries.oracle ++ MlQueries.oracle ++
+      StreamQueries.oracle
 }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Exact
+
+/** One raw event (events.parquet row, minus props). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session. */
+case class Session(user_id: Long, session_start: Timestamp,
+                   session_end: Timestamp, n_events: Long, sum_value: Double)
+
+/** Mutable session accumulator kept in streaming state (µs epoch times). */
+case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+/** Streaming analytics over the events stream (SURVEY.md §2E1–E2).
+  *
+  * Each operator has one transform that works identically on batch and
+  * streaming DataFrames (run the parquet table through it for the oracle
+  * gate; run a readStream through it in production), plus — for
+  * sessionization, where streaming needs explicit state — a
+  * flatMapGroupsWithState twin whose output is checked against the batch
+  * semantics in ScalaTest.
+  *
+  * Scale: the windowed aggregation is a standard partial-agg shuffle keyed
+  * on (window, type) — bounded state under watermark eviction. Session
+  * state is one small record per active user; timeouts evict closed
+  * sessions, so state size tracks concurrent users, not history.
+  */
+object EventStreams extends Serializable {
+
+  /** E1: tumbling-window stats per event type. Works on batch and
+    * streaming inputs; on streaming the watermark bounds state and
+    * admits `delay` of lateness.
+    */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    delay: String = "1 day"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", delay) else events
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.rnd4(Exact.esum(col("value"))).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** E2 batch form: gap-based sessionization with window functions — a
+    * session breaks when the inter-event gap exceeds `gapSec`. Exact µs
+    * arithmetic; deterministic (ts, event_id) ordering.
+    */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(
+      prevUs.isNull || unix_micros(col("ts")) - prevUs > gapSec * 1000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("_new", isNew)
+      .withColumn("session_id", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Exact.rnd4(Exact.esum(col("value"))).as("sum_value"))
+  }
+
+  /** E2 streaming twin: flatMapGroupsWithState with event-time timeout.
+    * State per user is the open session; a session closes either inline
+    * (a same-batch event arrives past the gap) or via timeout when the
+    * watermark passes session_end + gap. Emission is append-mode — each
+    * closed session exactly once.
+    */
+  /** java.sql.Timestamp keeps sub-millisecond precision in its nanos field;
+    * events carry microseconds, so state arithmetic must round-trip the
+    * full µs value, not just getTime's milliseconds. */
+  private def tsToUs(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  def sessionizeStream(events: Dataset[Event], gapSec: Long,
+                       delay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+
+    def toSession(uid: Long, s: SessionState): Session =
+      Session(uid, usToTs(s.startUs), usToTs(s.endUs), s.n, s.sum)
+
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val us = tsToUs(e.ts)
+              open match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  open = Some(SessionState(s.startUs, math.max(s.endUs, us),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += toSession(uid, s)
+                  open = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  open = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // close when the watermark passes the gap horizon
+                state.setTimeoutTimestamp(s.endUs / 1000 + gapSec * 1000)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

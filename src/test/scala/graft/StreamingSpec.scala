@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.{Event, EventStreams}
+
+/** Streaming ↔ batch parity: the exact transforms graded by the DuckDB
+  * oracle in batch form must produce the same answers when executed as
+  * Structured Streaming over a MemoryStream fed incrementally.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def realEvents(maxUser: Long): Seq[Event] = {
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUser)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .toSeq
+  }
+
+  test("E1 windowed stats: incremental streaming equals batch") {
+    import spark.implicits._
+    val events = realEvents(30)
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.windowedStats(ms.toDF())
+      .writeStream.format("memory").queryName("ws_parity")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(events.length / 2)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val streamed = spark.table("ws_parity")
+      val batch = EventStreams.windowedStats(
+        events.toDF().select("ts", "event_type", "value"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming windowed stats diverge from batch")
+    } finally q.stop()
+  }
+
+  test("E2 sessionize: flatMapGroupsWithState equals batch window semantics") {
+    import spark.implicits._
+    val events = realEvents(20)
+    val gapSec = 21600L
+    val lastTs = events.map(_.ts.getTime).max
+    // sentinels push the watermark past every real session's gap horizon
+    val sentinelTs = lastTs + 3L * 86400 * 1000
+    val users = events.map(_.user_id).distinct
+    val sentinels = users.zipWithIndex.map { case (u, i) =>
+      Event(900000L + i, new Timestamp(sentinelTs), u, "sentinel", 0.0)
+    }
+    val flush = users.zipWithIndex.map { case (u, i) =>
+      Event(910000L + i, new Timestamp(sentinelTs + 86400 * 1000), u,
+        "sentinel", 0.0)
+    }
+
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStream(ms.toDS(), gapSec)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      val third = events.length / 3
+      ms.addData(events.take(third)); q.processAllAvailable()
+      ms.addData(events.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(events.drop(2 * third)); q.processAllAvailable()
+      ms.addData(sentinels); q.processAllAvailable()
+      ms.addData(flush); q.processAllAvailable()
+
+      val streamed = spark.table("sess_parity")
+        .filter(col("session_start") < new Timestamp(sentinelTs))
+      val batch = EventStreams.sessionizeBatch(events.toDF(), gapSec)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+
+      val joined = streamed.as("s").join(batch.as("b"),
+        col("s.user_id") === col("b.user_id") &&
+          col("s.session_start") === col("b.session_start"))
+      assert(joined.count() == batch.count() &&
+        streamed.count() == batch.count(),
+        s"session count mismatch: stream=${streamed.count()} batch=${batch.count()}")
+      val bad = joined.filter(
+        col("s.session_end") =!= col("b.session_end") ||
+          col("s.n_events") =!= col("b.n_events") ||
+          abs(col("s.sum_value") - col("b.sum_value")) > 0.001).count()
+      assert(bad == 0, "session contents diverge between streaming and batch")
+    } finally q.stop()
+  }
+}
