@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BenchQueries.queries ++ CubeQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ MlQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     BenchQueries.oracle ++ CubeQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimQueries.oracle ++ MlQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++ PipelineQueries.oracle
 }

@@ -36,6 +36,28 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
+  /** events with a [from, to) time filter applied to the RAW nanosecond
+    * column before the timestamp conversion. Predicates on the converted
+    * `timestamp_micros(ts DIV 1000)` expression cannot reach the parquet
+    * scan (only IsNotNull pushes); a plain Long comparison pushes as a
+    * row-group min/max filter — at 100 TB this is the difference between
+    * scanning a day and scanning the lake. Mirrors openEO semantics, where
+    * the temporal extent belongs to load_collection itself.
+    */
+  def eventsRanged(s: SparkSession, d: String, from: String, to: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      def ns(t: String): Long = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.parse(t + "T00:00:00")).getTime * 1000000L
+      raw.filter(col("ts") >= ns(from) && col("ts") < ns(to))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      raw.filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata. The payload is
+  * what a real pipeline would hand to an image/audio decoder. */
+case class MediaItem(media_id: Long, kind: String, payload: Array[Byte],
+                     declared_len: Int, source: String)
+
+/** Decoded per-item features. */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                         fp: String, mean_intensity: Double,
+                         batch_size: Int)
+
+/** Multimodal binary-column processing (SURVEY.md §2D12).
+  *
+  * Media (image/audio/video) live as opaque `binary` columns with typed
+  * metadata beside them — at 100 TB that is a parquet lake whose payload
+  * column is only materialized inside the decode stage. Decoding runs
+  * batched inside `mapPartitions` (the JVM analog of `mapInPandas`: one
+  * buffer of `batchSize` items per call, so a vectorized decoder amortizes
+  * per-call overhead), and everything before/after the decode stays
+  * declarative so Catalyst can prune/push down around it.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * deterministic fake: it treats payload bytes as intensities. The
+  * Spark-side plumbing — schema, binary column, typed Dataset boundary,
+  * batching, partition-parallelism — is the real thing.
+  */
+object Multimodal extends Serializable {
+
+  /** Deterministic fake decoder: payload bytes as unsigned intensities.
+    * A real build replaces exactly this function with e.g. a JNI codec. */
+  def decodeStub(payload: Array[Byte]): Array[Int] =
+    payload.map(b => b & 0xff)
+
+  /** Derive a media table from `documents`: payload = utf-8 text bytes,
+    * kind assigned round-robin. Deterministic, so features are gradeable
+    * against an oracle that reads the same text. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "utf-8").as("payload"),
+      length(col("text")).cast("int").as("declared_len"),
+      col("source"))
+
+  /** Batched feature extraction over the binary column. Each mapPartitions
+    * call processes `batchSize` items at a time — the batch boundary a
+    * vectorized decoder needs. Records the batch size it ran in so tests
+    * can assert the batch shape actually took effect.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "declared_len", "source")
+      .as[MediaItem]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "vectorized" decode per batch
+          val decoded = batch.map(m => (m, decodeStub(m.payload)))
+          decoded.map { case (m, px) =>
+            val mean = if (px.isEmpty) 0.0
+              else px.foldLeft(0L)(_ + _).toDouble / px.length
+            MediaFeatures(m.media_id, m.kind, px.length,
+              md5Hex(m.payload), mean, batch.size)
+          }
+        }
+      }
+  }
+
+  /** Resize stub: sample the payload down to a fixed `target` length by
+    * strided selection (what a real resize kernel would do to pixels).
+    * Pure column expression — binary in, binary out, no data skew. */
+  def resizeStub(payload: org.apache.spark.sql.Column, target: Int): org.apache.spark.sql.Column = {
+    // stride = max(1, len / target); take every stride-th byte, cap at target
+    val len = octet_length(payload)
+    val stride = greatest(lit(1), (len / target).cast("int"))
+    // substr on binary returns binary; assemble via concat of 1-byte slices
+    concat((0 until target).map { i =>
+      substring(payload, (lit(i) * stride + 1).cast("int"), lit(1))
+    }: _*)
+  }
+
+  /** Frame sampling for "video" payloads: split the byte stream into
+    * `frameLen`-sized frames and keep every `every`-th frame. */
+  def frameSample(media: DataFrame, frameLen: Int, every: Int): DataFrame = {
+    val nFrames = (octet_length(col("payload")) / frameLen).cast("int")
+    media.withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(every))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameLen + 1, $frameLen)"))
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,150 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.cube.DataCube
+import graft.sources.Sinks
+
+/** openEO process-graph executor analog (SURVEY.md §2C16; reference:
+  * minibackend/openeo_minibackend.py + custom_processes.py).
+  *
+  * Executes a JSON process graph against the testdata lake by composing
+  * `DataCube` operators. Because every process resolves to declarative
+  * DataFrame transforms, the *whole graph* collapses into one Catalyst
+  * plan: a graph's filter nodes end up as parquet pushdown predicates of
+  * its load node, regardless of graph shape — the optimization story the
+  * reference's per-process dask execution cannot get.
+  *
+  * Node arguments follow the openEO convention: literals, or
+  * `{"from_node": "id"}` references resolved lazily with memoization from
+  * the single `"result": true` node.
+  */
+final class ProcessGraph(spark: SparkSession, dataDir: String) {
+
+  private val mapper = new ObjectMapper()
+
+  def run(graphJson: String): DataFrame = {
+    val root = mapper.readTree(graphJson)
+    val graph = if (root.has("process_graph")) root.get("process_graph") else root
+    val nodes = graph.properties().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val resultId = nodes.collectFirst {
+      case (id, n) if n.path("result").asBoolean(false) => id
+    }.getOrElse(throw new IllegalArgumentException(
+      "process graph has no result node"))
+    val memo = scala.collection.mutable.Map.empty[String, DataCube]
+    def evalNode(id: String): DataCube = memo.getOrElseUpdate(id, {
+      val node = nodes.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown node '$id'"))
+      exec(node.get("process_id").asText(), node.get("arguments"), evalNode)
+    })
+    evalNode(resultId).df
+  }
+
+  private def cubeArg(args: JsonNode, name: String,
+                      evalNode: String => DataCube): DataCube = {
+    val ref = args.get(name)
+    require(ref != null && ref.has("from_node"),
+      s"argument '$name' must be a from_node reference")
+    evalNode(ref.get("from_node").asText())
+  }
+
+  private def exec(processId: String, args: JsonNode,
+                   evalNode: String => DataCube): DataCube = processId match {
+
+    // load_collection (reference: custom_processes.py:60): testdata table →
+    // long-format cube, with optional extents applied at load so they reach
+    // the parquet scan as pushed filters.
+    case "load_collection" =>
+      val id = args.get("id").asText()
+      val te = args.path("temporal_extent")
+      var cube = id match {
+        case "events" =>
+          // temporal extent is applied at load on the raw storage column so
+          // it pushes into the parquet scan (Tables.eventsRanged) — the
+          // openEO contract: extents are load_collection's job.
+          val src = if (te.isArray && te.size == 2)
+            Tables.eventsRanged(spark, dataDir, te.get(0).asText(), te.get(1).asText())
+          else Tables.events(spark, dataDir)
+          DataCube(src.select(col("ts").as("time"),
+            col("event_type").as("band"), col("value")))
+        case other => throw new IllegalArgumentException(
+          s"load_collection: unknown collection '$other'")
+      }
+      val bands = args.path("bands")
+      if (bands.isArray)
+        cube = cube.filterBands(bands.elements().asScala.map(_.asText()).toSeq)
+      cube
+
+    case "filter_temporal" =>
+      val ext = args.get("extent")
+      cubeArg(args, "data", evalNode)
+        .filterTemporal(ext.get(0).asText(), ext.get(1).asText())
+
+    case "filter_bands" =>
+      val bands = args.get("bands").elements().asScala.map(_.asText()).toSeq
+      cubeArg(args, "data", evalNode).filterBands(bands)
+
+    case "filter_bbox" =>
+      val e = args.get("extent")
+      cubeArg(args, "data", evalNode).filterBbox(
+        e.get("west").asDouble(), e.get("east").asDouble(),
+        e.get("south").asDouble(), e.get("north").asDouble())
+
+    // apply with a named unary process (the openEO child-graph restricted
+    // to the built-in math set so it stays codegen)
+    case "apply" =>
+      val f = args.get("process").asText()
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        f match {
+          case "absolute" => abs
+          case "sqrt"     => c => sqrt(abs(c))
+          case "ln"       => c => log(abs(c) + 1)
+          case "exp"      => exp
+          case other =>
+            throw new IllegalArgumentException(s"apply: unknown process $other")
+        }
+      cubeArg(args, "data", evalNode).applyUnary(fn)
+
+    case "reduce_dimension" =>
+      cubeArg(args, "data", evalNode).reduceDimension(
+        args.get("dimension").asText(), args.get("reducer").asText())
+
+    case "aggregate_temporal_period" =>
+      cubeArg(args, "data", evalNode).aggregateTemporalPeriod(
+        args.get("period").asText(), args.get("reducer").asText())
+
+    case "ndvi" =>
+      val tb = Option(args.get("target_band")).map(_.asText())
+      cubeArg(args, "data", evalNode).ndvi(
+        args.path("nir").asText("nir"), args.path("red").asText("red"), tb)
+
+    case "mask" =>
+      val repl = Option(args.get("replacement")).map(_.asDouble())
+      cubeArg(args, "data", evalNode)
+        .mask(cubeArg(args, "mask", evalNode), repl)
+
+    case "merge_cubes" =>
+      cubeArg(args, "cube1", evalNode).merge(
+        cubeArg(args, "cube2", evalNode),
+        (l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0)))
+
+    // save_result (reference: custom_processes.py:246) — pass-through when
+    // no path is given (the driver materializes results itself).
+    case "save_result" =>
+      val cube = cubeArg(args, "data", evalNode)
+      Option(args.get("path")).foreach { p =>
+        Sinks.saveResult(cube.df, p.asText(),
+          args.path("format").asText("parquet"))
+      }
+      cube
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown process_id '$other'")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+import graft.multimodal.Multimodal
+import graft.plans.ProcessGraph
+
+/** Multimodal binary pipeline (§2D12) and process-graph executor (§2C16)
+  * queries. Both fully oracle-gated: the media payloads are ASCII text
+  * bytes, so DuckDB can reproduce the stub decode with ord(); the process
+  * graph lowers to plain relational algebra.
+  */
+object PipelineQueries {
+
+  /** The flagship demo graph: load → band filter → temporal filter →
+    * apply(sqrt) → daily mean. Collapses to one Catalyst plan whose scan
+    * carries the temporal + band predicates. */
+  val demoGraph: String =
+    """{
+      |  "process_graph": {
+      |    "load": {"process_id": "load_collection",
+      |             "arguments": {"id": "events",
+      |                           "temporal_extent": ["2024-01-05", "2024-01-25"],
+      |                           "bands": ["click", "view"]}},
+      |    "root": {"process_id": "apply",
+      |             "arguments": {"data": {"from_node": "load"},
+      |                           "process": "sqrt"}},
+      |    "agg":  {"process_id": "aggregate_temporal_period",
+      |             "arguments": {"data": {"from_node": "root"},
+      |                           "period": "day", "reducer": "mean"}},
+      |    "save": {"process_id": "save_result",
+      |             "arguments": {"data": {"from_node": "agg"}},
+      |             "result": true}
+      |  }
+      |}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "multimodal_pipeline" -> { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media, batchSize = 64)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("fp"),
+          Exact.rnd4(col("mean_intensity")).as("mean_intensity"))
+    },
+
+    "process_graph" -> { (s, d) =>
+      new ProcessGraph(s, d).run(demoGraph)
+        .select(to_date(col("time")).as("day"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "multimodal_pipeline" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text) AS n_bytes,
+        |  md5(text) AS fp,
+        |  floor((CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |           i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text))
+        |    * 10000 + 0.5) / 10000.0 AS mean_intensity
+        |FROM documents""".stripMargin,
+
+    "process_graph" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  event_type AS band,
+        |  floor((CAST(sum(CAST(sqrt(abs(value)) AS DECIMAL(38,10))) AS DOUBLE)
+        |        / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2""".stripMargin
+  )
+}

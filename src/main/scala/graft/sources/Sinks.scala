@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** save_result analog (SURVEY.md §2C15; reference:
+  * minibackend/custom_processes.py:246 writes netcdf/gtiff/zarr).
+  *
+  * The reference's geo formats need native codecs; the Spark-native sinks
+  * are the columnar lake formats a cluster actually serves from. Writes are
+  * partition-parallel; `partitionBy` columns become directory partitions so
+  * downstream reads get partition pruning for free.
+  */
+object Sinks {
+
+  val supported: Set[String] = Set("parquet", "csv", "json")
+
+  def saveResult(df: DataFrame, path: String, format: String = "parquet",
+                 partitionBy: Seq[String] = Nil): Unit = {
+    require(supported.contains(format),
+      s"save_result: format '$format' not supported (one of $supported)")
+    val writer = df.write.mode("overwrite")
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    format match {
+      case "parquet" => partitioned.parquet(path)
+      case "json"    => partitioned.json(path)
+      // header on so the file round-trips with schema names
+      case "csv"     => partitioned.option("header", "true").csv(path)
+    }
+  }
+
+  /** load_collection analog for results written by saveResult. */
+  def loadResult(spark: org.apache.spark.sql.SparkSession, path: String,
+                 format: String = "parquet"): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "json"    => spark.read.json(path)
+    case "csv"     => spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path)
+    case other => throw new IllegalArgumentException(s"load_result: $other")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.plans.ProcessGraph
+import graft.queries.PipelineQueries
+import graft.sources.Sinks
+
+/** Multimodal plumbing, sink roundtrips, and process-graph executor
+  * behavior that the oracle gate can't see. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir)).cache()
+
+  test("multimodal: batching shape actually reaches the decode stage") {
+    val sizes = Multimodal.extractFeatures(media.repartition(2), batchSize = 64)
+      .toDF().select("batch_size").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(sizes.forall(s => s >= 1 && s <= 64),
+      s"batch sizes out of range: ${sizes.mkString(",")}")
+    assert(sizes.contains(64), "full batches must dominate a 250-doc partition")
+  }
+
+  test("multimodal: resize emits fixed-width payloads; frame sample counts") {
+    val resized = media.select(
+      octet_length(Multimodal.resizeStub(col("payload"), 16)).as("n"))
+      .distinct().collect().map(_.getInt(0))
+    assert(resized.toSeq == Seq(16), s"resize widths: ${resized.mkString(",")}")
+    val frames = Multimodal.frameSample(
+      media.filter(col("kind") === "video"), frameLen = 32, every = 2)
+    assert(frames.count() > 0)
+    val bad = frames.filter(octet_length(col("frame")) > 32).count()
+    assert(bad == 0, "frames longer than frameLen")
+  }
+
+  test("sinks: parquet/json/csv save_result round-trips rows") {
+    val df = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    for (fmt <- Sinks.supported) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sink_$fmt").toString + "/out"
+      Sinks.saveResult(df, dir, fmt)
+      val back = Sinks.loadResult(spark, dir, fmt)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      assert(back.count() == df.count(), s"$fmt row count")
+      assert(back.exceptAll(df.selectExpr("CAST(n_nationkey AS BIGINT)",
+        "n_name", "CAST(n_regionkey AS BIGINT)").toDF(
+        "n_nationkey", "n_name", "n_regionkey")).isEmpty ||
+        back.exceptAll(df).isEmpty, s"$fmt contents")
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.saveResult(df, "/tmp/never", "netcdf")
+    }
+  }
+
+  test("process graph: whole graph collapses into one pushed-down scan") {
+    val df = new ProcessGraph(spark, sfDir).run(PipelineQueries.demoGraph)
+    val plan = df.queryExecution.executedPlan.toString
+    // the graph's temporal extent must reach the parquet scan as a pushed
+    // row-group filter on the raw storage column
+    assert(plan.contains("GreaterThanOrEqual(ts"),
+      s"expected pushed ts range filter in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("process graph: unknown nodes and processes fail fast") {
+    val pg = new ProcessGraph(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      pg.run("""{"a": {"process_id": "nope", "arguments": {}, "result": true}}""")
+    }
+    intercept[IllegalArgumentException] {
+      pg.run("""{"a": {"process_id": "apply", "arguments": {}}}""") // no result
+    }
+  }
+}
