@@ -45,17 +45,19 @@ object DedupQueries {
       |      ' ') AS text
       |  FROM documents)""".stripMargin
 
-  /** Shared minhash CTE chain: shingles → 8 band signatures. */
+  /** Shared minhash CTE chain: 4-word shingles → 8 band signatures, each
+    * band an 8-hex-char slice of md5(s) ‖ md5('x:'‖s) — mirrors
+    * Dedup.minhashSignatures exactly. */
   private val minhashSigSql =
     s"""$nearCorpusSql,
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
       |sh AS (SELECT doc_id,
-      |  list_transform(generate_series(1, len(t) - 2),
-      |    i -> array_to_string(t[i:i+2], ' ')) AS shingles FROM toks),
+      |  list_transform(generate_series(1, len(t) - 3),
+      |    i -> array_to_string(t[i:i+3], ' ')) AS shingles FROM toks),
       |sig AS (
       |  SELECT doc_id, j AS band,
       |    list_aggregate(list_transform(shingles,
-      |      s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min') AS sig
+      |      s -> substr(md5(s) || md5('x:' || s), j * 8 + 1, 8)), 'min') AS sig
       |  FROM sh CROSS JOIN generate_series(0, 7) AS g(j)),
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
