@@ -321,6 +321,77 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       .select((seriesDims.map(col) :+ col(t) :+ col(valueCol)): _*))
   }
 
+  // ---- spatial kernel / resample / anomaly --------------------------------
+
+  /** openEO `apply_kernel`: 2D convolution over the spatial dimensions with
+    * zero padding at the border.
+    *
+    * Scatter formulation: every input cell emits kernel-size weighted
+    * contributions to its neighbors' output coordinates (a map-side
+    * explode), then one groupBy sums them — no join against shifted copies
+    * of the cube, so the shuffle is kernel_area × |cells| rows keyed by the
+    * output cell, partition-local until the single aggregation.
+    *
+    * Prefer kernels whose weights are binary-exact (e.g. x/16) so results
+    * are bit-stable across engines.
+    */
+  def applyKernel(kernel: Seq[Seq[Double]],
+                  xRange: (Int, Int), yRange: (Int, Int)): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val kh = kernel.length; val kw = kernel.head.length
+    require(kh % 2 == 1 && kw % 2 == 1, "apply_kernel: kernel must be odd-sized")
+    val offs = for {
+      (row, iy) <- kernel.zipWithIndex
+      (wgt, ix) <- row.zipWithIndex
+      if wgt != 0.0
+    } yield struct(lit(ix - kw / 2).as("dx"), lit(iy - kh / 2).as("dy"),
+      lit(wgt).as("w"))
+    val keep = dims.filterNot(d => d == xd || d == yd)
+    val exploded = df.select(
+        (keep.map(col) :+ col(xd) :+ col(yd) :+ v :+
+          explode(array(offs: _*)).as("k")): _*)
+      .select((keep.map(col) :+ (col(xd) - col("k.dx")).as(xd)
+        :+ (col(yd) - col("k.dy")).as(yd) :+ (v * col("k.w")).as(valueCol)): _*)
+      .filter(col(xd) >= xRange._1 && col(xd) <= xRange._2 &&
+        col(yd) >= yRange._1 && col(yd) <= yRange._2)
+    copy(df = exploded
+      .groupBy((keep.map(col) :+ col(xd) :+ col(yd)): _*)
+      .agg(graft.core.Exact.esum(v).as(valueCol)))
+  }
+
+  /** openEO `resample_spatial` (downscale by an integer factor): bucket the
+    * spatial coordinates and reduce. One aggregation, output is 1/factor²
+    * of the input — the standard pyramid step. */
+  def resampleSpatial(factor: Int, reducer: String = "mean"): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val bucketed = df
+      .withColumn(xd, floor(col(xd) / factor).cast("long"))
+      .withColumn(yd, floor(col(yd) / factor).cast("long"))
+    copy(df = bucketed.groupBy(dims.map(col): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
+  /** openEO `anomaly`: subtract the climatological normal — the mean over
+    * all cells sharing (band, period-of-year) — from every cell. One
+    * window over the (band, period) key; the normal is computed with exact
+    * decimal sums so it is order-independent. */
+  def anomaly(freq: String = "month"): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val periodCol = freq match {
+      case "month"     => month(col(t))
+      case "dayofyear" => dayofyear(col(t))
+      case "hour"      => hour(col(t))
+      case other => throw new IllegalArgumentException(s"anomaly: freq $other")
+    }
+    val parts = bandDim.map(col).toSeq :+ periodCol
+    val w = Window.partitionBy(parts: _*)
+    import graft.core.Exact
+    copy(df = df.withColumn(valueCol,
+      v - Exact.esumOver(v, w) / count(v).over(w)))
+  }
+
   // ---- value scaling (STAC-MLM ValueScaling, scaling_utils.py:63) ---------
 
   /** min-max: (v - min)/(max - min), statistics per band computed over the

@@ -24,6 +24,12 @@ object MlProcesses {
                 featuresCol: String = "embedding"): DataFrame =
     model.predict(data, featuresCol)
 
+  /** ml_predict over a datacube — the reference's main predict surface
+    * (cube → batches → cube, data_model.py:438,666). */
+  def mlPredictCube(model: RfClassModel,
+                    cube: graft.cube.DataCube): graft.cube.DataCube =
+    model.predictCube(cube)
+
   /** save_ml_model (reference: save_ml_model.py:6). */
   def saveMlModel(model: RfClassModel, path: String): Unit = model.save(path)
 

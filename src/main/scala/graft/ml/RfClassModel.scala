@@ -60,6 +60,38 @@ final class RfClassModel(
       .drop("features", "rawPrediction", "probability")
   }
 
+  /** ml_predict on a datacube (reference: data_model.py:438,666 — cube →
+    * batches → cube reshaping): pivot the band dimension into the model's
+    * feature order (spec.bands, resolved through the cube's labels), run
+    * the vector predict, return a cube keyed by the remaining dimensions.
+    * The pivot is one conditional aggregation — a single shuffle on the
+    * non-band dims; prediction itself stays map-only.
+    */
+  def predictCube(cube: graft.cube.DataCube): graft.cube.DataCube = {
+    val b = cube.requireDim(cube.bandDim, "bands")
+    val keep = cube.dims.filterNot(_ == b)
+    val vcol = col(cube.valueCol)
+    val feats = array(spec.bands.map { name =>
+      val alts = graft.cube.BandAliases.alternatives(name).map(_.toLowerCase)
+      first(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol),
+        ignoreNulls = true)
+    }: _*)
+    // missing band for a cell-group → null element → fail at execution time
+    // (reference raises on dimension/band mismatch before predicting)
+    val guarded = when(exists(feats, _.isNull),
+        raise_error(lit(s"ml_predict: cube is missing one of bands " +
+          spec.bands.mkString("[", ",", "]"))).cast("array<double>"))
+      .otherwise(feats)
+    val assembled = cube.df.groupBy(keep.map(col): _*)
+      .agg(guarded.as("_features"))
+    val predicted = predict(assembled, "_features").drop("_features")
+    graft.cube.DataCube(
+      predicted.withColumnRenamed("prediction", cube.valueCol)
+        .select((keep.map(col) :+ col(cube.valueCol).cast("double")
+          .as(cube.valueCol)): _*),
+      cube.valueCol)
+  }
+
   def save(path: String): Unit = {
     val m = model.getOrElse(
       throw new IllegalStateException("save_ml_model: model is not trained"))

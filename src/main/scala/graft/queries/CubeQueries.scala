@@ -143,6 +143,26 @@ object CubeQueries {
         .df.select(col("user_id"), col("time"), Exact.rnd4(col("value")).as("value"))
     },
 
+    "cube_kernel" -> { (s, d) =>
+      // 3×3 binomial kernel, x/16 weights are binary-exact
+      val k = Seq(Seq(1, 2, 1), Seq(2, 4, 2), Seq(1, 2, 1))
+        .map(_.map(_ / 16.0))
+      gridCube(s, d).applyKernel(k, (0, 63), (0, 63))
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_resample_spatial" -> { (s, d) =>
+      gridCube(s, d).resampleSpatial(4, "mean")
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_anomaly" -> { (s, d) =>
+      eventsCube(s, d).anomaly("dayofyear")
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
     "scale_minmax" -> { (s, d) =>
       eventsCube(s, d).scaleMinMax(perDim = Some("band"))
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
@@ -296,6 +316,34 @@ object CubeQueries {
         |    WHEN epoch_us(time) - pt <= nt - epoch_us(time) THEN pv
         |    ELSE nv END) * 10000 + 0.5) / 10000.0 AS value
         |FROM w WHERE tag = 1""".stripMargin,
+
+    "cube_kernel" ->
+      s"""WITH $gridCubeSql,
+        |k(dx, dy, w) AS (VALUES
+        |  (-1, -1, 1/16.0), (0, -1, 2/16.0), (1, -1, 1/16.0),
+        |  (-1,  0, 2/16.0), (0,  0, 4/16.0), (1,  0, 2/16.0),
+        |  (-1,  1, 1/16.0), (0,  1, 2/16.0), (1,  1, 1/16.0))
+        |SELECT cube.x - dx AS x, cube.y - dy AS y, band,
+        |  floor((CAST(sum(CAST(value * w AS DECIMAL(38,10))) AS DOUBLE))
+        |        * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube CROSS JOIN k
+        |WHERE cube.x - dx BETWEEN 0 AND 63 AND cube.y - dy BETWEEN 0 AND 63
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "cube_resample_spatial" ->
+      s"""WITH $gridCubeSql
+        |SELECT CAST(floor(x / 4) AS BIGINT) AS x,
+        |       CAST(floor(y / 4) AS BIGINT) AS y, band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |        / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube GROUP BY 1, 2, 3""".stripMargin,
+
+    "cube_anomaly" ->
+      """SELECT event_id, floor((value -
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+        |    / count(value) OVER w) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type, dayofyear(ts))""".stripMargin,
 
     "scale_minmax" ->
       """SELECT event_id, floor((

@@ -26,6 +26,20 @@ object MlQueries {
           (col("label") === col("prediction")).as("correct"))
     },
 
+    // A3 on a datacube — the reference's main predict surface: long-format
+    // band cube → pivot to model feature order → predict → cube.
+    "ml_predict_cube" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = MlProcesses.mlFit(
+        MlProcesses.mlmClassRandomForest(numTrees = 20), emb)
+      val cube = graft.cube.DataCube(emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("_pos", "value")))
+        .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+          col("value").cast("double").as("value")))
+      MlProcesses.mlPredictCube(model, cube)
+        .df.select(col("vec_id"), col("value").as("prediction"))
+    },
+
     // A4–A5: fit → save (MLlib writer + mlm.json sidecar) → load (with
     // metadata validation) → predict; output includes the reloaded
     // metadata so the roundtrip is visible in the result.

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+/** The SQL surface of the native expressions must agree exactly with the
+  * Column API (same Expression class underneath). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("cosine_sim / dot_product register and match the Column API bitwise") {
+    GraftExtensions.install(spark)
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    emb.createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |  cosine_sim(a.embedding, b.embedding) AS c,
+        |  dot_product(a.embedding, b.embedding) AS dp
+        |FROM ext_emb a JOIN ext_emb b ON a.vec_id < b.vec_id""".stripMargin)
+    val viaCol = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("qa"), col("b.vec_id").as("qb"),
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"),
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")).as("dp"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("sql plan with cosine_sim stays in whole-stage codegen") {
+    GraftExtensions.install(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("ext_emb2")
+    val plan = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) FROM ext_emb2")
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [cosinesimilarity"),
+      s"no codegen span in:\n$plan")
+  }
+}

@@ -62,6 +62,33 @@ class MlSpec extends SparkSpec {
       "reloaded model must predict identically")
   }
 
+  test("cube predict equals vector predict (band pivot roundtrip)") {
+    import org.apache.spark.sql.functions.posexplode
+    val cube = graft.cube.DataCube(emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        col("value").cast("double").as("value")))
+    val viaCube = model.predictCube(cube).df
+      .select(col("vec_id"), col("value").cast("int").as("p"))
+    val direct = MlProcesses.mlPredict(model, emb)
+      .select(col("vec_id"), col("prediction").as("p"))
+    assert(viaCube.exceptAll(direct).isEmpty && direct.exceptAll(viaCube).isEmpty,
+      "cube-predict must equal vector-predict")
+  }
+
+  test("cube predict fails fast on a missing band") {
+    import org.apache.spark.sql.functions.posexplode
+    val partial = graft.cube.DataCube(emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .filter(col("_pos") =!= 7)
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        col("value").cast("double").as("value")))
+    val ex = intercept[Exception] {
+      model.predictCube(partial).df.collect()
+    }
+    assert(ex.getMessage.contains("missing one of bands") || ex.getCause != null)
+  }
+
   test("predict rejects wrong feature width at execution time") {
     val bad = emb.withColumn("embedding",
       slice(col("embedding"), 1, 10))
