@@ -140,6 +140,87 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       .agg(Reducers(reducer)(v).as(valueCol), count(lit(1)).as("n_cells"))
   }
 
+  /** openEO `aggregate_temporal`: reduce over explicit (possibly
+    * overlapping) intervals, each labeled. A broadcast range-join labels
+    * every cell map-side (a cell in k intervals contributes to k groups,
+    * matching openEO overlap semantics), then one groupBy on
+    * (label, other dims).
+    */
+  def aggregateTemporal(intervals: Seq[(String, String, String)],
+                        reducer: String): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val iv = broadcast(intervals.toDF("_lo", "_hi", "_label")
+      .select(col("_lo").cast("timestamp").as("_lo"),
+        col("_hi").cast("timestamp").as("_hi"), col("_label")))
+    val keep = dims.filterNot(_ == t)
+    copy(df = df
+      .join(iv, col(t) >= col("_lo") && col(t) < col("_hi"))
+      .groupBy((col("_label") +: keep.map(col)): _*)
+      .agg(Reducers(reducer)(v).as(valueCol))
+      .withColumnRenamed("_label", t))
+  }
+
+  // ---- dimension manipulation ---------------------------------------------
+
+  /** openEO `add_dimension`: new dimension with a single label. */
+  def addDimension(name: String, label: String): DataCube = {
+    require(!dims.contains(name), s"add_dimension: $name exists")
+    copy(df = df.withColumn(name, lit(label)))
+  }
+
+  /** openEO `drop_dimension`: remove a dimension that has exactly one
+    * label; more than one label is an error
+    * (DimensionLabelCountMismatch). The check is a cheap single-column
+    * pre-pass (column-pruned scan), mirroring the reference's eager
+    * validation. */
+  def dropDimension(name: String): DataCube = {
+    val resolved = DimAliases.alternative(dims, name).getOrElse(
+      throw new DimensionMissing(s"drop_dimension: no dimension $name"))
+    val n = df.select(col(resolved)).distinct().limit(2).count()
+    require(n <= 1,
+      s"drop_dimension: $resolved has more than one label")
+    copy(df = df.drop(resolved))
+  }
+
+  /** openEO `rename_dimension`. */
+  def renameDimension(from: String, to: String): DataCube = {
+    val resolved = DimAliases.alternative(dims, from).getOrElse(
+      throw new DimensionMissing(s"rename_dimension: no dimension $from"))
+    require(!dims.contains(to), s"rename_dimension: $to exists")
+    copy(df = df.withColumnRenamed(resolved, to))
+  }
+
+  /** openEO `rename_labels` on one dimension. */
+  def renameLabels(dim: String, mapping: Map[String, String]): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"rename_labels: no dimension $dim"))
+    val c = col(resolved)
+    val renamed = mapping.foldLeft(when(lit(false), c)) {
+      case (acc, (from, to)) => acc.when(c === from, lit(to))
+    }.otherwise(c)
+    copy(df = df.withColumn(resolved, renamed))
+  }
+
+  /** openEO `dimension_labels`: distinct labels of a dimension, sorted. */
+  def dimensionLabels(dim: String): DataFrame = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"dimension_labels: no dimension $dim"))
+    df.select(col(resolved).as("label")).distinct().orderBy("label")
+  }
+
+  /** openEO `trim_cube` analog along one dimension: drop labels whose
+    * cells are all null. Aggregation pass to find live labels (broadcast
+    * back), then a semi-join — no row explosion. */
+  def trimLabels(dim: String): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"trim_cube: no dimension $dim"))
+    val live = broadcast(df.groupBy(col(resolved))
+      .agg(count(v).as("_n")).filter(col("_n") > 0).drop("_n"))
+    copy(df = df.join(live, Seq(resolved), "left_semi"))
+  }
+
   // ---- filters ------------------------------------------------------------
 
   /** openEO `filter_temporal`: [from, to) on the time dimension. Plain
@@ -390,6 +471,64 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     import graft.core.Exact
     copy(df = df.withColumn(valueCol,
       v - Exact.esumOver(v, w) / count(v).over(w)))
+  }
+
+  // ---- curve fitting ------------------------------------------------------
+
+  /** openEO `fit_curve` for a degree-2 polynomial v ≈ c0 + c1·t + c2·t²,
+    * fit independently per series (the reference delegates to scipy per
+    * pixel; here the least-squares solution is CLOSED FORM — one
+    * aggregation computes the Gram sums Σtᵏ, Σtᵏv and Cramer's rule solves
+    * the 3×3 normal equations as column arithmetic). Pure partial-agg
+    * shuffle: scales with series count, no per-series iteration anywhere.
+    *
+    * `t` is the time coordinate in DAYS since `epoch` (keeps the Gram
+    * matrix well-conditioned; exact integer µs → double division by 86 400e6).
+    * Returns one row per series: seriesDims + c0, c1, c2.
+    */
+  def fitCurveQuadratic(seriesDims: Seq[String], epoch: String): DataFrame = {
+    val t = requireDim(timeDim, "temporal")
+    import graft.core.Exact
+    val td = (unix_micros(col(t)) -
+      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val pre = df.filter(v.isNotNull).select(
+      (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
+    val g = pre.groupBy(seriesDims.map(col): _*).agg(
+      count(lit(1)).cast("double").as("s0"),
+      Exact.esum(col("_t")).as("s1"),
+      Exact.esum(col("_t") * col("_t")).as("s2"),
+      Exact.esum(col("_t") * col("_t") * col("_t")).as("s3"),
+      Exact.esum(col("_t") * col("_t") * col("_t") * col("_t")).as("s4"),
+      Exact.esum(col("_v")).as("sy"),
+      Exact.esum(col("_t") * col("_v")).as("sty"),
+      Exact.esum(col("_t") * col("_t") * col("_v")).as("st2y"))
+    // Cramer's rule on [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]] · c = [sy,sty,st2y]
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column, f: Column,
+             gg: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * gg) + c * (d * h - e * gg)
+    val (s0, s1, s2, s3, s4) =
+      (col("s0"), col("s1"), col("s2"), col("s3"), col("s4"))
+    val (sy, sty, st2y) = (col("sy"), col("sty"), col("st2y"))
+    val dd = det3(s0, s1, s2, s1, s2, s3, s2, s3, s4)
+    val d0 = det3(sy, s1, s2, sty, s2, s3, st2y, s3, s4)
+    val d1 = det3(s0, sy, s2, s1, sty, s3, s2, st2y, s4)
+    val d2 = det3(s0, s1, sy, s1, s2, sty, s2, s3, st2y)
+    g.select((seriesDims.map(col) :+ (d0 / dd).as("c0")
+      :+ (d1 / dd).as("c1") :+ (d2 / dd).as("c2")): _*)
+  }
+
+  /** openEO `predict_curve`: evaluate fitted per-series coefficients at the
+    * cube's own timestamps (broadcast join on the series key). */
+  def predictCurveQuadratic(coefs: DataFrame, seriesDims: Seq[String],
+                            epoch: String): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val td = (unix_micros(col(t)) -
+      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val joined = df.join(broadcast(coefs), seriesDims)
+    copy(df = joined
+      .withColumn(valueCol,
+        col("c0") + col("c1") * td + col("c2") * td * td)
+      .drop("c0", "c1", "c2"))
   }
 
   // ---- value scaling (STAC-MLM ValueScaling, scaling_utils.py:63) ---------

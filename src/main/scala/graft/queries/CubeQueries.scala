@@ -143,6 +143,45 @@ object CubeQueries {
         .df.select(col("user_id"), col("time"), Exact.rnd4(col("value")).as("value"))
     },
 
+    "cube_dimension_ops" -> { (s, d) =>
+      gridCube(s, d)
+        .addDimension("sensor", "s1")
+        .renameDimension("band", "channel")
+        .renameLabels("channel", Map("N" -> "n", "R" -> "r", "A" -> "a"))
+        .df.select(col("x"), col("y"), col("channel"), col("sensor"),
+          col("value"))
+    },
+
+    "cube_agg_temporal_intervals" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.aggregateTemporal(Seq(
+          ("2024-01-01", "2024-01-08", "p1"),
+          ("2024-01-08", "2024-01-20", "p2"),
+          ("2024-01-15", "2024-02-01", "p3")), // overlapping on purpose
+          "sum")
+        .df.select(col("time"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_fit_curve" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("user_id"), col("ts").as("time"), col("value")))
+      c.fitCurveQuadratic(Seq("user_id"), epoch = "2024-01-01")
+        .select(col("user_id"), Exact.rnd4(col("c0")).as("c0"),
+          Exact.rnd4(col("c1")).as("c1"), Exact.rnd4(col("c2")).as("c2"))
+    },
+
+    "cube_predict_curve" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("ts").as("time"), col("value")))
+      val coefs = DataCube(Tables.events(s, d).select(
+        col("user_id"), col("ts").as("time"), col("value")))
+        .fitCurveQuadratic(Seq("user_id"), epoch = "2024-01-01")
+      c.predictCurveQuadratic(coefs, Seq("user_id"), epoch = "2024-01-01")
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
     "cube_kernel" -> { (s, d) =>
       // 3×3 binomial kernel, x/16 weights are binary-exact
       val k = Seq(Seq(1, 2, 1), Seq(2, 4, 2), Seq(1, 2, 1))
@@ -178,6 +217,39 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     }
   )
+
+  /** Mirror of DataCube.fitCurveQuadratic: Gram sums with exact decimal
+    * aggregation, Cramer's rule spelled with the same operation order. */
+  private def det3Sql(a: String, b: String, c: String, d: String, e: String,
+                      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
+  private val fitCurveSql: String = {
+    val dd = det3Sql("s0", "s1", "s2", "s1", "s2", "s3", "s2", "s3", "s4")
+    val d0 = det3Sql("sy", "s1", "s2", "sty", "s2", "s3", "st2y", "s3", "s4")
+    val d1 = det3Sql("s0", "sy", "s2", "s1", "sty", "s3", "s2", "st2y", "s4")
+    val d2 = det3Sql("s0", "s1", "sy", "s1", "s2", "sty", "s2", "s3", "st2y")
+    s"""td AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+      |      / 86400000000.0 AS t,
+      |    value AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT user_id,
+      |    CAST(count(*) AS DOUBLE) AS s0,
+      |    CAST(sum(CAST(t AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(t * t AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(t * t * t AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+      |    CAST(sum(CAST(t * t * t * t AS DECIMAL(38,10))) AS DOUBLE) AS s4,
+      |    CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(t * v AS DECIMAL(38,10))) AS DOUBLE) AS sty,
+      |    CAST(sum(CAST(t * t * v AS DECIMAL(38,10))) AS DOUBLE) AS st2y
+      |  FROM td GROUP BY 1),
+      |coefs AS (
+      |  SELECT user_id, $d0 / $dd AS c0, $d1 / $dd AS c1, $d2 / $dd AS c2
+      |  FROM g)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -316,6 +388,40 @@ object CubeQueries {
         |    WHEN epoch_us(time) - pt <= nt - epoch_us(time) THEN pv
         |    ELSE nv END) * 10000 + 0.5) / 10000.0 AS value
         |FROM w WHERE tag = 1""".stripMargin,
+
+    "cube_dimension_ops" ->
+      s"""WITH $gridCubeSql
+        |SELECT x, y,
+        |  CASE band WHEN 'N' THEN 'n' WHEN 'R' THEN 'r' WHEN 'A' THEN 'a'
+        |       ELSE band END AS channel,
+        |  's1' AS sensor, value
+        |FROM cube""".stripMargin,
+
+    "cube_agg_temporal_intervals" ->
+      """WITH iv(lo, hi, label) AS (VALUES
+        |  (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', 'p1'),
+        |  (TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-20', 'p2'),
+        |  (TIMESTAMP '2024-01-15', TIMESTAMP '2024-02-01', 'p3'))
+        |SELECT label AS time, event_type AS band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events JOIN iv ON ts >= lo AND ts < hi
+        |GROUP BY 1, 2""".stripMargin,
+
+    "cube_fit_curve" ->
+      s"""WITH $fitCurveSql
+        |SELECT user_id,
+        |  floor((c0) * 10000 + 0.5) / 10000.0 AS c0,
+        |  floor((c1) * 10000 + 0.5) / 10000.0 AS c1,
+        |  floor((c2) * 10000 + 0.5) / 10000.0 AS c2
+        |FROM coefs""".stripMargin,
+
+    "cube_predict_curve" ->
+      s"""WITH $fitCurveSql
+        |SELECT event_id, floor((c0 + c1 * (CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE) / 86400000000.0)
+        |  + c2 * (CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE) / 86400000000.0)
+        |       * (CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE) / 86400000000.0))
+        |  * 10000 + 0.5) / 10000.0 AS value
+        |FROM events JOIN coefs USING (user_id)""".stripMargin,
 
     "cube_kernel" ->
       s"""WITH $gridCubeSql,

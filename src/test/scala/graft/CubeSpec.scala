@@ -52,6 +52,54 @@ class CubeSpec extends SparkSpec {
     assert(got.toSeq == Seq("B04_10m", "b08"))
   }
 
+  test("fit_curve recovers exact polynomial coefficients") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v = 2 + 0.5 t - 0.25 t²  sampled on 20 days, two series
+    val rows = for (u <- Seq(1L, 2L); day <- 0 until 20) yield {
+      val t = day.toDouble
+      val shift = if (u == 1) 0.0 else 1.0
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00"),
+        2.0 + shift + 0.5 * t - 0.25 * t * t)
+    }
+    val cube = DataCube(rows.toDF("user_id", "time", "value"))
+    val coefs = cube.fitCurveQuadratic(Seq("user_id"), epoch = "2024-01-01")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (c0, c1, c2) = coefs(1L)
+    assert(math.abs(c0 - 2.0) < 1e-6 && math.abs(c1 - 0.5) < 1e-6 &&
+      math.abs(c2 + 0.25) < 1e-6, s"got $c0 $c1 $c2")
+    assert(math.abs(coefs(2L)._1 - 3.0) < 1e-6)
+    // predict at the sample points reproduces the samples
+    val back = cube.predictCurveQuadratic(
+      cube.fitCurveQuadratic(Seq("user_id"), "2024-01-01"),
+      Seq("user_id"), "2024-01-01")
+    val maxErr = back.df.join(cube.df.withColumnRenamed("value", "orig"),
+        Seq("user_id", "time"))
+      .agg(max(abs(col("value") - col("orig")))).first().getDouble(0)
+    assert(maxErr < 1e-6, s"max predict error $maxErr")
+  }
+
+  test("dimension ops: drop requires single label; add rejects dupes") {
+    import spark.implicits._
+    val cube = DataCube(Seq(("a", 1L, 1.0), ("b", 2L, 2.0))
+      .toDF("band", "x", "value"))
+    intercept[IllegalArgumentException] { cube.dropDimension("band") }
+    intercept[IllegalArgumentException] { cube.addDimension("x", "1") }
+    val single = DataCube(Seq(("a", 1L, 1.0), ("a", 2L, 2.0))
+      .toDF("band", "x", "value"))
+    assert(single.dropDimension("band").dims == Seq("x"))
+    assert(cube.dimensionLabels("band").collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b"))
+    val trimmed = DataCube(Seq(("a", 1.0), ("b", Double.NaN))
+      .toDF("band", "value")
+      .withColumn("value", when(col("band") === "b",
+        lit(null).cast("double")).otherwise(col("value"))))
+      .trimLabels("band")
+    assert(trimmed.df.select("band").collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+  }
+
   test("product reducer: zeros and negative parity (advice follow-up)") {
     import spark.implicits._
     val df = Seq(("a", 2.0), ("a", -3.0), ("b", 2.0), ("b", -3.0), ("b", -4.0),
