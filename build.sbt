@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked JVM's stdout/stderr through unprefixed: the driver
+// parses Bench's single stdout JSON line, and sbt's default LoggedOutput
+// would wrap it as "[info] {...}" which no json parser accepts.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,6 +37,13 @@ object Reducers {
         .otherwise(
           pow(lit(-1.0), pmod(sum(when(c < 0, 1).otherwise(0)), lit(2)))
             * exp(sum(log(abs(nullif(c, lit(0)))))))
+    // openEO quantiles with linear interpolation between order statistics —
+    // Spark `percentile` is the exact (sort-based) variant and matches
+    // DuckDB's quantile_cont formula.
+    case q if q.startsWith("quantile:") =>
+      val p = q.stripPrefix("quantile:").toDouble
+      require(p >= 0 && p <= 1, s"quantile probability out of range: $p")
+      c => percentile(c, lit(p))
     case other => throw new IllegalArgumentException(s"Unknown reducer: $other")
   }
 
@@ -100,13 +107,63 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
 
   // ---- reduce / aggregate -------------------------------------------------
 
-  /** openEO `reduce_dimension`: drop `dim`, reducing values over it. */
-  def reduceDimension(dim: String, reducer: String): DataCube = {
+  /** openEO `reduce_dimension`: drop `dim`, reducing values over it.
+    *
+    * `first`/`last` reducers are order-along-the-reduced-dimension semantics
+    * (openEO arrays first/last): implemented as a row_number window with a
+    * full deterministic tie-break (dim value, then cell value) — min_by
+    * would be nondeterministic on duplicate labels.
+    */
+  def reduceDimension(dim: String, reducer: String,
+                      tieBreak: Seq[String] = Nil): DataCube = {
     val resolved = DimAliases.alternative(dims, dim).getOrElse(
       throw new DimensionMissing(s"reduce_dimension: no dimension $dim"))
     val keep = dims.filterNot(_ == resolved)
+    reducer.toLowerCase match {
+      case f @ ("first" | "last") =>
+        val ordCols = (col(resolved) +: tieBreak.map(col)) :+ v
+        val ord = if (f == "first") ordCols.map(_.asc_nulls_first)
+                  else ordCols.map(_.desc_nulls_last)
+        val w = Window.partitionBy(keep.map(col): _*).orderBy(ord: _*)
+        copy(df = df.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select((keep.map(col) :+ v): _*))
+      case _ =>
+        copy(df = df.groupBy(keep.map(col): _*)
+          .agg(Reducers(reducer)(v).as(valueCol)))
+    }
+  }
+
+  /** openEO `reduce_spatial`: reduce over both spatial dimensions at once. */
+  def reduceSpatial(reducer: String): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val keep = dims.filterNot(d => d == xd || d == yd)
     copy(df = df.groupBy(keep.map(col): _*)
       .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
+  /** openEO `quantiles` over one dimension: exact linear-interpolated
+    * percentiles (Spark `percentile`, matching DuckDB quantile_cont), one
+    * output column per probability. Single aggregation pass; at scale the
+    * sort cost is per-group, bounded by series length.
+    */
+  def quantiles(dim: String, probs: Seq[Double]): DataFrame = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"quantiles: no dimension $dim"))
+    val keep = dims.filterNot(_ == resolved)
+    val aggs = probs.map(p =>
+      percentile(v, lit(p)).as(s"q_${p.toString.replace('.', '_')}"))
+    df.groupBy(keep.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** openEO `extrema` over one dimension: (min, max) in one pass. */
+  def extrema(dim: String): DataFrame = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"extrema: no dimension $dim"))
+    val keep = dims.filterNot(_ == resolved)
+    df.groupBy(keep.map(col): _*)
+      .agg(min(v).as("vmin"), max(v).as("vmax"))
   }
 
   /** openEO `aggregate_temporal_period`: truncate the time dimension to
@@ -251,6 +308,48 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
   /** openEO `filter_labels`: arbitrary predicate on one dimension. */
   def filterLabels(dim: String, pred: Column => Column): DataCube =
     copy(df = df.filter(pred(col(dim))))
+
+  /** Even-odd ray-casting point-in-polygon test as pure column arithmetic
+    * (one term per edge, all inside whole-stage codegen — no UDF, no
+    * geometry library). The analog of the reference's rasterize step
+    * (overrides/aggregate.py:105): the polygon becomes a per-cell boolean.
+    */
+  private def insidePolygon(polygon: Seq[(Double, Double)],
+                            px: Column, py: Column): Column = {
+    require(polygon.size >= 3, "polygon needs at least 3 vertices")
+    val edges = polygon.zip(polygon.tail :+ polygon.head)
+    val crossings = edges.map { case ((x1, y1), (x2, y2)) =>
+      if (y1 == y2) lit(0) // horizontal edge never crosses a horizontal ray
+      else when(
+        (lit(y1) > py) =!= (lit(y2) > py) &&
+          px < (lit(x2) - lit(x1)) * (py - lit(y1)) / (lit(y2) - lit(y1)) + lit(x1),
+        1).otherwise(0)
+    }
+    pmod(crossings.reduce(_ + _), lit(2)) === 1
+  }
+
+  /** openEO `mask_polygon`: replace cells whose center falls outside the
+    * polygon (or inside, with `maskInside=true`). Map-side only. */
+  def maskPolygon(polygon: Seq[(Double, Double)],
+                  replacement: Option[Double] = None,
+                  maskInside: Boolean = false): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val in = insidePolygon(polygon, col(xd).cast("double"), col(yd).cast("double"))
+    val masked = if (maskInside) in else !in
+    val repl: Column = replacement.map(lit(_).cast("double"))
+      .getOrElse(lit(null).cast("double"))
+    copy(df = df.withColumn(valueCol, when(masked, repl).otherwise(v)))
+  }
+
+  /** openEO `filter_spatial`: keep only cells inside the polygon — unlike
+    * mask_polygon this drops the rows, so downstream operators scan less. */
+  def filterSpatial(polygon: Seq[(Double, Double)]): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    copy(df = df.filter(
+      insidePolygon(polygon, col(xd).cast("double"), col(yd).cast("double"))))
+  }
 
   // ---- merge / mask -------------------------------------------------------
 
@@ -441,6 +540,36 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       .agg(graft.core.Exact.esum(v).as(valueCol)))
   }
 
+  /** openEO `apply_neighborhood` for a (2rx+1)×(2ry+1) spatial window and a
+    * named reducer (mean/median/min/max/…): every output cell is the reducer
+    * over its neighborhood.
+    *
+    * Same scatter formulation as apply_kernel — each input cell emits its
+    * value to the neighbors' output coordinates (map-side explode), then one
+    * groupBy reduces. Unlike the kernel path the contributions are unweighted
+    * raw values, so ANY reducer works, including order statistics. Shuffle
+    * volume is window_area × |cells| keyed by output cell; at 100 TB prefer
+    * apply_kernel when the operation is linear (weights fold into the sum).
+    */
+  def applyNeighborhood(rx: Int, ry: Int, reducer: String,
+                        xRange: (Int, Int), yRange: (Int, Int)): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val offs = for { dx <- -rx to rx; dy <- -ry to ry }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val keep = dims.filterNot(d => d == xd || d == yd)
+    val exploded = df.select(
+        (keep.map(col) :+ col(xd) :+ col(yd) :+ v :+
+          explode(array(offs: _*)).as("k")): _*)
+      .select((keep.map(col) :+ (col(xd) + col("k.dx")).as(xd)
+        :+ (col(yd) + col("k.dy")).as(yd) :+ v): _*)
+      .filter(col(xd) >= xRange._1 && col(xd) <= xRange._2 &&
+        col(yd) >= yRange._1 && col(yd) <= yRange._2)
+    copy(df = exploded
+      .groupBy((keep.map(col) :+ col(xd) :+ col(yd)): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
   /** openEO `resample_spatial` (downscale by an integer factor): bucket the
     * spatial coordinates and reduce. One aggregation, output is 1/factor²
     * of the input — the standard pyramid step. */
@@ -451,6 +580,49 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       .withColumn(xd, floor(col(xd) / factor).cast("long"))
       .withColumn(yd, floor(col(yd) / factor).cast("long"))
     copy(df = bucketed.groupBy(dims.map(col): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)))
+  }
+
+  /** openEO `resample_cube_spatial`: re-grid this cube onto the target
+    * cube's spatial axes (nearest-cell assignment via midpoint boundaries),
+    * reducing cells that land on the same target cell.
+    *
+    * Target axis labels are collected to the driver — for a raster grid the
+    * axis is O(width), thousands of labels even at 100 TB (the cube is
+    * width × height × bands × time, the axis is not) — then broadcast as
+    * per-axis [lo, hi) bucket ranges. Source cells map via a broadcast range
+    * join (map-side), followed by one reduce shuffle.
+    */
+  def resampleCubeSpatial(target: DataCube, reducer: String = "mean"): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val txd = target.requireDim(target.xDim, "x")
+    val tyd = target.requireDim(target.yDim, "y")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def axisRanges(labels: Seq[Double]): Seq[(Double, Double, Double)] = {
+      val s = labels.sorted
+      val mids = s.zip(s.tail).map { case (a, b) => (a + b) / 2 }
+      val los = Double.MinValue +: mids
+      val his = mids :+ Double.MaxValue
+      s.lazyZip(los).lazyZip(his).toSeq
+    }
+    def axisDf(tcol: String, out: String): DataFrame = {
+      val labels = target.df.select(col(tcol).cast("double"))
+        .distinct().as[Double].collect().toSeq
+      axisRanges(labels).toDF(out, s"_lo_$out", s"_hi_$out")
+    }
+    val xr = axisDf(txd, "_tx")
+    val yr = axisDf(tyd, "_ty")
+    val keep = dims.filterNot(d => d == xd || d == yd)
+    val snapped = df
+      .join(broadcast(xr), col(xd).cast("double") >= col("_lo__tx") &&
+        col(xd).cast("double") < col("_hi__tx"))
+      .join(broadcast(yr), col(yd).cast("double") >= col("_lo__ty") &&
+        col(yd).cast("double") < col("_hi__ty"))
+    copy(df = snapped
+      .groupBy((keep.map(col) :+ col("_tx").as(xd) :+ col("_ty").as(yd)): _*)
       .agg(Reducers(reducer)(v).as(valueCol)))
   }
 
@@ -560,6 +732,41 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     }
     copy(df = df.withColumn(valueCol, f(w)))
   }
+
+  /** openEO `flatten_dimensions`: combine several dimensions into one whose
+    * labels are the joined source labels. Pure projection (no shuffle). */
+  def flattenDimensions(srcDims: Seq[String], target: String,
+                        sep: String = "~"): DataCube = {
+    val resolved = srcDims.map(d => DimAliases.alternative(dims, d).getOrElse(
+      throw new DimensionMissing(s"flatten_dimensions: no dimension $d")))
+    require(!dims.diff(resolved).contains(target),
+      s"flatten_dimensions: $target exists")
+    val keep = dims.diff(resolved)
+    copy(df = df.select((keep.map(col)
+      :+ concat_ws(sep, resolved.map(c => col(c).cast("string")): _*).as(target)
+      :+ v): _*))
+  }
+
+  /** openEO `unflatten_dimension`: split a flattened dimension back into
+    * component dimensions (string labels). Pure projection. */
+  def unflattenDimension(dim: String, targets: Seq[String],
+                         sep: String = "~"): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"unflatten_dimension: no dimension $dim"))
+    val keep = dims.filterNot(_ == resolved)
+    val parts = split(col(resolved), java.util.regex.Pattern.quote(sep))
+    val comps = targets.zipWithIndex.map { case (t, i) => parts(i).as(t) }
+    copy(df = df.select((keep.map(col) ++ comps :+ v): _*))
+  }
+
+  /** openEO `linear_scale_range`: clip to [inMin, inMax], then map linearly
+    * onto [outMin, outMax]. Pure column arithmetic. */
+  def linearScaleRange(inMin: Double, inMax: Double,
+                       outMin: Double = 0.0, outMax: Double = 1.0): DataCube =
+    applyUnary { c =>
+      (least(greatest(c, lit(inMin)), lit(inMax)) - lit(inMin)) /
+        (lit(inMax) - lit(inMin)) * (lit(outMax) - lit(outMin)) + lit(outMin)
+    }
 
   def clip(minV: Option[Double], maxV: Option[Double]): DataCube = applyUnary { c =>
     val lo = minV.map(m => greatest(c, lit(m))).getOrElse(c)

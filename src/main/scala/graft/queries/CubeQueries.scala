@@ -33,6 +33,23 @@ object CubeQueries {
       .groupBy("x", "y", "band")
       .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
 
+  /** Integer-vertex diamond (rotated square) used by the polygon ops. */
+  private val diamond: Seq[(Double, Double)] =
+    Seq((32.0, 2.0), (62.0, 32.0), (32.0, 62.0), (2.0, 32.0))
+
+  /** SQL mirror of DataCube.insidePolygon: identical edge terms and operand
+    * order, so both engines compute bit-identical doubles. */
+  private def insideSql(poly: Seq[(Double, Double)],
+                        px: String, py: String): String = {
+    val edges = poly.zip(poly.tail :+ poly.head)
+    val terms = edges.collect { case ((x1, y1), (x2, y2)) if y1 != y2 =>
+      s"""(CASE WHEN ($y1 > $py) <> ($y2 > $py)
+         | AND $px < ($x2 - $x1) * ($py - $y1) / ($y2 - $y1) + $x1
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", "")
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   private val gridCubeSql =
     """cube AS (
       |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
@@ -199,6 +216,80 @@ object CubeQueries {
 
     "cube_anomaly" -> { (s, d) =>
       eventsCube(s, d).anomaly("dayofyear")
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_mask_polygon" -> { (s, d) =>
+      gridCube(s, d).maskPolygon(diamond)
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_filter_spatial" -> { (s, d) =>
+      gridCube(s, d).filterSpatial(diamond)
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_neighborhood" -> { (s, d) =>
+      gridCube(s, d).applyNeighborhood(1, 1, "median", (0, 63), (0, 63))
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_reduce_spatial" -> { (s, d) =>
+      gridCube(s, d).reduceSpatial("sum")
+        .df.select(col("band"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_quantiles" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("user_id"), col("value")))
+      c.quantiles("t", Seq(0.25, 0.5, 0.75))
+        .select(col("band"), col("user_id"),
+          Exact.rnd4(col("q_0_25")).as("q25"),
+          Exact.rnd4(col("q_0_5")).as("q50"),
+          Exact.rnd4(col("q_0_75")).as("q75"))
+    },
+
+    "cube_extrema" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.extrema("t")
+        .select(col("band"), Exact.rnd4(col("vmin")).as("vmin"),
+          Exact.rnd4(col("vmax")).as("vmax"))
+    },
+
+    "cube_first_last" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("user_id"), col("value")))
+      c.reduceDimension("t", "last")
+        .df.select(col("band"), col("user_id"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_flatten_dims" -> { (s, d) =>
+      gridCube(s, d)
+        .flattenDimensions(Seq("x", "y"), "cell", "_")
+        .unflattenDimension("cell", Seq("xs", "ys"), "_")
+        .df.select(col("xs"), col("ys"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_resample_grid" -> { (s, d) =>
+      val target = DataCube(s.range(22).select((col("id") * 3).as("x"))
+        .crossJoin(s.range(22).select((col("id") * 3).as("y")))
+        .withColumn("value", lit(0.0)))
+      gridCube(s, d).resampleCubeSpatial(target, "mean")
+        .df.select(col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "scale_linear_range" -> { (s, d) =>
+      eventsCube(s, d).linearScaleRange(0.1, 0.9, -1.0, 1.0)
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
@@ -450,6 +541,81 @@ object CubeQueries {
         |    / count(value) OVER w) * 10000 + 0.5) / 10000.0 AS value
         |FROM events
         |WINDOW w AS (PARTITION BY event_type, dayofyear(ts))""".stripMargin,
+
+    "cube_mask_polygon" -> {
+      val inside = insideSql(diamond, "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      s"""WITH $gridCubeSql
+        |SELECT x, y, band,
+        |  CASE WHEN NOT $inside THEN NULL
+        |       ELSE floor((value) * 10000 + 0.5) / 10000.0 END AS value
+        |FROM cube""".stripMargin
+    },
+
+    "cube_filter_spatial" -> {
+      val inside = insideSql(diamond, "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      s"""WITH $gridCubeSql
+        |SELECT x, y, band, floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube WHERE $inside""".stripMargin
+    },
+
+    "cube_neighborhood" ->
+      s"""WITH $gridCubeSql,
+        |offs(dx, dy) AS (VALUES
+        |  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+        |SELECT cube.x + dx AS x, cube.y + dy AS y, band,
+        |  floor((median(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube CROSS JOIN offs
+        |WHERE cube.x + dx BETWEEN 0 AND 63 AND cube.y + dy BETWEEN 0 AND 63
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "cube_reduce_spatial" ->
+      s"""WITH $gridCubeSql
+        |SELECT band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube GROUP BY 1""".stripMargin,
+
+    "cube_quantiles" ->
+      """SELECT event_type AS band, user_id,
+        |  floor((quantile_cont(value, 0.25)) * 10000 + 0.5) / 10000.0 AS q25,
+        |  floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0 AS q50,
+        |  floor((quantile_cont(value, 0.75)) * 10000 + 0.5) / 10000.0 AS q75
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cube_extrema" ->
+      """SELECT event_type AS band,
+        |  floor((min(value)) * 10000 + 0.5) / 10000.0 AS vmin,
+        |  floor((max(value)) * 10000 + 0.5) / 10000.0 AS vmax
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "cube_first_last" ->
+      """WITH r AS (
+        |  SELECT event_type AS band, user_id, value,
+        |    row_number() OVER (PARTITION BY event_type, user_id
+        |      ORDER BY ts DESC NULLS LAST, value DESC NULLS LAST) AS rn
+        |  FROM events)
+        |SELECT band, user_id, floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "cube_flatten_dims" ->
+      s"""WITH $gridCubeSql
+        |SELECT CAST(x AS VARCHAR) AS xs, CAST(y AS VARCHAR) AS ys, band,
+        |  floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube""".stripMargin,
+
+    "cube_resample_grid" ->
+      s"""WITH $gridCubeSql
+        |SELECT 3 * CAST(floor(CAST(x AS DOUBLE) / 3 + 0.5) AS BIGINT) AS x,
+        |       3 * CAST(floor(CAST(y AS DOUBLE) / 3 + 0.5) AS BIGINT) AS y,
+        |       band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |        / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube GROUP BY 1, 2, 3""".stripMargin,
+
+    "scale_linear_range" ->
+      """SELECT event_id, floor((
+        |  (least(greatest(value, 0.1), 0.9) - 0.1) / (0.9 - 0.1)
+        |    * (1.0 - (-1.0)) + (-1.0)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events""".stripMargin,
 
     "scale_minmax" ->
       """SELECT event_id, floor((
