@@ -55,9 +55,31 @@ object MlQueries {
         .select(col("vec_id"), col("prediction"),
           lit(loaded.spec.name).as("model_name"),
           lit(loaded.spec.pretrained).as("pretrained"))
+    },
+
+    // ml_datacube_bridge: ViT patch embeddings → spatial featuremap. Model
+    // each 17 consecutive vec_ids as one sample (1 CLS token + 16 patches
+    // on a 4×4 raster); drop the CLS, reindex, raster-place. The embedding
+    // array passes through untouched → bit-identical to the oracle.
+    "ml_vit_bridge" -> { (s, d) =>
+      val patches = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 493) // 29 complete 17-patch samples
+        .select((col("vec_id") / 17).cast("long").as("sample"),
+          pmod(col("vec_id"), lit(17)).cast("int").as("patch"),
+          col("embedding"))
+      graft.ml.VitBridge.featuremapWithCls(patches, Seq("sample"))
     }
   )
 
-  /** Not SQL-expressible → no oracle entries (driver records rows-only). */
-  val oracle: Map[String, String] = Map.empty
+  /** Training queries are not SQL-expressible (driver records rows-only);
+    * the ViT bridge is pure relational algebra and gets a full oracle. */
+  val oracle: Map[String, String] = Map(
+    "ml_vit_bridge" ->
+      """SELECT vec_id // 17 AS sample,
+        |  CAST((vec_id % 17 - 1) // 4 AS INT) AS py,
+        |  CAST((vec_id % 17 - 1) % 4 AS INT) AS px,
+        |  embedding
+        |FROM embeddings
+        |WHERE vec_id < 493 AND vec_id % 17 > 0""".stripMargin
+  )
 }
