@@ -105,6 +105,108 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     copy(df = df.withColumn(valueCol, Reducers.over(reducer, v, w)))
   }
 
+  /** Rolling reducer along `dim` over a `[-before, +after]` row frame —
+    * `apply_dimension` with a moving window (smoothing / rolling stats).
+    * One window shuffle keyed by the series; the frame is row-based so the
+    * per-partition state is O(width). */
+  def movingAggregate(dim: String, seriesDims: Seq[String],
+                      before: Int, after: Int, reducer: String = "mean",
+                      tieBreak: Seq[String] = Nil): DataCube = {
+    val w = Window.partitionBy(seriesDims.map(col): _*)
+      .orderBy((col(dim) +: tieBreak.map(col)): _*)
+      .rowsBetween(-before, after)
+    copy(df = df.withColumn(valueCol, Reducers.over(reducer, v, w)))
+  }
+
+  /** openEO `sort` along a dimension: values are sorted along `dim`, the
+    * dimension labels keep their order (value at sorted position i lands on
+    * the i-th label). Null values are dropped, the openEO `nodata = null`
+    * default.
+    *
+    * One groupBy shuffle: labels and values are collected per series and
+    * sorted as arrays (series length along one dim is bounded — time steps,
+    * bands — never the 100 TB axis), then re-zipped positionally.
+    */
+  def sortAlongDim(dim: String, ascending: Boolean = true): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"sort: no dimension $dim"))
+    val series = dims.filterNot(_ == resolved)
+    copy(df = df.filter(v.isNotNull)
+      .groupBy(series.map(col): _*)
+      .agg(sort_array(collect_list(col(resolved))).as("_l"),
+           sort_array(collect_list(v), asc = ascending).as("_v"))
+      .select((series.map(col)
+        :+ explode(arrays_zip(col("_l"), col("_v"))).as("_z")): _*)
+      .select((series.map(col)
+        :+ col("_z._l").as(resolved) :+ col("_z._v").as(valueCol)): _*))
+  }
+
+  /** openEO `order` along a dimension: argsort — the value at output
+    * position i becomes the ORIGINAL index (0-based position along `dim`)
+    * of the i-th smallest value. `tieBreak` must make the ordering total
+    * (pass a unique column) or cross-engine results are undefined.
+    * Two row_numbers over the same partition key — one shuffle, the second
+    * window reuses the partitioning. Output dims: series + `position`.
+    */
+  def orderAlongDim(dim: String, seriesDims: Seq[String],
+                    tieBreak: Seq[String] = Nil,
+                    ascending: Boolean = true): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"order: no dimension $dim"))
+    val labOrd = (col(resolved) +: tieBreak.map(col))
+    val valCore = (v +: col(resolved) +: tieBreak.map(col))
+    val valOrd = if (ascending) valCore.map(_.asc) else (v.desc +: labOrd.map(_.asc))
+    val part = Window.partitionBy(seriesDims.map(col): _*)
+    val idx = row_number().over(part.orderBy(labOrd: _*)) - 1
+    val pos = row_number().over(part.orderBy(valOrd: _*)) - 1
+    copy(df = df.withColumn("_idx", idx).withColumn("_pos", pos)
+      .select((seriesDims.map(col)
+        :+ col("_pos").as("position")
+        :+ col("_idx").cast("long").as(valueCol)): _*))
+  }
+
+  /** openEO `rearrange`: permute values along `dim` — the output cell at
+    * position i keeps label i but takes the value from position `perm(i)`.
+    * Same one-groupBy array formulation as sort (the permutation is applied
+    * with `element_at` inside codegen, no self-join). */
+  def rearrange(dim: String, perm: Seq[Int]): DataCube = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"rearrange: no dimension $dim"))
+    val series = dims.filterNot(_ == resolved)
+    val permArr = array(perm.map(p => lit(p)): _*)
+    val sorted = df.groupBy(series.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(resolved).as("l"),
+        v.as("x")))).as("_s"))
+    val out = transform(
+      sequence(lit(0), least(size(col("_s")), lit(perm.size)) - 1),
+      i => struct(
+        element_at(col("_s"), i + 1).getField("l").as("l"),
+        element_at(col("_s"),
+          element_at(permArr, i + 1) + 1).getField("x").as("x")))
+    copy(df = sorted
+      .select((series.map(col) :+ explode(out).as("_z")): _*)
+      .select((series.map(col)
+        :+ col("_z.l").as(resolved) :+ col("_z.x").as(valueCol)): _*))
+  }
+
+  /** openEO `climatological_normal`: reduce the time dimension to the mean
+    * over a climatology period (month / dayofyear / hour). The output cube
+    * swaps `time` for a `period` dimension. Exact decimal mean. */
+  def climatologicalNormal(freq: String = "month"): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val periodCol = freq match {
+      case "month"     => month(col(t))
+      case "dayofyear" => dayofyear(col(t))
+      case "hour"      => hour(col(t))
+      case other =>
+        throw new IllegalArgumentException(s"climatological_normal: $other")
+    }
+    val keep = dims.filterNot(_ == t)
+    copy(df = df
+      .groupBy((keep.map(col) :+ periodCol.as("period")): _*)
+      .agg((graft.core.Exact.esum(v) / count(v)).as(valueCol)))
+  }
+
   // ---- reduce / aggregate -------------------------------------------------
 
   /** openEO `reduce_dimension`: drop `dim`, reducing values over it.

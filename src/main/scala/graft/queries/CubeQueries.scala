@@ -293,6 +293,50 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
+    "cube_sort" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("user_id"), col("value")))
+      c.sortAlongDim("time")
+        .df.select(col("band"), col("user_id"),
+          to_date(col("time")).as("day"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_order" -> { (s, d) =>
+      eventsCube(s, d)
+        .orderAlongDim("time", Seq("band", "user_id"),
+          tieBreak = Seq("event_id"))
+        .df.select(col("band"), col("user_id"),
+          col("position").cast("long").as("position"), col("value"))
+    },
+
+    "cube_rearrange" -> { (s, d) =>
+      // dense 8-label series per band; perm(i) = (3i) mod 8 (a bijection)
+      val c = DataCube(Tables.lineitem(s, d)
+        .select(pmod(col("l_orderkey"), lit(8)).as("x"),
+          col("l_returnflag").as("band"), col("l_quantity"))
+        .groupBy("x", "band")
+        .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
+      c.rearrange("x", (0 until 8).map(i => (3 * i) % 8))
+        .df.select(col("x"), col("band"), col("value"))
+    },
+
+    "cube_normal" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.climatologicalNormal("month")
+        .df.select(col("band"), col("period"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_moving_avg" -> { (s, d) =>
+      eventsCube(s, d)
+        .movingAggregate("time", Seq("band", "user_id"), before = 1,
+          after = 1, reducer = "mean", tieBreak = Seq("event_id"))
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
     "scale_minmax" -> { (s, d) =>
       eventsCube(s, d).scaleMinMax(perDim = Some("band"))
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
@@ -616,6 +660,56 @@ object CubeQueries {
         |  (least(greatest(value, 0.1), 0.9) - 0.1) / (0.9 - 0.1)
         |    * (1.0 - (-1.0)) + (-1.0)) * 10000 + 0.5) / 10000.0 AS value
         |FROM events""".stripMargin,
+
+    // sort: labels keep their order, values are sorted into them. Ties on
+    // value pair ambiguously but produce identical row multisets, so the
+    // sorted-rows hash is stable across engines.
+    "cube_sort" ->
+      """WITH base AS (
+        |  SELECT event_type AS band, user_id, ts, value
+        |  FROM events WHERE value IS NOT NULL),
+        |lab AS (
+        |  SELECT band, user_id, ts, row_number() OVER
+        |    (PARTITION BY band, user_id ORDER BY ts) AS rn FROM base),
+        |v AS (
+        |  SELECT band, user_id, value, row_number() OVER
+        |    (PARTITION BY band, user_id ORDER BY value, ts) AS rn FROM base)
+        |SELECT lab.band, lab.user_id,
+        |  CAST(date_trunc('day', lab.ts) AS DATE) AS day,
+        |  floor(v.value * 10000 + 0.5) / 10000.0 AS value
+        |FROM lab JOIN v ON lab.band = v.band AND lab.user_id = v.user_id
+        |  AND lab.rn = v.rn""".stripMargin,
+
+    "cube_order" ->
+      """SELECT event_type AS band, user_id,
+        |  row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY value, ts, event_id) - 1 AS position,
+        |  row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts, event_id) - 1 AS value
+        |FROM events""".stripMargin,
+
+    // output position i takes the value at source position (3i) mod 8;
+    // 3 is its own inverse mod 8, so source x lands at output (3x) mod 8.
+    "cube_rearrange" ->
+      """WITH cube AS (
+        |  SELECT l_orderkey % 8 AS x, l_returnflag AS band,
+        |    floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT (x * 3) % 8 AS x, band, value FROM cube""".stripMargin,
+
+    "cube_normal" ->
+      """SELECT event_type AS band, month(ts) AS period,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |         / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cube_moving_avg" ->
+      """SELECT event_id, floor((
+        |  CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+        |    / count(value) OVER w) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type, user_id
+        |  ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
 
     "scale_minmax" ->
       """SELECT event_id, floor((

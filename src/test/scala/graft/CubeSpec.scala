@@ -110,4 +110,46 @@ class CubeSpec extends SparkSpec {
     assert(math.abs(got("b") - 24.0) < 1e-9, s"got ${got("b")}")
     assert(got("c") == 0.0)
   }
+
+  test("sort: values sorted onto unchanged labels, nulls dropped") {
+    import spark.implicits._
+    val c = DataCube(Seq(("s", 1, 5.0), ("s", 2, 1.0), ("s", 3, 3.0))
+      .toDF("series", "t", "value")
+      .union(Seq(("s", 4)).toDF("series", "t")
+        .withColumn("value", lit(null).cast("double"))))
+    val got = c.sortAlongDim("t").df.orderBy("t")
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 1.0), (2, 3.0), (3, 5.0)))
+  }
+
+  test("order: argsort along the dimension") {
+    import spark.implicits._
+    val c = DataCube(Seq(("s", 10, 5.0), ("s", 20, 1.0), ("s", 30, 3.0))
+      .toDF("series", "t", "value"))
+    val got = c.orderAlongDim("t", Seq("series")).df.orderBy("position")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // smallest value (1.0) sits at original index 1, then 3.0 at 2, 5.0 at 0
+    assert(got == Seq((0, 1L), (1, 2L), (2, 0L)))
+  }
+
+  test("rearrange: output label i takes the value at perm(i)") {
+    import spark.implicits._
+    val c = DataCube(Seq(("s", 0, 10.0), ("s", 1, 11.0), ("s", 2, 12.0))
+      .toDF("series", "t", "value"))
+    val got = c.rearrange("t", Seq(2, 0, 1)).df.orderBy("t")
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, 12.0), (1, 10.0), (2, 11.0)))
+  }
+
+  test("climatological_normal: mean per period replaces time") {
+    import spark.implicits._
+    val c = DataCube(Seq(
+      ("2020-01-05", "b", 1.0), ("2021-01-09", "b", 3.0),
+      ("2020-06-01", "b", 10.0))
+      .toDF("time", "band", "value")
+      .withColumn("time", col("time").cast("timestamp")))
+    val got = c.climatologicalNormal("month").df
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
+    assert(got == Map(1 -> 2.0, 6 -> 10.0))
+  }
 }
