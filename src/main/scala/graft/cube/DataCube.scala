@@ -299,6 +299,47 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       .agg(Reducers(reducer)(v).as(valueCol), count(lit(1)).as("n_cells"))
   }
 
+  /** openEO `aggregate_spatial` over arbitrary polygon geometries — the
+    * reference's actual surface (overrides/aggregate.py:105 rasterizes
+    * GeoJSON features to a zone-label grid, then group-stats). Here the
+    * "rasterize" is a per-cell ray-cast label expression: each polygon
+    * contributes one codegen'd point-in-polygon term, cells joining the
+    * first polygon that contains them (like rasterize burn order). Map-side
+    * labeling + one groupBy — the polygon list is plan-time metadata, never
+    * shuffled data.
+    */
+  def aggregateSpatialPolygons(polygons: Seq[(String, Seq[(Double, Double)])],
+                               reducer: String,
+                               extraKeys: Seq[String] = Nil): DataFrame = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val px = col(xd).cast("double")
+    val py = col(yd).cast("double")
+    val label = polygons.foldRight(lit(null).cast("string")) {
+      case ((name, poly), rest) =>
+        when(insidePolygon(poly, px, py), lit(name)).otherwise(rest)
+    }
+    df.withColumn("zone_id", label)
+      .filter(col("zone_id").isNotNull)
+      .groupBy((col("zone_id") +: extraKeys.map(col)): _*)
+      .agg(Reducers(reducer)(v).as(valueCol), count(lit(1)).as("n_cells"))
+  }
+
+  /** openEO `date_shift` applied to the time dimension: move every time
+    * label by `amount` `unit`s (pure column arithmetic, no shuffle). */
+  def shiftTime(amount: Int, unit: String): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val sqlUnit = unit.toLowerCase match {
+      case u @ ("day" | "month" | "year" | "hour" | "minute" | "second"
+                | "week" | "quarter") => u.toUpperCase
+      case other => throw new IllegalArgumentException(s"date_shift: $other")
+    }
+    // timestampadd keeps TimestampType for every unit (date_add/add_months
+    // would silently truncate time-of-day to a date)
+    copy(df = df.withColumn(t,
+      expr(s"timestampadd($sqlUnit, $amount, `$t`)")))
+  }
+
   /** openEO `aggregate_temporal`: reduce over explicit (possibly
     * overlapping) intervals, each labeled. A broadcast range-join labels
     * every cell map-side (a cell in k intervals contributes to k groups,

@@ -37,6 +37,12 @@ object CubeQueries {
   private val diamond: Seq[(Double, Double)] =
     Seq((32.0, 2.0), (62.0, 32.0), (32.0, 62.0), (2.0, 32.0))
 
+  /** Named zones for polygon zonal stats (first-match burn order). */
+  private val zonePolygons: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "diamond" -> diamond,
+    "tri_nw"  -> Seq((0.0, 63.0), (0.0, 40.0), (20.0, 63.0)),
+    "rect_se" -> Seq((50.0, 0.0), (63.0, 0.0), (63.0, 12.0), (50.0, 12.0)))
+
   /** SQL mirror of DataCube.insidePolygon: identical edge terms and operand
     * order, so both engines compute bit-identical doubles. */
   private def insideSql(poly: Seq[(Double, Double)],
@@ -335,6 +341,22 @@ object CubeQueries {
         .movingAggregate("time", Seq("band", "user_id"), before = 1,
           after = 1, reducer = "mean", tieBreak = Seq("event_id"))
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_zonal_polygons" -> { (s, d) =>
+      gridCube(s, d)
+        .aggregateSpatialPolygons(zonePolygons, "mean", extraKeys = Seq("band"))
+        .select(col("zone_id"), col("band"),
+          Exact.rnd4(col("value")).as("value"), col("n_cells"))
+    },
+
+    "cube_date_shift" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("event_id"), col("value")))
+      c.shiftTime(3, "month")
+        .df.select(col("event_id"),
+          date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("shifted"))
     },
 
     "scale_minmax" -> { (s, d) =>
@@ -710,6 +732,28 @@ object CubeQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type, user_id
         |  ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+
+    "cube_zonal_polygons" -> {
+      val px = "CAST(x AS DOUBLE)"
+      val py = "CAST(y AS DOUBLE)"
+      val cases = zonePolygons.map { case (name, poly) =>
+        s"WHEN ${insideSql(poly, px, py)} THEN '$name'"
+      }.mkString(" ")
+      s"""WITH $gridCubeSql,
+        |labeled AS (
+        |  SELECT CASE $cases END AS zone_id, band, value FROM cube)
+        |SELECT zone_id, band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |         / count(value)) * 10000 + 0.5) / 10000.0 AS value,
+        |  count(*) AS n_cells
+        |FROM labeled WHERE zone_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
+    },
+
+    "cube_date_shift" ->
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS shifted
+        |FROM events""".stripMargin,
 
     "scale_minmax" ->
       """SELECT event_id, floor((
