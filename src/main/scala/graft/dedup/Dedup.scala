@@ -84,30 +84,40 @@ object Dedup {
   // ---- D4: n-gram Jaccard verification ------------------------------------
 
   /** Exact shingle-set Jaccard for candidate pairs (verification stage —
-    * only ever runs on LSH bucket-mates). Set algebra via exploded distinct
-    * shingles so the arithmetic is pure integer counting (cross-engine
-    * exact); |A∪B| = |A| + |B| − |A∩B|.
+    * only ever runs on LSH bucket-mates). |A∪B| = |A| + |B| − |A∩B| with
+    * pure integer counting (cross-engine exact).
+    *
+    * Shingle sets stay PACKED as per-document arrays and the intersection
+    * is `array_intersect` inside codegen per pair — no (doc, shingle)
+    * explode, no distinct shuffle, no shingle-keyed join. Shingling is
+    * map-side over the corpus scan; only the fixed-width id joins shuffle.
+    *
+    * `candidates` is referenced once (Spark does not CSE duplicate plan
+    * subtrees, so e.g. a candidate-id semi-join here would re-run the whole
+    * LSH pipeline). When candidates are a vanishing fraction of a lake-scale
+    * corpus, materialize the candidate ids first and pre-filter `docs`
+    * before calling — a pipeline decision, not one this plan can make.
     */
   def jaccard(docs: DataFrame, candidates: DataFrame, w: Int = 4,
               threshold: Double = 0.5, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w))
-          .as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    val j = col("n_inter").cast("double") /
-      (col("na") + col("nb") - col("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .filter(j >= threshold)
+    val sh = docs.select(col(idCol), array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+    // one corpus pass: pairs unpivot to (pair, role, id), broadcast against
+    // the packed shingle arrays, then regroup per pair — the regroup shuffle
+    // is O(candidates), the corpus is scanned and shingled exactly once
+    val tagged = candidates.select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val joined = sh.join(broadcast(tagged), Seq(idCol))
+    val agg = joined.groupBy("doc_a", "doc_b").agg(
+      first(when(col(idCol) === col("doc_a"), col("_shs")),
+        ignoreNulls = true).as("_sha"),
+      first(when(col(idCol) === col("doc_b"), col("_shs")),
+        ignoreNulls = true).as("_shb"))
+    val nInter = size(array_intersect(col("_sha"), col("_shb")))
+    val j = nInter.cast("double") /
+      (size(col("_sha")) + size(col("_shb")) - nInter)
+    agg.filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
   }
 
