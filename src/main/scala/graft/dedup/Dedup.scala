@@ -57,6 +57,11 @@ object Dedup {
     }: _*)
     hashed.select(col(idCol), explode(bandSigs).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // docs shorter than one shingle have no signature (array_min over an
+      // empty set is null). Keep them out: groupBy would treat null as a
+      // REAL key and bucket every shingle-less doc together — an equi-join
+      // (and the DuckDB oracle) drops nulls instead.
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH candidate pairs: documents sharing any band signature.
@@ -119,6 +124,50 @@ object Dedup {
       (size(col("_sha")) + size(col("_shb")) - nInter)
     agg.filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
+  }
+
+  // ---- D13: duplicate-cluster resolution ----------------------------------
+
+  /** Resolve pairwise duplicate edges into clusters (connected components)
+    * and pick one survivor per cluster — the step after ANY pair generator
+    * (minhash/simhash/embedding) in a real dedup pipeline, where chains
+    * a~b~c must collapse to one kept document.
+    *
+    * Iterative min-label propagation with pointer-jumping: each round every
+    * node adopts the smallest label among itself and its neighbors, then
+    * compresses by adopting its label's label — chains halve per round, so
+    * convergence is O(log diameter). Each round is one shuffle join keyed
+    * by node id — O(edges) per round, no driver-side graph.
+    *
+    * Rounds are materialized with an eager `localCheckpoint`: labels feed
+    * two plans per round, and without hard lineage truncation the nested
+    * lazy plan stalls (broadcast-inside-cached-plan materialization;
+    * `persist` alone measured minutes where the checkpointed loop takes
+    * milliseconds). On a cluster with a checkpoint dir, `checkpoint` adds
+    * fault tolerance with the same algorithm.
+    */
+  def resolveClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges.join(labels.select(col("id").as("src"), col("label")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("_nl"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val lookup = propagated.select(col("id").as("_lid"),
+        col("label").as("_ll"))
+      labels = propagated.join(lookup, col("label") === col("_lid"), "left")
+        .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("label").as("survivor"))
+      .agg(count(lit(1)).as("n_members"))
   }
 
   // ---- D3: SimHash --------------------------------------------------------

@@ -31,8 +31,11 @@ object TextFunctions {
     *    i -> array_to_string(toks[i:i+w-1], ' '))`.
     */
   def shingles(toks: Column, w: Int): Column =
-    transform(sequence(lit(0), size(toks) - w),
-      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    // short docs: sequence(0, negative) counts DOWN in Spark (DuckDB's
+    // generate_series is empty) — guard to an empty shingle set explicitly
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
 
   /** Count of tokens found in `stop` (case-sensitive — corpus is
     * lower-case). DuckDB mirror: `len(list_filter(toks, t -> t IN (...)))`.
@@ -51,6 +54,43 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "une", "du"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和")
   )
+
+  /** Deterministic Bernoulli sampling predicate: keep a row iff the
+    * `hexDigits`-char md5 prefix of its key is below the rate threshold —
+    * a reproducible, engine-independent coin flip per key (the same key
+    * always lands on the same side, across runs, engines and cluster
+    * sizes, unlike `df.sample`). Map-only; the comparison is lexicographic
+    * on lowercase hex, which is monotone in the numeric value, so no hex→
+    * int parsing is needed on either engine.
+    * DuckDB mirror: `substr(md5(CAST(k AS VARCHAR)), 1, 8) < '<thr>'`.
+    */
+  def hashSampleKeep(key: Column, rate: Double, hexDigits: Int = 8): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    if (rate >= 1.0) lit(true)
+    else {
+      val thr = ("%0" + hexDigits + "x")
+        .format(math.floor(rate * math.pow(16.0, hexDigits)).toLong)
+      substring(md5(key.cast("string")), 1, hexDigits) < lit(thr)
+    }
+  }
+
+  /** Stratified variant: per-stratum rates with a default — the training-
+    * data "rebalance by language/source" primitive. Still map-only. */
+  def stratifiedSampleKeep(key: Column, stratum: Column,
+                           rates: Seq[(String, Double)],
+                           defaultRate: Double): Column =
+    rates.foldRight(hashSampleKeep(key, defaultRate)) {
+      case ((s, r), acc) => when(stratum === s, hashSampleKeep(key, r))
+        .otherwise(acc)
+    }
+
+  /** PII redaction: emails → `<EMAIL>`, long digit runs → `<NUM>`. Both
+    * patterns stay in the Java∩RE2 common dialect so the DuckDB mirror
+    * (`regexp_replace(..., 'g')`) rewrites identically. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
 
   /** Normalization for fingerprinting: lower-case, strip non-alphanumerics
     * (keeping spaces), collapse whitespace runs, trim. DuckDB mirror:

@@ -45,11 +45,39 @@ object DedupQueries {
       |      ' ') AS text
       |  FROM documents)""".stripMargin
 
-  /** Shared minhash CTE chain: 4-word shingles → 8 band signatures, each
-    * band an 8-hex-char slice of md5(s) ‖ md5('x:'‖s) — mirrors
-    * Dedup.minhashSignatures exactly. */
-  private val minhashSigSql =
-    s"""$nearCorpusSql,
+  /** documents ∪ two truncation variants (drop 5 / drop 10 words) — chained
+    * near-dup clusters for the component-resolution op. */
+  private def clusterCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val t = split(col("text"), " ")
+    docs
+      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+      .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 10, lit(3)))).as("text")))
+  }
+
+  private val clusterCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
+      |      ' ') AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 10, 3)],
+      |      ' ') AS text
+      |  FROM documents)""".stripMargin
+
+  /** Minhash CTE chain over an inlined `corpus` CTE: 4-word shingles → 8
+    * band signatures, each band an 8-hex-char slice of md5(s) ‖ md5('x:'‖s)
+    * — mirrors Dedup.minhashSignatures exactly. */
+  private def sigChainSql(corpusSql: String) =
+    s"""$corpusSql,
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
       |sh AS (SELECT doc_id,
       |  list_transform(generate_series(1, len(t) - 3),
@@ -64,6 +92,8 @@ object DedupQueries {
       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |    AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashSigSql = sigChainSql(nearCorpusSql)
 
   /** embeddings ∪ 1.5×-scaled copy (cosine-invariant scaling → near-dups
     * with similarity ≈ 1). Float multiply is single-rounding in both
@@ -118,6 +148,12 @@ object DedupQueries {
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
 
+    "dedup_clusters" -> { (s, d) =>
+      Dedup.resolveClusters(
+        Dedup.minhashCandidates(Dedup.minhashSignatures(clusterCorpus(s, d)))
+          .select("doc_a", "doc_b"))
+    },
+
     "dedup_embedding" -> { (s, d) => Dedup.embeddingNearDups(embCorpus(s, d)) }
   )
 
@@ -137,6 +173,22 @@ object DedupQueries {
     "dedup_minhash" ->
       s"""WITH $minhashSigSql
         |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    // exact components via a recursive reachability CTE (min label over
+    // everything reachable = component minimum) — the Spark side converges
+    // to the same fixpoint by min-label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${sigChainSql(clusterCorpusSql)},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster AS survivor, count(*) AS n_members
+        |FROM comp GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $minhashSigSql,

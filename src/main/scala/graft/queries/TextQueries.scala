@@ -65,6 +65,39 @@ object TextQueries {
       docs(s, d).select(cols: _*)
     },
 
+    // D14: deterministic stratified sampling — 50% of 'en', 10% default,
+    // keyed by doc_id, reproducible across engines and cluster sizes.
+    "text_sample" -> { (s, d) =>
+      docs(s, d)
+        .filter(stratifiedSampleKeep(col("doc_id"), col("lang"),
+          Seq("en" -> 0.5), defaultRate = 0.1))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // D15: corpus-wide top-k n-grams (count desc, ngram asc — total order,
+    // so the LIMIT edge is deterministic). Partial aggregation makes the
+    // shuffle O(distinct ngrams); the final top-k is a tiny sorted take.
+    "text_topngrams" -> { (s, d) =>
+      docs(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(50)
+    },
+
+    // D16: PII redaction — emails/digit-runs rewritten map-side; the corpus
+    // gets a deterministic synthetic PII suffix on every 5th doc so the
+    // rewrite actually exercises.
+    "text_redact" -> { (s, d) =>
+      val withPii = when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" contact user123@example.com or call 12345678 now")))
+        .otherwise(col("text"))
+      docs(s, d).select(col("doc_id"),
+        redact(withPii).as("clean"),
+        (redact(withPii) =!= withPii).as("had_pii"))
+    },
+
     // D11: document fingerprinting — md5 of normalized text plus a winnow
     // fingerprint (min md5 over 3-word shingles), robust to reordering at
     // the edges of the document.
@@ -126,6 +159,32 @@ object TextQueries {
         |  $caseExpr AS lang_pred
         |FROM b""".stripMargin
     },
+
+    // md5-prefix thresholds: 0.5 → 80000000, 0.1 → 19999999 (floor(r·16⁸))
+    "text_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |END""".stripMargin,
+
+    "text_topngrams" ->
+      """WITH sh AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+        |SELECT ngram, count(*) AS cnt FROM sh GROUP BY 1
+        |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    "text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' contact user123@example.com or call 12345678 now'
+        |    ELSE text END AS t FROM documents),
+        |r AS (SELECT doc_id, t, regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean FROM p)
+        |SELECT doc_id, clean, clean <> t AS had_pii FROM r""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (
