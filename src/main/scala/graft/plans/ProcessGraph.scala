@@ -46,6 +46,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     evalNode(resultId).df
   }
 
+  /** GeoJSON-style ring `[[x, y], ...]` → vertex list. */
+  private def polygonArg(node: JsonNode): Seq[(Double, Double)] = {
+    require(node != null && node.isArray, "polygon must be [[x,y],...]")
+    node.elements().asScala.map { pt =>
+      (pt.get(0).asDouble(), pt.get(1).asDouble())
+    }.toSeq
+  }
+
   private def cubeArg(args: JsonNode, name: String,
                       evalNode: String => DataCube): DataCube = {
     val ref = args.get(name)
@@ -73,6 +81,16 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
           else Tables.events(spark, dataDir)
           DataCube(src.select(col("ts").as("time"),
             col("event_type").as("band"), col("value")))
+        case "grid" =>
+          // 64×64 raster derived from lineitem (same construction as the
+          // verify queries): x/y spatial dims + returnflag band
+          import graft.core.Exact
+          DataCube(Tables.lineitem(spark, dataDir)
+            .select(pmod(col("l_partkey"), lit(64)).as("x"),
+              pmod(col("l_suppkey"), lit(64)).as("y"),
+              col("l_returnflag").as("band"), col("l_quantity"))
+            .groupBy("x", "y", "band")
+            .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
         case other => throw new IllegalArgumentException(
           s"load_collection: unknown collection '$other'")
       }
@@ -133,6 +151,87 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "cube1", evalNode).merge(
         cubeArg(args, "cube2", evalNode),
         (l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0)))
+
+    case "mask_polygon" =>
+      val poly = polygonArg(args.get("mask"))
+      val repl = Option(args.get("replacement")).map(_.asDouble())
+      val inside = args.path("inside").asBoolean(false)
+      cubeArg(args, "data", evalNode).maskPolygon(poly, repl, inside)
+
+    case "filter_spatial" =>
+      cubeArg(args, "data", evalNode)
+        .filterSpatial(polygonArg(args.get("geometries")))
+
+    case "aggregate_spatial" =>
+      val zones = args.get("geometries").properties().asScala.map { e =>
+        e.getKey -> polygonArg(e.getValue)
+      }.toSeq
+      val c = cubeArg(args, "data", evalNode)
+      c.copy(df = c.aggregateSpatialPolygons(zones,
+        args.path("reducer").asText("mean"),
+        extraKeys = Seq("band").filter(c.dims.contains)))
+
+    case "apply_kernel" =>
+      val kernel = args.get("kernel").elements().asScala.map(
+        _.elements().asScala.map(_.asDouble()).toSeq).toSeq
+      cubeArg(args, "data", evalNode).applyKernel(kernel,
+        (args.path("x_min").asInt(0), args.path("x_max").asInt(63)),
+        (args.path("y_min").asInt(0), args.path("y_max").asInt(63)))
+
+    case "resample_spatial" =>
+      cubeArg(args, "data", evalNode).resampleSpatial(
+        args.path("resolution").asInt(2), args.path("method").asText("mean"))
+
+    case "apply_neighborhood" =>
+      cubeArg(args, "data", evalNode).applyNeighborhood(
+        args.path("size_x").asInt(1), args.path("size_y").asInt(1),
+        args.path("reducer").asText("mean"),
+        (args.path("x_min").asInt(0), args.path("x_max").asInt(63)),
+        (args.path("y_min").asInt(0), args.path("y_max").asInt(63)))
+
+    case "reduce_spatial" =>
+      cubeArg(args, "data", evalNode)
+        .reduceSpatial(args.get("reducer").asText())
+
+    case "anomaly" =>
+      cubeArg(args, "data", evalNode)
+        .anomaly(args.path("frequency").asText("month"))
+
+    case "climatological_normal" =>
+      cubeArg(args, "data", evalNode)
+        .climatologicalNormal(args.path("frequency").asText("month"))
+
+    case "sort" =>
+      cubeArg(args, "data", evalNode).sortAlongDim(
+        args.get("dimension").asText(),
+        !args.path("ascending").isBoolean || args.get("ascending").asBoolean())
+
+    case "rearrange" =>
+      cubeArg(args, "data", evalNode).rearrange(
+        args.get("dimension").asText(),
+        args.get("order").elements().asScala.map(_.asInt()).toSeq)
+
+    case "date_shift" =>
+      cubeArg(args, "data", evalNode).shiftTime(
+        args.get("value").asInt(), args.get("unit").asText())
+
+    case "linear_scale_range" =>
+      cubeArg(args, "data", evalNode).linearScaleRange(
+        args.get("inputMin").asDouble(), args.get("inputMax").asDouble(),
+        args.path("outputMin").asDouble(0.0),
+        args.path("outputMax").asDouble(1.0))
+
+    case "flatten_dimensions" =>
+      cubeArg(args, "data", evalNode).flattenDimensions(
+        args.get("dimensions").elements().asScala.map(_.asText()).toSeq,
+        args.get("target_dimension").asText(),
+        args.path("label_separator").asText("~"))
+
+    case "unflatten_dimension" =>
+      cubeArg(args, "data", evalNode).unflattenDimension(
+        args.get("dimension").asText(),
+        args.get("target_dimensions").elements().asScala.map(_.asText()).toSeq,
+        args.path("label_separator").asText("~"))
 
     // save_result (reference: custom_processes.py:246) — pass-through when
     // no path is given (the driver materializes results itself).

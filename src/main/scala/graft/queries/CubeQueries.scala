@@ -34,7 +34,7 @@ object CubeQueries {
       .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
 
   /** Integer-vertex diamond (rotated square) used by the polygon ops. */
-  private val diamond: Seq[(Double, Double)] =
+  private[queries] val diamond: Seq[(Double, Double)] =
     Seq((32.0, 2.0), (62.0, 32.0), (32.0, 62.0), (2.0, 32.0))
 
   /** Named zones for polygon zonal stats (first-match burn order). */
@@ -45,7 +45,7 @@ object CubeQueries {
 
   /** SQL mirror of DataCube.insidePolygon: identical edge terms and operand
     * order, so both engines compute bit-identical doubles. */
-  private def insideSql(poly: Seq[(Double, Double)],
+  private[queries] def insideSql(poly: Seq[(Double, Double)],
                         px: String, py: String): String = {
     val edges = poly.zip(poly.tail :+ poly.head)
     val terms = edges.collect { case ((x1, y1), (x2, y2)) if y1 != y2 =>
@@ -56,7 +56,7 @@ object CubeQueries {
     s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
-  private val gridCubeSql =
+  private[queries] val gridCubeSql =
     """cube AS (
       |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y,
       |         l_returnflag AS band,

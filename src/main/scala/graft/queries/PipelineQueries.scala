@@ -36,6 +36,29 @@ object PipelineQueries {
       |  }
       |}""".stripMargin
 
+  /** Spatial pipeline over the widened graph vocabulary: grid collection →
+    * polygon clip → 2× downscale → polygon zonal stats. */
+  private val spatialGraph =
+    """{
+      |  "process_graph": {
+      |    "load": {"process_id": "load_collection",
+      |             "arguments": {"id": "grid"}},
+      |    "clip": {"process_id": "filter_spatial",
+      |             "arguments": {"data": {"from_node": "load"},
+      |               "geometries": [[32,2],[62,32],[32,62],[2,32]]}},
+      |    "down": {"process_id": "resample_spatial",
+      |             "arguments": {"data": {"from_node": "clip"},
+      |               "resolution": 2, "method": "mean"}},
+      |    "zonal": {"process_id": "aggregate_spatial",
+      |              "arguments": {"data": {"from_node": "down"},
+      |                "reducer": "mean",
+      |                "geometries": {
+      |                  "west": [[0,0],[16,16],[0,31]],
+      |                  "east": [[31,0],[31,31],[16,16]]}},
+      |              "result": true}
+      |  }
+      |}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "multimodal_pipeline" -> { (s, d) =>
@@ -50,6 +73,14 @@ object PipelineQueries {
       new ProcessGraph(s, d).run(demoGraph)
         .select(to_date(col("time")).as("day"), col("band"),
           Exact.rnd4(col("value")).as("value"))
+    },
+
+    // spatial graph over the new vocabulary: load grid → clip to a polygon
+    // → downscale 2× → zonal stats over two polygon zones
+    "process_graph_spatial" -> { (s, d) =>
+      new ProcessGraph(s, d).run(spatialGraph)
+        .select(col("zone_id"), col("band"),
+          Exact.rnd4(col("value")).as("value"), col("n_cells"))
     }
   )
 
@@ -65,6 +96,34 @@ object PipelineQueries {
         |           i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text))
         |    * 10000 + 0.5) / 10000.0 AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "process_graph_spatial" -> {
+      val diamond = CubeQueries.insideSql(CubeQueries.diamond,
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      val west = CubeQueries.insideSql(
+        Seq((0.0, 0.0), (16.0, 16.0), (0.0, 31.0)),
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      val east = CubeQueries.insideSql(
+        Seq((31.0, 0.0), (31.0, 31.0), (16.0, 16.0)),
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      s"""WITH ${CubeQueries.gridCubeSql},
+        |clip AS (SELECT * FROM cube WHERE $diamond),
+        |down AS (
+        |  SELECT CAST(floor(CAST(x AS DOUBLE) / 2) AS BIGINT) AS x,
+        |         CAST(floor(CAST(y AS DOUBLE) / 2) AS BIGINT) AS y, band,
+        |         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |           / count(value) AS value
+        |  FROM clip GROUP BY 1, 2, 3),
+        |lab AS (
+        |  SELECT CASE WHEN $west THEN 'west'
+        |              WHEN $east THEN 'east' END AS zone_id, band, value
+        |  FROM down)
+        |SELECT zone_id, band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |         / count(value)) * 10000 + 0.5) / 10000.0 AS value,
+        |  count(*) AS n_cells
+        |FROM lab WHERE zone_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+    },
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
