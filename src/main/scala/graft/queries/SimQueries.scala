@@ -28,6 +28,11 @@ object SimQueries {
     "ann_lsh" -> { (s, d) =>
       Ann.lshTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
         planes = 4, tables = 8)
+    },
+
+    "ann_ivf" -> { (s, d) =>
+      Ann.ivfTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        nlist = 16, nProbe = 4)
     }
   )
 

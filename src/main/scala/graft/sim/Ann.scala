@@ -66,6 +66,58 @@ object Ann {
         Exact.rnd4(col("sim")).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nProbe` nearest cells and ranks only their members — the standard
+    * billion-scale ANN layout (FAISS IVF-Flat shape), here Spark-native:
+    *
+    *  - centroids train once with MLlib KMeans (sampled corpus) and become
+    *    PLAN-TIME literals — cell assignment is an argmin over `nlist`
+    *    native dot products inside whole-stage codegen, no model UDF on
+    *    the hot path (argmin of |c|² − 2·e·c ≡ nearest centroid);
+    *  - the corpus is assigned once (reusable partitioning — at lake scale
+    *    this is the table's physical partition key, so a probe reads only
+    *    nProbe/nlist of the data);
+    *  - queries broadcast with their probe list exploded; ranking work is
+    *    O(|Q| · nProbe · cell size), never a corpus scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
+              nProbe: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_fv")
+    val model = km.fit(corpus.select(
+      array_to_vector(col(embCol).cast("array<double>")).as("_fv")))
+    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance)
+    def scored(emb: org.apache.spark.sql.Column) = cents.zipWithIndex.map {
+      case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x).sum
+        struct((lit(c2) - lit(2.0) * VectorFunctions.dot(emb, typedlit(c)))
+          .as("d"), lit(i).as("i"))
+    }
+    def cellOf(emb: org.apache.spark.sql.Column) =
+      array_min(array(scored(emb): _*)).getField("i")
+    def probesOf(emb: org.apache.spark.sql.Column) =
+      transform(slice(array_sort(array(scored(emb): _*)), 1, nProbe),
+        s => s.getField("i"))
+    val assigned = corpus.select(col(idCol).as("c_id"),
+      col(embCol).as("_c_emb"), cellOf(col(embCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+        col(embCol).as("_q_emb"), explode(probesOf(col(embCol))).as("cell")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    assigned.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        Exact.rnd4(col("sim")).as("sim"))
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `planes` sign-LSH bits each
     * (Dedup.lshBucket with a per-table seed); a corpus vector is a

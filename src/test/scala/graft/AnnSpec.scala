@@ -43,4 +43,18 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.25, s"multi-table lsh recall too low: $recall")
     info(f"lsh recall@5 = $recall%.2f")
   }
+
+  test("ivf agrees with brute force on shared pairs; multi-probe recall") {
+    val ivf = Ann.ivfTopK(qs, emb, k = 5, nlist = 16, nProbe = 4).cache()
+    val joined = ivf.select(col("q_id"), col("c_id"), col("sim").as("isim"))
+      .join(bf.select(col("q_id"), col("c_id"), col("sim").as("bsim")),
+        Seq("q_id", "c_id"))
+    val disagree = joined.filter(col("isim") =!= col("bsim")).count()
+    assert(disagree == 0, "same pair must score identically in both paths")
+    val recall = joined.count().toDouble / bf.count()
+    // probing 4/16 cells reads ~25% of the corpus; near neighbors
+    // concentrate in the query's own cells so recall must beat that share
+    assert(recall > 0.4, s"ivf recall too low: $recall")
+    info(f"ivf recall@5 = $recall%.2f")
+  }
 }
