@@ -24,6 +24,26 @@ object StreamQueries {
       EventStreams.sessionizeBatch(Tables.events(s, d), gapSec = 21600)
         .select(col("user_id"), col("session_id"), col("session_start"),
           col("session_end"), col("n_events"), col("sum_value"))
+    },
+
+    // E3 batch-parity: the corpus is the table ∪ a 1-hour-late redelivery
+    // of every event; first delivery wins.
+    "events_dedup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val redelivered = ev.unionByName(
+        ev.withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+      EventStreams.dedupEvents(redelivered)
+        .select(col("event_id"), col("ts"),
+          graft.core.Exact.rnd4(col("value")).as("value"))
+    },
+
+    // E4 batch-parity: broadcast enrichment against the customer dim.
+    "events_enrich" -> { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      EventStreams.enrich(Tables.events(s, d), dim)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
     }
   )
 
@@ -52,6 +72,23 @@ object StreamQueries {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_value
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_dedup" ->
+      """WITH r AS (
+        |  SELECT event_id, ts, user_id, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, value FROM events),
+        |d AS (
+        |  SELECT event_id, ts, value,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY ts, user_id) AS rn
+        |  FROM r)
+        |SELECT event_id, ts, floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM d WHERE rn = 1""".stripMargin,
+
+    "events_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
   )
 }

@@ -49,6 +49,34 @@ object EventStreams extends Serializable {
         col("sum_value"))
   }
 
+  /** E3: exact streaming dedup by key — keep the FIRST occurrence of each
+    * `event_id` (at-least-once sources re-deliver; training pipelines must
+    * not double-count). One transform for both modes:
+    *  - streaming: `dropDuplicatesWithinWatermark` keeps per-key state only
+    *    until the watermark passes, so state is bounded by the lateness
+    *    horizon, not the stream's history;
+    *  - batch: first-occurrence via min(ts, event_id) per key — the same
+    *    "first delivery wins" contract, expressible as one groupBy.
+    */
+  def dedupEvents(events: DataFrame, delay: String = "1 day"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else {
+      val w = Window.partitionBy("event_id").orderBy(col("ts"), col("user_id"))
+      events.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+
+  /** E4: stream-static enrichment — the streaming fact joins a static
+    * dimension table with a broadcast hash join, so each micro-batch is
+    * map-side only (the classic star-schema shape at any scale: the stream
+    * never shuffles for the join). Identical transform for batch parity.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** E2 batch form: gap-based sessionization with window functions — a
     * session breaks when the inter-event gap exceeds `gapSec`. Exact µs
     * arithmetic; deterministic (ts, event_id) ordering.

@@ -92,4 +92,49 @@ class StreamingSpec extends SparkSpec {
       assert(bad == 0, "session contents diverge between streaming and batch")
     } finally q.stop()
   }
+
+  test("E3 dedup: dropDuplicatesWithinWatermark equals batch first-wins") {
+    import spark.implicits._
+    val events = realEvents(30)
+    // redelivery: every event again, one hour later
+    val dups = events.map(e => e.copy(
+      ts = new Timestamp(e.ts.getTime + 3600 * 1000)))
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode("append").start()
+    try {
+      // originals arrive before their redeliveries, as in the batch contract
+      ms.addData(events); q.processAllAvailable()
+      ms.addData(dups); q.processAllAvailable()
+      val streamed = spark.table("dedup_parity")
+        .select("event_id", "ts", "value")
+      val batch = EventStreams.dedupEvents(
+        (events ++ dups).toDF()).select("event_id", "ts", "value")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming dedup diverges from batch first-wins")
+    } finally q.stop()
+  }
+
+  test("E4 enrich: stream-static broadcast join equals batch join") {
+    import spark.implicits._
+    val events = realEvents(30)
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.enrich(ms.toDF(), dim)
+      .select("event_id", "user_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("enrich_parity")
+      .outputMode("append").start()
+    try {
+      ms.addData(events); q.processAllAvailable()
+      val streamed = spark.table("enrich_parity")
+      val batch = EventStreams.enrich(events.toDF(), dim)
+        .select("event_id", "user_id", "c_mktsegment")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "stream-static enrichment diverges from batch join")
+    } finally q.stop()
+  }
 }
