@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.cube.DataCube
+
+/** Custom pre-/post-processing expressions for value scaling — the analog
+  * of the reference's ProcessingExpression support
+  * (utils/proc_expression_utils.py:59 `run_process_expression`, with the
+  * module whitelist of proc_expression_utils.py:21).
+  *
+  * The reference evaluates a python expression string against the cube with
+  * a whitelist of importable modules; here the format is `sql`: the
+  * expression references the cell value as `x` and is parsed by Catalyst,
+  * then every node of the parsed tree is checked against a whitelist of
+  * pure arithmetic/math expression classes — no UDF calls, no reflection,
+  * no subqueries can hide in a scaling spec. Unsupported formats raise,
+  * mirroring `_raise_format_not_implemented`.
+  */
+object ProcessExpression {
+
+  /** Catalyst expression classes a scaling expression may contain
+    * (operators parse to concrete classes; named functions parse to
+    * UnresolvedFunction and are checked by name below). */
+  private val allowedClasses: Set[String] = Set(
+    "Literal", "UnresolvedAttribute", "UnresolvedFunction",
+    "UnaryMinus", "UnaryPositive", "Add", "Subtract", "Multiply", "Divide",
+    "Remainder", "Least", "Greatest")
+
+  private val allowedFunctions: Set[String] = Set(
+    "sqrt", "cbrt", "abs", "exp", "expm1", "ln", "log", "log1p", "log2",
+    "log10", "pow", "power", "least", "greatest", "round", "floor", "ceil",
+    "ceiling", "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh",
+    "tanh", "sign", "signum")
+
+  def validate(spark: org.apache.spark.sql.SparkSession,
+               expression: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(expression)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+    require(refs.toSet.subsetOf(Set("x")),
+      s"scaling expression may only reference 'x', got: ${refs.distinct}")
+    val badClasses = parsed.collect {
+      case e if !allowedClasses.contains(e.getClass.getSimpleName) =>
+        e.getClass.getSimpleName
+    }
+    require(badClasses.isEmpty,
+      s"scaling expression uses non-whitelisted operations: ${badClasses.distinct}")
+    val badFns = parsed.collect {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if !allowedFunctions.contains(f.nameParts.mkString(".").toLowerCase) =>
+        f.nameParts.mkString(".")
+    }
+    require(badFns.isEmpty,
+      s"scaling expression uses non-whitelisted functions: ${badFns.distinct}")
+  }
+
+  /** Apply a processing expression to a cube's value column. Only format
+    * `sql` is implemented; others raise like the reference. */
+  def scaleCube(cube: DataCube, format: String, expression: String): DataCube = {
+    if (format != "sql")
+      throw new UnsupportedOperationException(
+        s"processing expression format '$format' not implemented")
+    validate(cube.df.sparkSession, expression)
+    val out = cube.df
+      .withColumn("_px", col(cube.valueCol))
+      .withColumn(cube.valueCol,
+        expr(expression.replaceAll("\\bx\\b", "_px")).cast("double"))
+      .drop("_px")
+    cube.copy(df = out)
+  }
+}

@@ -364,6 +364,13 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
+    // ValueScaling type PROCESSING: whitelisted SQL expression over `x`
+    "scale_expression" -> { (s, d) =>
+      graft.ml.ProcessExpression.scaleCube(eventsCube(s, d), "sql",
+        "(x - 0.5) * 2 + sqrt(abs(x))")
+        .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
     "scale_zscore" -> { (s, d) =>
       eventsCube(s, d).scaleZScore(perDim = Some("band"))
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
@@ -753,6 +760,11 @@ object CubeQueries {
     "cube_date_shift" ->
       """SELECT event_id,
         |  strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS shifted
+        |FROM events""".stripMargin,
+
+    "scale_expression" ->
+      """SELECT event_id, floor((
+        |  (value - 0.5) * 2 + sqrt(abs(value))) * 10000 + 0.5) / 10000.0 AS value
         |FROM events""".stripMargin,
 
     "scale_minmax" ->

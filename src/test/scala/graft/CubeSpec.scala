@@ -141,6 +141,23 @@ class CubeSpec extends SparkSpec {
     assert(got == Seq((0, 12.0), (1, 10.0), (2, 11.0)))
   }
 
+  test("processing expression: whitelisted sql applies, unsafe rejected") {
+    import spark.implicits._
+    val c = DataCube(Seq(("a", 4.0)).toDF("band", "value"))
+    val out = graft.ml.ProcessExpression.scaleCube(c, "sql", "sqrt(x) + 1")
+      .df.collect().head.getDouble(1)
+    assert(out == 3.0)
+    intercept[IllegalArgumentException] {
+      graft.ml.ProcessExpression.scaleCube(c, "sql", "md5(x)")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.ProcessExpression.scaleCube(c, "sql", "x + other_col")
+    }
+    intercept[UnsupportedOperationException] {
+      graft.ml.ProcessExpression.scaleCube(c, "python", "x + 1")
+    }
+  }
+
   test("climatological_normal: mean per period replaces time") {
     import spark.implicits._
     val c = DataCube(Seq(
