@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Exact, Tables}
 import graft.multimodal.Multimodal
 import graft.plans.ProcessGraph
+import graft.sources.StacCatalog
 
 /** Multimodal binary pipeline (§2D12) and process-graph executor (§2C16)
   * queries. Both fully oracle-gated: the media payloads are ASCII text
@@ -75,6 +76,38 @@ object PipelineQueries {
           Exact.rnd4(col("value")).as("value"))
     },
 
+    // STAC-catalog load: weekly asset slices + ItemCollection metadata are
+    // materialized in a temp dir, then load_collection prunes to the items
+    // overlapping the extent (driver-side, before any job) and applies the
+    // residual row filter. The oracle only sees the final relational
+    // contract: events within the extent.
+    "stac_load" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stac_")
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+      val weeks = Seq(
+        ("w1", "2024-01-01", "2024-01-08"),
+        ("w2", "2024-01-08", "2024-01-15"),
+        ("w3", "2024-01-15", "2024-01-22"),
+        ("w4", "2024-01-22", "2024-02-01"))
+      val items = weeks.map { case (id, from, to) =>
+        val href = s"$dir/$id.parquet"
+        ev.filter(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(to).cast("timestamp"))
+          .write.mode("overwrite").parquet(href)
+        s"""{"type": "Feature", "id": "$id",
+           |  "properties": {"start_datetime": "$from", "end_datetime": "$to"},
+           |  "assets": {"data": {"href": "$href"}}}""".stripMargin
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/catalog.json"),
+        items.mkString("{\"type\": \"FeatureCollection\", \"features\": [",
+          ",\n", "]}"))
+      StacCatalog.loadCollection(s, s"$dir/catalog.json",
+        Some(("2024-01-05", "2024-01-18")))
+        .select(col("event_id"), Exact.rnd4(col("value")).as("value"))
+    },
+
     // spatial graph over the new vocabulary: load grid → clip to a polygon
     // → downscale 2× → zonal stats over two polygon zones
     "process_graph_spatial" -> { (s, d) =>
@@ -96,6 +129,11 @@ object PipelineQueries {
         |           i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text))
         |    * 10000 + 0.5) / 10000.0 AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "stac_load" ->
+      """SELECT event_id, floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-18'""".stripMargin,
 
     "process_graph_spatial" -> {
       val diamond = CubeQueries.insideSql(CubeQueries.diamond,

@@ -75,4 +75,38 @@ class PipelineSpec extends SparkSpec {
       pg.run("""{"a": {"process_id": "apply", "arguments": {}}}""") // no result
     }
   }
+
+  test("stac catalog: extent prunes asset FILES, not just rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stacspec_")
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "value")
+    val weeks = Seq(("w1", "2024-01-01", "2024-01-08"),
+      ("w2", "2024-01-08", "2024-01-15"),
+      ("w3", "2024-01-15", "2024-01-22"),
+      ("w4", "2024-01-22", "2024-02-01"))
+    val items = weeks.map { case (id, from, to) =>
+      val href = s"$dir/$id.parquet"
+      ev.filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+        .coalesce(1).write.mode("overwrite").parquet(href)
+      s"""{"type": "Feature", "id": "$id",
+         |  "properties": {"start_datetime": "$from", "end_datetime": "$to"},
+         |  "assets": {"data": {"href": "$href"}}}""".stripMargin
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/catalog.json"),
+      items.mkString("{\"type\": \"FeatureCollection\", \"features\": [",
+        ",\n", "]}"))
+    val loaded = graft.sources.StacCatalog.loadCollection(spark,
+      s"$dir/catalog.json", Some(("2024-01-05", "2024-01-18")))
+    // only w1..w3 overlap: w4's file must not even appear in the scan
+    val files = loaded.inputFiles.map(_.replaceAll(".*/(w\\d)\\.parquet.*", "$1")).toSet
+    assert(files == Set("w1", "w2", "w3"), s"expected 3 pruned assets, got $files")
+    val n = loaded.count()
+    val expected = graft.core.Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-18").cast("timestamp")).count()
+    assert(n == expected, s"row parity: $n vs $expected")
+  }
 }
