@@ -146,7 +146,7 @@ object Dedup {
     * milliseconds). On a cluster with a checkpoint dir, `checkpoint` adds
     * fault tolerance with the same algorithm.
     */
-  def resolveClusters(pairs: DataFrame, iterations: Int = 6): DataFrame = {
+  def resolveClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)

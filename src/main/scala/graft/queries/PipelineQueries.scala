@@ -54,8 +54,8 @@ object PipelineQueries {
       |              "arguments": {"data": {"from_node": "down"},
       |                "reducer": "mean",
       |                "geometries": {
-      |                  "west": [[0,0],[16,16],[0,31]],
-      |                  "east": [[31,0],[31,31],[16,16]]}},
+      |                  "west": [[0,0],[16,0],[16,31],[0,31]],
+      |                  "east": [[16,0],[31,0],[31,31],[16,31]]}},
       |              "result": true}
       |  }
       |}""".stripMargin
@@ -139,10 +139,10 @@ object PipelineQueries {
       val diamond = CubeQueries.insideSql(CubeQueries.diamond,
         "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
       val west = CubeQueries.insideSql(
-        Seq((0.0, 0.0), (16.0, 16.0), (0.0, 31.0)),
+        Seq((0.0, 0.0), (16.0, 0.0), (16.0, 31.0), (0.0, 31.0)),
         "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
       val east = CubeQueries.insideSql(
-        Seq((31.0, 0.0), (31.0, 31.0), (16.0, 16.0)),
+        Seq((16.0, 0.0), (31.0, 0.0), (31.0, 31.0), (16.0, 31.0)),
         "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
       s"""WITH ${CubeQueries.gridCubeSql},
         |clip AS (SELECT * FROM cube WHERE $diamond),
