@@ -26,6 +26,9 @@ object Reducers {
     case "min"          => min
     case "max"          => max
     case "count"        => c => count(c)
+    // openEO any/all over truthy cells (nonzero = true), null-ignoring
+    case "any"          => c => max(when(c =!= 0, 1.0).otherwise(0.0))
+    case "all"          => c => min(when(c =!= 0, 1.0).otherwise(0.0))
     case "median"       => c => median(c)
     case "sd" | "stddev" => c => stddev_samp(c)
     case "variance"     => c => var_samp(c)
@@ -716,12 +719,20 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
   /** openEO `resample_spatial` (downscale by an integer factor): bucket the
     * spatial coordinates and reduce. One aggregation, output is 1/factor²
     * of the input — the standard pyramid step. */
-  def resampleSpatial(factor: Int, reducer: String = "mean"): DataCube = {
+  def resampleSpatial(factor: Int, reducer: String = "mean"): DataCube =
+    aggregateSpatialWindow(factor, factor, reducer)
+
+  /** openEO `aggregate_spatial_window`: reduce non-overlapping
+    * `sizeX`×`sizeY` blocks; output coordinates are the window indices.
+    * One aggregation — the window index is pure column arithmetic, so the
+    * only shuffle is the reduce itself. */
+  def aggregateSpatialWindow(sizeX: Int, sizeY: Int,
+                             reducer: String = "mean"): DataCube = {
     val xd = requireDim(xDim, "x")
     val yd = requireDim(yDim, "y")
     val bucketed = df
-      .withColumn(xd, floor(col(xd) / factor).cast("long"))
-      .withColumn(yd, floor(col(yd) / factor).cast("long"))
+      .withColumn(xd, floor(col(xd) / sizeX).cast("long"))
+      .withColumn(yd, floor(col(yd) / sizeY).cast("long"))
     copy(df = bucketed.groupBy(dims.map(col): _*)
       .agg(Reducers(reducer)(v).as(valueCol)))
   }

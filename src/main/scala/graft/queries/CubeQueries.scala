@@ -343,6 +343,24 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
+    "cube_agg_window" -> { (s, d) =>
+      gridCube(s, d).aggregateSpatialWindow(8, 4, "max")
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
+    "cube_reduce_any" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"),
+        col("user_id"), col("value")))
+      val flags = c.applyUnary(v => when(v > 0.9, 1.0).otherwise(0.0))
+      flags.reduceDimension("t", "any").df
+        .join(flags.reduceDimension("t", "all").df
+            .withColumnRenamed("value", "all_hi"), Seq("band", "user_id"))
+        .select(col("band"), col("user_id"), col("value").as("any_hi"),
+          col("all_hi"))
+    },
+
     "cube_zonal_polygons" -> { (s, d) =>
       gridCube(s, d)
         .aggregateSpatialPolygons(zonePolygons, "mean", extraKeys = Seq("band"))
@@ -739,6 +757,20 @@ object CubeQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type, user_id
         |  ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+
+    "cube_agg_window" ->
+      s"""WITH $gridCubeSql
+        |SELECT x // 8 AS x, y // 4 AS y, band,
+        |  floor((max(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube GROUP BY 1, 2, 3""".stripMargin,
+
+    "cube_reduce_any" ->
+      """SELECT event_type AS band, user_id,
+        |  max(CASE WHEN value > 0.9 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END) AS any_hi,
+        |  min(CASE WHEN value > 0.9 THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END) AS all_hi
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "cube_zonal_polygons" -> {
       val px = "CAST(x AS DOUBLE)"
