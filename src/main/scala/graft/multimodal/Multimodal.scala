@@ -94,6 +94,21 @@ object Multimodal extends Serializable {
         expr(s"substring(payload, frame_idx * $frameLen + 1, $frameLen)"))
   }
 
+  /** Embedding-extraction stub: an L1-normalized 16-bin byte histogram as
+    * `array<double>` — the column that feeds the similarity/dedup operators
+    * (SURVEY §2D5–D7), so media → embedding → ANN is one declarative
+    * pipeline. A real build swaps this expression for an encoder call; the
+    * schema contract (fixed-width numeric array per item) is the real one.
+    * Pure column math — no UDF, stays in codegen. */
+  def embedStub(text: org.apache.spark.sql.Column,
+                bins: Int = 16): org.apache.spark.sql.Column = {
+    val codes = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))))
+    val n = size(codes).cast("double")
+    transform(sequence(lit(0), lit(bins - 1)),
+      b => size(filter(codes, c => floor(c / 16) === b)) / n)
+  }
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map("%02x".format(_)).mkString

@@ -70,6 +70,14 @@ object PipelineQueries {
           Exact.rnd4(col("mean_intensity")).as("mean_intensity"))
     },
 
+    // media → embedding: the column contract that feeds the ANN/dedup
+    // operators, as one declarative pipeline stage
+    "multimodal_embed" -> { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      media.select(col("media_id"),
+        Multimodal.embedStub(decode(col("payload"), "utf-8")).as("embedding"))
+    },
+
     "process_graph" -> { (s, d) =>
       new ProcessGraph(s, d).run(demoGraph)
         .select(to_date(col("time")).as("day"), col("band"),
@@ -129,6 +137,18 @@ object PipelineQueries {
         |           i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text))
         |    * 10000 + 0.5) / 10000.0 AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "multimodal_embed" ->
+      """WITH codes AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> ord(substr(text, i, 1))) AS cs
+        |  FROM documents)
+        |SELECT media_id,
+        |  list_transform(generate_series(0, 15),
+        |    b -> len(list_filter(cs, c -> c // 16 = b))
+        |         / CAST(len(cs) AS DOUBLE)) AS embedding
+        |FROM codes""".stripMargin,
 
     "stac_load" ->
       """SELECT event_id, floor((value) * 10000 + 0.5) / 10000.0 AS value
