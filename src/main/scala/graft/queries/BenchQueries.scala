@@ -60,6 +60,20 @@ object BenchQueries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(Exact.rnd4(Exact.esum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+    },
+
+    // Skew.saltedJoin end-to-end: fact keys are pathologically hot by
+    // construction (brand has ~25 values over 60k+ rows); the salted join
+    // must produce exactly the plain-join aggregate.
+    "q_salted_join" -> { (s, d) =>
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val dim = Tables.part(s, d)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.core.Skew.saltedJoin(fact, dim, Seq("partkey"), salts = 8)
+        .groupBy("p_brand")
+        .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
     }
   )
 
@@ -96,6 +110,13 @@ object BenchQueries {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand,
+        | floor((CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin
   )
 }
