@@ -843,6 +843,75 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       :+ (d1 / dd).as("c1") :+ (d2 / dd).as("c2")): _*)
   }
 
+  /** `fit_curve` for an arbitrary polynomial degree. Same shape as the
+    * quadratic: ONE partial-agg shuffle computes the per-series moments
+    * Σtᵏ (k ≤ 2d) and Σtᵏv (k ≤ d); the (d+1)×(d+1) normal equations are
+    * then solved per SERIES row (already one row per series after the
+    * aggregate — the solve is O(d³) on a handful of doubles, applied
+    * distributed, never a collect). Returns seriesDims + `coefs` array
+    * with c0..cd.
+    */
+  def fitCurvePoly(seriesDims: Seq[String], epoch: String,
+                   degree: Int): DataFrame = {
+    require(degree >= 1 && degree <= 8, s"fit_curve degree: $degree")
+    val t = requireDim(timeDim, "temporal")
+    import graft.core.Exact
+    val td = (unix_micros(col(t)) -
+      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val pre = df.filter(v.isNotNull).select(
+      (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
+    def tpow(k: Int): Column =
+      (1 to k).map(_ => col("_t")).foldLeft(lit(1.0))(_ * _)
+    val momentAggs = (0 to 2 * degree).map(k =>
+      Exact.esum(tpow(k)).as(s"_s$k"))
+    val rhsAggs = (0 to degree).map(k =>
+      Exact.esum(tpow(k) * col("_v")).as(s"_r$k"))
+    val g = pre.groupBy(seriesDims.map(col): _*)
+      .agg((momentAggs ++ rhsAggs).head, (momentAggs ++ rhsAggs).tail: _*)
+    val solve = udf { (s: Seq[Double], r: Seq[Double]) =>
+      // Gaussian elimination with partial pivoting on the normal equations
+      val n = r.length
+      val a = Array.tabulate(n, n)((i, j) => s(i + j))
+      val b = r.toArray
+      for (col0 <- 0 until n) {
+        val piv = (col0 until n).maxBy(i => math.abs(a(i)(col0)))
+        val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+        val tb = b(col0); b(col0) = b(piv); b(piv) = tb
+        for (row <- col0 + 1 until n) {
+          val f = a(row)(col0) / a(col0)(col0)
+          for (j <- col0 until n) a(row)(j) -= f * a(col0)(j)
+          b(row) -= f * b(col0)
+        }
+      }
+      val x = new Array[Double](n)
+      for (i <- n - 1 to 0 by -1) {
+        var acc = b(i)
+        for (j <- i + 1 until n) acc -= a(i)(j) * x(j)
+        x(i) = acc / a(i)(i)
+      }
+      x.toSeq
+    }
+    g.select((seriesDims.map(col)
+      :+ solve(array((0 to 2 * degree).map(k => col(s"_s$k")): _*),
+        array((0 to degree).map(k => col(s"_r$k")): _*)).as("coefs")): _*)
+  }
+
+  /** `predict_curve` for fitCurvePoly coefficients: value = Σ cₖ·tᵏ with a
+    * broadcast join of the per-series coefficient rows. */
+  def predictCurvePoly(coefs: DataFrame, seriesDims: Seq[String],
+                       epoch: String, degree: Int): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    val td = (unix_micros(col(t)) -
+      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val poly = (0 to degree).map { k =>
+      element_at(col("coefs"), k + 1) *
+        (1 to k).map(_ => td).foldLeft(lit(1.0))(_ * _)
+    }.reduce(_ + _)
+    copy(df = df.join(broadcast(coefs), seriesDims)
+      .withColumn(valueCol, poly)
+      .drop("coefs"))
+  }
+
   /** openEO `predict_curve`: evaluate fitted per-series coefficients at the
     * cube's own timestamps (broadcast join on the series key). */
   def predictCurveQuadratic(coefs: DataFrame, seriesDims: Seq[String],

@@ -343,6 +343,17 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
+    // arbitrary-degree fit: rows-only in the gate (no closed-form SQL
+    // mirror); exact-recovery invariants live in CubeSpec
+    "cube_fit_cubic" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.fitCurvePoly(Seq("band"), "2024-01-01", degree = 3)
+        .select((col("band") +:
+          (0 to 3).map(k => Exact.rnd4(element_at(col("coefs"), k + 1))
+            .as(s"c$k"))): _*)
+    },
+
     "cube_agg_window" -> { (s, d) =>
       gridCube(s, d).aggregateSpatialWindow(8, 4, "max")
         .df.select(col("x"), col("y"), col("band"),

@@ -141,6 +141,31 @@ class CubeSpec extends SparkSpec {
     assert(got == Seq((0, 12.0), (1, 10.0), (2, 11.0)))
   }
 
+  test("fit_curve poly degree 3 recovers exact cubic; predict round-trips") {
+    import spark.implicits._
+    val epoch = "2024-01-01"
+    def f(t: Double) = 2.0 + 0.5 * t - 0.3 * t * t + 0.01 * t * t * t
+    val rows = (0 until 24).map { t =>
+      ("b", java.sql.Timestamp.valueOf(s"2024-01-${t + 1} 00:00:00"), f(t))
+    }
+    val c = DataCube(rows.toDF("band", "time", "value"))
+    val coefs = c.fitCurvePoly(Seq("band"), epoch, 3).collect().head
+      .getSeq[Double](1)
+    val expect = Seq(2.0, 0.5, -0.3, 0.01)
+    coefs.zip(expect).foreach { case (got, e) =>
+      assert(math.abs(got - e) < 1e-6, s"coef $got vs $e")
+    }
+    val pred = c.predictCurvePoly(
+      c.fitCurvePoly(Seq("band"), epoch, 3), Seq("band"), epoch, 3)
+    val maxErr = pred.df.select(col("time"), col("value"))
+      .collect().map { r =>
+        val t = (r.getTimestamp(0).getTime -
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime) / 86400000.0
+        math.abs(r.getDouble(1) - f(t))
+      }.max
+    assert(maxErr < 1e-6, s"predict error $maxErr")
+  }
+
   test("processing expression: whitelisted sql applies, unsafe rejected") {
     import spark.implicits._
     val c = DataCube(Seq(("a", 4.0)).toDF("band", "value"))
