@@ -37,4 +37,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [cosinesimilarity"),
       s"no codegen span in:\n$plan")
   }
+
+  test("openEO scalar SQL functions: nd / clip / scale / hash_sample") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT normalized_difference(3.0D, 1.0D) AS nd,
+        |  clip_value(5.0D, 0.0D, 2.0D) AS cl,
+        |  linear_scale_range(0.5D, 0.0D, 1.0D, -1.0D, 1.0D) AS ls""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 2.0 &&
+      r.getDouble(2) == 0.0)
+    // hash_sample must equal TextFunctions.hashSampleKeep row for row
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM ext_docs WHERE hash_sample(doc_id, 0.3)")
+    val viaCol = docs.filter(
+      graft.functions.TextFunctions.hashSampleKeep(col("doc_id"), 0.3))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() > 0)
+    intercept[Exception] {
+      spark.sql("SELECT hash_sample(doc_id, doc_id) FROM ext_docs").collect()
+    }
+  }
 }
