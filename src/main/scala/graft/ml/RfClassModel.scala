@@ -139,9 +139,13 @@ final case class RfUntrained(numTrees: Int, maxVariables: String, seed: Long,
     */
   def fit(df: DataFrame, featuresCol: String = "embedding",
           labelCol: String = "label"): RfClassModel = {
+    // cache: tree training makes one pass per depth level, and the class
+    // list / feature width / holdout metrics add three more — without this
+    // every pass re-reads the source and re-builds the vectors
     val prepared = df.select(
       array_to_vector(col(featuresCol).cast("array<double>")).as("features"),
-      (col(labelCol) + 1).cast("double").as("label"))
+      (col(labelCol) + 1).cast("double").as("label"),
+      size(col(featuresCol)).as("_w")).cache()
     val Array(train, test) = prepared.randomSplit(Array(0.85, 0.15), seed)
     val rf = new RandomForestClassifier()
       .setNumTrees(numTrees)
@@ -150,9 +154,10 @@ final case class RfUntrained(numTrees: Int, maxVariables: String, seed: Long,
       .setSeed(seed)
     val m = rf.fit(train)
     val (acc, kappa) = holdoutMetrics(m.transform(test))
-    val classes = df.select(col(labelCol).cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    val width = df.select(size(col(featuresCol))).first().getInt(0)
+    val classes = prepared.select((col("label") - 1).cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val width = prepared.select(col("_w")).first().getInt(0)
+    prepared.unpersist()
     val spec = MlmSpec(
       name = name,
       inputShape = Seq(-1, width),
