@@ -21,18 +21,38 @@ object StacCatalog {
 
   private val mapper = new ObjectMapper()
 
+  /** One property predicate against item metadata: `op` ∈
+    * lt | lte | gt | gte | eq (numeric), like the reference's
+    * load_collection `properties` argument (custom_processes.py:60). */
+  final case class PropertyFilter(name: String, op: String, value: Double) {
+    def accepts(x: Double): Boolean = op match {
+      case "lt" => x < value
+      case "lte" => x <= value
+      case "gt" => x > value
+      case "gte" => x >= value
+      case "eq" => x == value
+      case other => throw new IllegalArgumentException(s"property op: $other")
+    }
+  }
+
   /** Items overlapping the extent (ISO-8601 strings compare
-    * lexicographically, so no datetime parsing is needed). */
+    * lexicographically, so no datetime parsing is needed) and passing all
+    * property filters. Items missing a filtered property are excluded,
+    * the STAC convention. */
   def selectAssets(catalogPath: String,
-                   temporalExtent: Option[(String, String)]): Seq[String] = {
+                   temporalExtent: Option[(String, String)],
+                   properties: Seq[PropertyFilter] = Nil): Seq[String] = {
     val root = mapper.readTree(new java.io.File(catalogPath))
     val feats = root.path("features").elements().asScala.toSeq
     val selected = feats.filter { f =>
-      temporalExtent.forall { case (from, to) =>
-        val p = f.path("properties")
+      val p = f.path("properties")
+      val inExtent = temporalExtent.forall { case (from, to) =>
         val s = p.path("start_datetime").asText(p.path("datetime").asText(""))
         val e = p.path("end_datetime").asText(p.path("datetime").asText(""))
         s < to && e >= from
+      }
+      inExtent && properties.forall { pf =>
+        p.has(pf.name) && pf.accepts(p.path(pf.name).asDouble())
       }
     }
     selected.map(_.path("assets").path("data").path("href").asText())
@@ -43,8 +63,9 @@ object StacCatalog {
     * row-level extent filter (reaches PushedFilters). */
   def loadCollection(spark: SparkSession, catalogPath: String,
                      temporalExtent: Option[(String, String)] = None,
-                     timeCol: String = "ts"): DataFrame = {
-    val hrefs = selectAssets(catalogPath, temporalExtent)
+                     timeCol: String = "ts",
+                     properties: Seq[PropertyFilter] = Nil): DataFrame = {
+    val hrefs = selectAssets(catalogPath, temporalExtent, properties)
     require(hrefs.nonEmpty, "no catalog items overlap the requested extent")
     val df = spark.read.parquet(hrefs: _*)
     temporalExtent.fold(df) { case (from, to) =>

@@ -81,17 +81,18 @@ class PipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_stacspec_")
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("event_id", "ts", "value")
-    val weeks = Seq(("w1", "2024-01-01", "2024-01-08"),
-      ("w2", "2024-01-08", "2024-01-15"),
-      ("w3", "2024-01-15", "2024-01-22"),
-      ("w4", "2024-01-22", "2024-02-01"))
-    val items = weeks.map { case (id, from, to) =>
+    val weeks = Seq(("w1", "2024-01-01", "2024-01-08", 10),
+      ("w2", "2024-01-08", "2024-01-15", 80),
+      ("w3", "2024-01-15", "2024-01-22", 30),
+      ("w4", "2024-01-22", "2024-02-01", 5))
+    val items = weeks.map { case (id, from, to, cc) =>
       val href = s"$dir/$id.parquet"
       ev.filter(col("ts") >= lit(from).cast("timestamp") &&
         col("ts") < lit(to).cast("timestamp"))
         .coalesce(1).write.mode("overwrite").parquet(href)
       s"""{"type": "Feature", "id": "$id",
-         |  "properties": {"start_datetime": "$from", "end_datetime": "$to"},
+         |  "properties": {"start_datetime": "$from", "end_datetime": "$to",
+         |                 "eo:cloud_cover": $cc},
          |  "assets": {"data": {"href": "$href"}}}""".stripMargin
     }
     java.nio.file.Files.writeString(
@@ -103,6 +104,17 @@ class PipelineSpec extends SparkSpec {
     // only w1..w3 overlap: w4's file must not even appear in the scan
     val files = loaded.inputFiles.map(_.replaceAll(".*/(w\\d)\\.parquet.*", "$1")).toSet
     assert(files == Set("w1", "w2", "w3"), s"expected 3 pruned assets, got $files")
+    // property filters compound with the extent
+    import graft.sources.StacCatalog.PropertyFilter
+    val lowCloud = graft.sources.StacCatalog.selectAssets(
+      s"$dir/catalog.json", Some(("2024-01-05", "2024-01-18")),
+      Seq(PropertyFilter("eo:cloud_cover", "lt", 50)))
+      .map(_.replaceAll(".*/(w\\d)\\.parquet.*", "$1")).toSet
+    assert(lowCloud == Set("w1", "w3"), s"got $lowCloud")
+    // items missing a filtered property are excluded (STAC convention)
+    val noProp = graft.sources.StacCatalog.selectAssets(
+      s"$dir/catalog.json", None, Seq(PropertyFilter("nope", "lt", 1)))
+    assert(noProp.isEmpty)
     val n = loaded.count()
     val expected = graft.core.Tables.events(spark, sfDir)
       .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
