@@ -38,6 +38,20 @@ object StreamQueries {
           graft.core.Exact.rnd4(col("value")).as("value"))
     },
 
+    // semi-structured props: JSON column → typed extraction (from_json with
+    // an explicit schema — vectorized single parse, unlike repeated
+    // get_json_object calls) → relational aggregate
+    "events_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(col("k")).as("n_k"),
+          max("k").as("max_k"))
+    },
+
     // E4 batch-parity: broadcast enrichment against the customer dim.
     "events_enrich" -> { (s, d) =>
       val dim = Tables.customer(s, d)
@@ -89,6 +103,13 @@ object StreamQueries {
 
     "events_enrich" ->
       """SELECT event_id, user_id, c_mktsegment
-        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
+        |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(json_extract_string(props, '$.k')) AS n_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
