@@ -29,6 +29,21 @@ object Sinks {
     }
   }
 
+  /** Bucketed table write — the co-located-join layout from SURVEY §5:
+    * both sides of a recurring fact⋈fact join are written bucketed (and
+    * sorted) by the join key, so the join plan has NO Exchange on either
+    * side — at 100 TB that is the difference between re-shuffling the lake
+    * on every run and a purely local merge join per bucket. Bucketing
+    * requires the catalog (`saveAsTable`); `database.table` names work.
+    */
+  def saveBucketed(df: DataFrame, table: String, buckets: Int,
+                   keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** load_collection analog for results written by saveResult. */
   def loadResult(spark: org.apache.spark.sql.SparkSession, path: String,
                  format: String = "parquet"): DataFrame = format match {

@@ -67,6 +67,39 @@ class PlanSpec extends SparkSpec {
       s"queries must broadcast against the corpus scan:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    import graft.core.Tables
+    import graft.sources.Sinks
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.saveBucketed(Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity"), "b_lineitem", 8, Seq("l_orderkey"))
+    Sinks.saveBucketed(Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate"), "b_orders", 8, Seq("o_orderkey"))
+    // at test scale the planner would broadcast instead (also bucket-free);
+    // disable broadcast to surface the merge-join path a fact-fact join of
+    // two 100 TB tables would take
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected merge join:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("projection pruning reaches the scan (ReadSchema is narrow)") {
     val p = plan(Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(sum("l_quantity")))
