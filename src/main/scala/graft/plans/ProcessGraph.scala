@@ -133,6 +133,44 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode).reduceDimension(
         args.get("dimension").asText(), args.get("reducer").asText())
 
+    // apply_dimension with the along-dim process vocabulary: cumulative
+    // reducers ("cumsum"/"cummax"/…) or a centered moving window
+    case "apply_dimension" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val dim = args.path("dimension").asText("t")
+      val resolved = graft.cube.DimAliases.alternative(cube.dims, dim)
+        .getOrElse(throw new IllegalArgumentException(
+          s"apply_dimension: no dimension $dim"))
+      val series = cube.dims.filterNot(_ == resolved)
+      args.get("process").asText() match {
+        case p if p.startsWith("cum") =>
+          cube.cumulateOverDim(resolved, series, reducer = p.stripPrefix("cum"))
+        case "moving_mean" =>
+          cube.movingAggregate(resolved, series,
+            before = args.path("width").asInt(1),
+            after = args.path("width").asInt(1), reducer = "mean")
+        case "sort"  => cube.sortAlongDim(resolved)
+        case "order" => cube.orderAlongDim(resolved, series)
+        case other =>
+          throw new IllegalArgumentException(s"apply_dimension: $other")
+      }
+
+    case "fit_curve" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val series = cube.dims.filterNot(d =>
+        graft.cube.DimAliases.alternative(Seq(d), "t").isDefined)
+      cube.copy(df = cube.fitCurvePoly(series,
+        args.path("epoch").asText("2024-01-01"),
+        args.path("degree").asInt(2)))
+
+    case "predict_curve" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val coefs = cubeArg(args, "parameters", evalNode)
+      cube.predictCurvePoly(coefs.df,
+        coefs.dims.filterNot(_ == "coefs"),
+        args.path("epoch").asText("2024-01-01"),
+        args.path("degree").asInt(2))
+
     case "aggregate_temporal_period" =>
       cubeArg(args, "data", evalNode).aggregateTemporalPeriod(
         args.get("period").asText(), args.get("reducer").asText())

@@ -76,6 +76,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("process graph: apply_dimension and curve fit/predict compose") {
+    import org.apache.spark.sql.functions._
+    val pg = new ProcessGraph(spark, sfDir)
+    val cum = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "c": {"process_id": "apply_dimension",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "dimension": "t", "process": "cumsum"},
+        |       "result": true}}""".stripMargin)
+    val base = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"},
+        |       "result": true}}""".stripMargin)
+    assert(cum.count() == base.count())
+    // cumsum's max per band equals the plain sum per band
+    val sums = base.groupBy("band").agg(sum("value").as("s"))
+      .join(cum.groupBy("band").agg(max("value").as("m")), Seq("band"))
+      .select(abs(col("s") - col("m")).as("d")).collect().map(_.getDouble(0))
+    assert(sums.forall(_ < 1e-6))
+    val pred = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "f": {"process_id": "fit_curve",
+        |       "arguments": {"data": {"from_node": "l"}, "degree": 2}},
+        | "p": {"process_id": "predict_curve",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "parameters": {"from_node": "f"}, "degree": 2},
+        |       "result": true}}""".stripMargin)
+    assert(pred.count() == base.count())
+    assert(pred.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+  }
+
   test("stac catalog: extent prunes asset FILES, not just rows") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_stacspec_")
