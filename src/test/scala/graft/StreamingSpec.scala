@@ -93,6 +93,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest: windowed stats over incrementally arriving files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(col("user_id") < 20).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = EventStreams.windowedStats(stream)
+      .writeStream.format("memory").queryName("file_ws_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // second file lands later — the lake-ingest shape
+      ev.filter(col("user_id") >= 20).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("file_ws_parity")
+      val batch = EventStreams.windowedStats(ev)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "file-source streaming diverges from batch over the same files")
+    } finally q.stop()
+  }
+
   test("E3 dedup: dropDuplicatesWithinWatermark equals batch first-wins") {
     import spark.implicits._
     val events = realEvents(30)
