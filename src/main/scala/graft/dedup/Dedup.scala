@@ -145,14 +145,27 @@ object Dedup {
     * `persist` alone measured minutes where the checkpointed loop takes
     * milliseconds). On a cluster with a checkpoint dir, `checkpoint` adds
     * fault tolerance with the same algorithm.
+    *
+    * Convergence is adaptive: the total of all labels is strictly
+    * decreasing until the fixpoint, so one tiny aggregate per round
+    * (labels are one row per node, already materialized) detects it
+    * exactly — a fixed round count silently under-converges when the
+    * collision graph grows longer chains at larger corpus sizes.
+    * `maxIterations` only caps the pathological case.
     */
-  def resolveClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIterations: Int = 32): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
+      round += 1
       val nbrMin = edges.join(labels.select(col("id").as("src"), col("label")),
           Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("label").as("_nl"))
@@ -165,6 +178,9 @@ object Dedup {
       labels = propagated.join(lookup, col("label") === col("_lid"), "left")
         .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
         .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
     }
     labels.groupBy(col("label").as("survivor"))
       .agg(count(lit(1)).as("n_members"))

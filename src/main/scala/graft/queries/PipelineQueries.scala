@@ -70,6 +70,21 @@ object PipelineQueries {
           Exact.rnd4(col("mean_intensity")).as("mean_intensity"))
     },
 
+    // frame sampling end-to-end: video payloads → every 2nd 64-byte frame
+    // → per-frame mean intensity (the shape a frame-level encoder consumes)
+    "multimodal_frames" -> { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+      val frames = Multimodal.frameSample(media, frameLen = 64, every = 2)
+      val txt = decode(col("frame"), "utf-8")
+      val codes = transform(sequence(lit(1), length(txt)),
+        i => ascii(txt.substr(i, lit(1))))
+      frames.select(col("media_id"), col("frame_idx"),
+        length(txt).as("n"),
+        Exact.rnd4(aggregate(codes, lit(0L), (acc, c) => acc + c)
+          .cast("double") / length(txt)).as("mean_i"))
+    },
+
     // media → embedding: the column contract that feeds the ANN/dedup
     // operators, as one declarative pipeline stage
     "multimodal_embed" -> { (s, d) =>
@@ -137,6 +152,24 @@ object PipelineQueries {
         |           i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text))
         |    * 10000 + 0.5) / 10000.0 AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, text,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(length(text) // 64 AS INT) - 1, 0), 2)) AS frame_idx
+        |  FROM media),
+        |fr AS (
+        |  SELECT media_id, frame_idx,
+        |    substr(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS frame
+        |  FROM f)
+        |SELECT media_id, frame_idx, length(frame) AS n,
+        |  floor((CAST(list_sum(list_transform(generate_series(1, length(frame)),
+        |      i -> ord(substr(frame, i, 1)))) AS DOUBLE) / length(frame))
+        |    * 10000 + 0.5) / 10000.0 AS mean_i
+        |FROM fr""".stripMargin,
 
     "multimodal_embed" ->
       """WITH codes AS (
