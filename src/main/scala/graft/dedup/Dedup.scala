@@ -133,56 +133,28 @@ object Dedup {
     * (minhash/simhash/embedding) in a real dedup pipeline, where chains
     * a~b~c must collapse to one kept document.
     *
-    * Iterative min-label propagation with pointer-jumping: each round every
-    * node adopts the smallest label among itself and its neighbors, then
-    * compresses by adopting its label's label — chains halve per round, so
-    * convergence is O(log diameter). Each round is one shuffle join keyed
-    * by node id — O(edges) per round, no driver-side graph.
+    * GraphX `connectedComponents` does the propagation: Pregel iterates
+    * min-label exchange to the exact fixpoint with proper per-round
+    * persist/unpersist management (a hand-rolled DataFrame loop measured
+    * exponentially degrading rounds out of unpersistable localCheckpoint
+    * state — the graph library exists precisely for this). The component
+    * label is the smallest member id, matching the oracle's
+    * recursive-reachability minimum deterministically.
     *
-    * Rounds are materialized with an eager `localCheckpoint`: labels feed
-    * two plans per round, and without hard lineage truncation the nested
-    * lazy plan stalls (broadcast-inside-cached-plan materialization;
-    * `persist` alone measured minutes where the checkpointed loop takes
-    * milliseconds). On a cluster with a checkpoint dir, `checkpoint` adds
-    * fault tolerance with the same algorithm.
-    *
-    * Convergence is adaptive: the total of all labels is strictly
-    * decreasing until the fixpoint, so one tiny aggregate per round
-    * (labels are one row per node, already materialized) detects it
-    * exactly — a fixed round count silently under-converges when the
-    * collision graph grows longer chains at larger corpus sizes.
-    * `maxIterations` only caps the pathological case.
+    * Scale: GraphX partitions edges; each superstep is O(edges) messages.
+    * Candidate-pair graphs are orders of magnitude smaller than the
+    * corpus — only documents that collided in some LSH bucket appear.
     */
-  def resolveClusters(pairs: DataFrame, maxIterations: Int = 32): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxIterations) {
-      round += 1
-      val nbrMin = edges.join(labels.select(col("id").as("src"), col("label")),
-          Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min("label").as("_nl"))
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val lookup = propagated.select(col("id").as("_lid"),
-        col("label").as("_ll"))
-      labels = propagated.join(lookup, col("label") === col("_lid"), "left")
-        .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
-    }
-    labels.groupBy(col("label").as("survivor"))
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    val edgeRdd = pairs.select(col("doc_a").cast("long"),
+        col("doc_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    import spark.implicits._
+    cc.map { case (id, label) => (id, label) }.toDF("id", "label")
+      .groupBy(col("label").as("survivor"))
       .agg(count(lit(1)).as("n_members"))
   }
 
