@@ -722,6 +722,25 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
   def resampleSpatial(factor: Int, reducer: String = "mean"): DataCube =
     aggregateSpatialWindow(factor, factor, reducer)
 
+  /** `resample_spatial` in the upscale direction: each cell becomes a
+    * `factor`×`factor` block of cells carrying its value (nearest-neighbor
+    * upsampling). Map-side explode — output is factor² × input rows, no
+    * shuffle. */
+  def upsampleSpatial(factor: Int): DataCube = {
+    require(factor >= 1, s"upsample factor: $factor")
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val offs = for { dx <- 0 until factor; dy <- 0 until factor }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val keep = dims.filterNot(d => d == xd || d == yd)
+    copy(df = df
+      .select((keep.map(col) :+ col(xd) :+ col(yd) :+ v
+        :+ explode(array(offs: _*)).as("k")): _*)
+      .select((keep.map(col)
+        :+ (col(xd) * factor + col("k.dx")).as(xd)
+        :+ (col(yd) * factor + col("k.dy")).as(yd) :+ v): _*))
+  }
+
   /** openEO `aggregate_spatial_window`: reduce non-overlapping
     * `sizeX`×`sizeY` blocks; output coordinates are the window indices.
     * One aggregation — the window index is pure column arithmetic, so the

@@ -220,6 +220,19 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode).resampleSpatial(
         args.path("resolution").asInt(2), args.path("method").asText("mean"))
 
+    case "resample_spatial_up" =>
+      cubeArg(args, "data", evalNode)
+        .upsampleSpatial(args.path("factor").asInt(2))
+
+    // openEO run_udf: user code against the cube. Runtime `sql` maps to the
+    // whitelisted processing-expression path (no arbitrary code, like the
+    // reference's module whitelist); other runtimes raise not-implemented.
+    case "run_udf" =>
+      graft.ml.ProcessExpression.scaleCube(
+        cubeArg(args, "data", evalNode),
+        args.path("runtime").asText("sql"),
+        args.get("udf").asText())
+
     case "apply_neighborhood" =>
       cubeArg(args, "data", evalNode).applyNeighborhood(
         args.path("size_x").asInt(1), args.path("size_y").asInt(1),

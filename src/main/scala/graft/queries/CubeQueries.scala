@@ -354,6 +354,12 @@ object CubeQueries {
             .as(s"c$k"))): _*)
     },
 
+    "cube_upsample" -> { (s, d) =>
+      gridCube(s, d).filterBbox(0, 16, 0, 16).upsampleSpatial(2)
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
     "cube_agg_window" -> { (s, d) =>
       gridCube(s, d).aggregateSpatialWindow(8, 4, "max")
         .df.select(col("x"), col("y"), col("band"),
@@ -768,6 +774,13 @@ object CubeQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type, user_id
         |  ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+
+    "cube_upsample" ->
+      s"""WITH $gridCubeSql,
+        |off(dx, dy) AS (VALUES (0,0),(0,1),(1,0),(1,1))
+        |SELECT x * 2 + dx AS x, y * 2 + dy AS y, band, value
+        |FROM cube CROSS JOIN off
+        |WHERE x >= 0 AND x < 16 AND y >= 0 AND y < 16""".stripMargin,
 
     "cube_agg_window" ->
       s"""WITH $gridCubeSql

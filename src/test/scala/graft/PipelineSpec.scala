@@ -104,6 +104,26 @@ class PipelineSpec extends SparkSpec {
         |       "result": true}}""".stripMargin)
     assert(pred.count() == base.count())
     assert(pred.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+    // run_udf with the sql runtime routes through the whitelisted
+    // processing-expression path
+    val udf = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "u": {"process_id": "run_udf",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "udf": "x * 2 + 1", "runtime": "sql"},
+        |       "result": true}}""".stripMargin)
+    val su = udf.agg(sum("value")).collect()(0).getDouble(0)
+    val br = base.agg(sum("value"), count(lit(1))).collect()(0)
+    val expected = 2 * br.getDouble(0) + br.getLong(1)
+    assert(math.abs(su - expected) < 1e-6, s"$su vs $expected")
+    intercept[IllegalArgumentException] {
+      pg.run(
+        """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+          | "u": {"process_id": "run_udf",
+          |       "arguments": {"data": {"from_node": "l"},
+          |                     "udf": "md5(x)", "runtime": "sql"},
+          |       "result": true}}""".stripMargin)
+    }
   }
 
   test("stac catalog: extent prunes asset FILES, not just rows") {
