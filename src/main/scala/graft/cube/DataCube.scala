@@ -488,6 +488,18 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     copy(df = df.withColumn(valueCol, when(masked, repl).otherwise(v)))
   }
 
+  /** openEO `apply_polygon`: apply `f` to cells inside the polygon, leave
+    * the rest untouched (the region-scoped apply). Pure column math —
+    * the ray-cast test and the function both stay in codegen. */
+  def applyPolygon(polygon: Seq[(Double, Double)],
+                   f: Column => Column): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val in = insidePolygon(polygon, col(xd).cast("double"),
+      col(yd).cast("double"))
+    copy(df = df.withColumn(valueCol, when(in, f(v)).otherwise(v)))
+  }
+
   /** openEO `filter_spatial`: keep only cells inside the polygon — unlike
     * mask_polygon this drops the rows, so downstream operators scan less. */
   def filterSpatial(polygon: Seq[(Double, Double)]): DataCube = {

@@ -354,6 +354,12 @@ object CubeQueries {
             .as(s"c$k"))): _*)
     },
 
+    "cube_apply_polygon" -> { (s, d) =>
+      gridCube(s, d).applyPolygon(diamond, v => v * 2 + 1)
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
     "cube_upsample" -> { (s, d) =>
       gridCube(s, d).filterBbox(0, 16, 0, 16).upsampleSpatial(2)
         .df.select(col("x"), col("y"), col("band"),
@@ -774,6 +780,15 @@ object CubeQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type, user_id
         |  ORDER BY ts, event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+
+    "cube_apply_polygon" -> {
+      val inside = insideSql(diamond, "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      s"""WITH $gridCubeSql
+        |SELECT x, y, band,
+        |  floor((CASE WHEN $inside THEN value * 2 + 1 ELSE value END)
+        |    * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube""".stripMargin
+    },
 
     "cube_upsample" ->
       s"""WITH $gridCubeSql,
