@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated testdata lake (TESTDATA.md).
@@ -48,8 +48,13 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      def ns(t: String): Long = java.sql.Timestamp.valueOf(
-        java.time.LocalDateTime.parse(t + "T00:00:00")).getTime * 1000000L
+      // Nano bounds derived IN the session timezone (same interpretation as
+      // filterTemporal and the oracle); the expression is foldable, so
+      // constant folding turns it into a literal that still pushes to the
+      // parquet scan. JVM-default-TZ parsing here would shift the selected
+      // row range whenever session TZ != host TZ.
+      def ns(t: String): Column =
+        unix_micros(lit(t).cast("timestamp")) * lit(1000L)
       raw.filter(col("ts") >= ns(from) && col("ts") < ns(to))
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else {

@@ -27,8 +27,12 @@ object Reducers {
     case "max"          => max
     case "count"        => c => count(c)
     // openEO any/all over truthy cells (nonzero = true), null-ignoring
-    case "any"          => c => max(when(c =!= 0, 1.0).otherwise(0.0))
-    case "all"          => c => min(when(c =!= 0, 1.0).otherwise(0.0))
+    // (ignore_nodata=true): null cells stay null so max/min skip them, and
+    // an all-null group yields null — not false.
+    case "any" => c =>
+      max(when(c.isNotNull, when(c =!= 0, 1.0).otherwise(0.0)))
+    case "all" => c =>
+      min(when(c.isNotNull, when(c =!= 0, 1.0).otherwise(0.0)))
     case "median"       => c => median(c)
     case "sd" | "stddev" => c => stddev_samp(c)
     case "variance"     => c => var_samp(c)

@@ -162,22 +162,33 @@ object Dedup {
 
   /** 32-bit SimHash signature groups. Bit i of a document's signature is the
     * sign of Σ_tokens (hex digit i of md5(token) ≥ '8' ? +1 : −1) — token
-    * multiplicity acts as the weight. Explode + one groupBy per doc, then a
-    * groupBy on the signature for duplicate groups.
+    * multiplicity acts as the weight.
+    *
+    * The signature is a pure per-document computation, so it is built
+    * MAP-SIDE with higher-order functions over the token array: one md5
+    * transform per document, then 32 codegen'd filter-counts over the
+    * hash array (Σ signs > 0 ⟺ 2·hits > n). The only shuffle in the whole
+    * operator is the final O(docs) signature groupBy — the earlier
+    * explode+groupBy formulation shuffled O(tokens), which at lake scale
+    * was the dominant shuffle of the dedup suite.
     */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bitSums = (1 to 32).map { i =>
-      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"s_$i")
-    }
+    // own projection boundary: the 32 bit expressions below all reference
+    // `_hs`; CollapseProject keeps non-cheap multi-referenced expressions
+    // in their own projection, so the md5 transform runs once per doc
+    val hashed = docs
+      // token-less docs have no signature; filter BEFORE hashing so the
+      // pushed filter tests the cheap split, not the md5 transform
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        transform(TextFunctions.tokens(col(textCol)), t => md5(t)).as("_hs"))
+    val n = size(col("_hs"))
     val sig = concat((1 to 32).map { i =>
-      when(col(s"s_$i") > 0, "1").otherwise("0")
+      val hits = size(filter(col("_hs"), h => substring(h, i, 1) >= "8"))
+      when(hits * 2 > n, "1").otherwise("0")
     }: _*)
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sig.as("sig"))
+    hashed.select(col(idCol), sig.as("sig"))
       .groupBy("sig")
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_docs"))
   }

@@ -58,17 +58,27 @@ object ProcessExpression {
   }
 
   /** Apply a processing expression to a cube's value column. Only format
-    * `sql` is implemented; others raise like the reference. */
+    * `sql` is implemented; others raise like the reference.
+    *
+    * The substitution happens on the PARSED tree (UnresolvedAttribute("x")
+    * → the value column), so exactly the expression that was validated is
+    * executed — a textual rewrite would also hit 'x' inside string
+    * literals and could drift from the validated tree. */
   def scaleCube(cube: DataCube, format: String, expression: String): DataCube = {
     if (format != "sql")
       throw new UnsupportedOperationException(
         s"processing expression format '$format' not implemented")
-    validate(cube.df.sparkSession, expression)
-    val out = cube.df
-      .withColumn("_px", col(cube.valueCol))
-      .withColumn(cube.valueCol,
-        expr(expression.replaceAll("\\bx\\b", "_px")).cast("double"))
-      .drop("_px")
+    val spark = cube.df.sparkSession
+    validate(spark, expression)
+    val parsed = spark.sessionState.sqlParser.parseExpression(expression)
+    val substituted = parsed.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.name == "x" =>
+        org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute(Seq(cube.valueCol))
+    }
+    val out = cube.df.withColumn(cube.valueCol,
+      org.apache.spark.sql.GraftBridge.toColumn(substituted).cast("double"))
     cube.copy(df = out)
   }
 }

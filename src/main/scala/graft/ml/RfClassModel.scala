@@ -52,12 +52,22 @@ final class RfClassModel(
       case Some(v) => throw new IllegalArgumentException(s"unknown scaling ${v.kind}")
       case None    => guarded
     }
-    val withFeatures = df.withColumn("features",
+    // Reserved-name hygiene: assemble into uniquely-named temp columns (a
+    // caller's own `features`/`rawPrediction`/`probability` must survive);
+    // `prediction` IS the public output, so an existing one fails fast
+    // rather than being silently clobbered.
+    require(!df.columns.contains("prediction"),
+      "ml_predict: input already has a 'prediction' column")
+    val m2 = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("_graft_features")
+      .setRawPredictionCol("_graft_raw")
+      .setProbabilityCol("_graft_prob")
+    val withFeatures = df.withColumn("_graft_features",
       array_to_vector(scaled.cast("array<double>")))
     // decode the +1 label shift applied at fit time
-    m.transform(withFeatures)
+    m2.transform(withFeatures)
       .withColumn("prediction", col("prediction").cast("int") - 1)
-      .drop("features", "rawPrediction", "probability")
+      .drop("_graft_features", "_graft_raw", "_graft_prob")
   }
 
   /** ml_predict on a datacube (reference: data_model.py:438,666 — cube →

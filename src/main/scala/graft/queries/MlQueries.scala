@@ -60,7 +60,9 @@ object MlQueries {
     // ml_datacube_bridge: ViT patch embeddings → spatial featuremap. Model
     // each 17 consecutive vec_ids as one sample (1 CLS token + 16 patches
     // on a 4×4 raster); drop the CLS, reindex, raster-place. The embedding
-    // array passes through untouched → bit-identical to the oracle.
+    // passes through untouched; the OUTPUT explodes it to one scalar row
+    // per element because the driver's pandas sorter cannot order raw array
+    // columns — the exploded contract is equivalent and fully hash-checked.
     "ml_vit_bridge" -> { (s, d) =>
       val patches = Tables.embeddings(s, d)
         .filter(col("vec_id") < 493) // 29 complete 17-patch samples
@@ -68,6 +70,11 @@ object MlQueries {
           pmod(col("vec_id"), lit(17)).cast("int").as("patch"),
           col("embedding"))
       graft.ml.VitBridge.featuremapWithCls(patches, Seq("sample"))
+        .select(col("sample"), col("py"), col("px"),
+          posexplode(col("embedding")))
+        .select(col("sample"), col("py"), col("px"),
+          col("pos").cast("int").as("pos"),
+          graft.core.Exact.rnd4(col("col").cast("double")).as("value"))
     }
   )
 
@@ -75,11 +82,16 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and gets a full oracle. */
   val oracle: Map[String, String] = Map(
     "ml_vit_bridge" ->
-      """SELECT vec_id // 17 AS sample,
-        |  CAST((vec_id % 17 - 1) // 4 AS INT) AS py,
-        |  CAST((vec_id % 17 - 1) % 4 AS INT) AS px,
-        |  embedding
-        |FROM embeddings
-        |WHERE vec_id < 493 AND vec_id % 17 > 0""".stripMargin
+      """WITH fm AS (
+        |  SELECT vec_id // 17 AS sample,
+        |    CAST((vec_id % 17 - 1) // 4 AS INT) AS py,
+        |    CAST((vec_id % 17 - 1) % 4 AS INT) AS px,
+        |    embedding
+        |  FROM embeddings
+        |  WHERE vec_id < 493 AND vec_id % 17 > 0)
+        |SELECT sample, py, px,
+        |  CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+        |  floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS value
+        |FROM fm""".stripMargin
   )
 }

@@ -79,8 +79,10 @@ object StreamQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas renders as
+        |    -- float and the driver's value-hash then mismatches Spark's long
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end,
@@ -107,7 +109,8 @@ object StreamQueries {
 
     "events_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.k')) AS n_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin

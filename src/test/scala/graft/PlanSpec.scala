@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"langid must not shuffle:\n$p")
   }
 
+  test("simhash signatures are map-side: exactly one Exchange (sig groupBy)") {
+    val full = plan(SparkEntry.queries("dedup_simhash")(spark, sfDir))
+    // AQE's toString repeats the plan under "== Initial Plan =="; count
+    // shuffles in the executed (final) section only
+    val p = full.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"simhash must shuffle only the O(docs) signature groupBy, found $n:\n$p")
+  }
+
   test("brute-force ANN never shuffles the corpus: broadcast nested loop") {
     val p = plan(SparkEntry.queries("ann_topk")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"),
