@@ -1,0 +1,203 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A model-execution session: scores one batch of feature vectors. The
+  * Spark analog of the reference's per-worker inference session
+  * (model_execution/run_pytorch_model.py:52 `predict` — load session once,
+  * loop over batches). Implementations must be Serializable: one instance
+  * is shipped to each executor and reused across its batches.
+  */
+trait ModelRuntime extends Serializable {
+  /** rows × inWidth → rows × outWidth, row order preserved. */
+  def score(batch: Array[Array[Float]]): Array[Array[Float]]
+}
+
+/** Deterministic stand-in for a real inference session (this container has
+  * no ONNX/Torch runtime — same policy as Multimodal.decodeStub): output
+  * k is the mean of the k-th contiguous input slice, accumulated in float32
+  * like a real encoder would. A real build replaces exactly this class with
+  * a session wrapper (e.g. ONNX Runtime `OrtSession`); everything around
+  * it — batching, scaling, dim-order, schema — is the real plumbing.
+  */
+final class StubRuntime(inWidth: Int, outWidth: Int) extends ModelRuntime {
+  override def score(batch: Array[Array[Float]]): Array[Array[Float]] =
+    batch.map { feat =>
+      Array.tabulate(outWidth) { k =>
+        val span = math.max(1, inWidth / outWidth)
+        val from = k * span
+        val to = math.min(inWidth, from + span)
+        var s = 0.0f
+        var i = from
+        while (i < to) { s += feat(i); i += 1 }
+        s / (to - from)
+      }
+    }
+}
+
+/** Batched external-model inference behind STAC-MLM metadata — the Spark
+  * analog of the reference's non-sklearn predict path
+  * (data_model/torch_model.py:10 `TorchModel.make_predictions`). The
+  * reference materializes numpy batch files and forks a torch process per
+  * GPU; on Spark the executors ARE the worker fleet, so the same shape is
+  * one `mapPartitions` stage: scaling stays declarative column math
+  * (codegen) up to the session boundary, then each partition groups rows
+  * into `batchSize`-sized batches and feeds them to the runtime. Map-only —
+  * no shuffle, no driver-side data movement at any scale.
+  */
+final class ExternalModel(
+    val item: StacMlmItem,
+    val inputIndex: Int,
+    val outputIndex: Int,
+    runtimeOverride: Option[ModelRuntime] = None) {
+
+  def input: MlmModelInput = item.inputs(inputIndex)
+  def output: MlmModelOutput = item.outputs(outputIndex)
+
+  /** Product of the non-batch input dims (a 1-D feature model has one). */
+  def featureWidth: Int =
+    input.dimOrder.zip(input.shape).collect {
+      case (d, n) if d != "batch" => n
+    }.product
+
+  /** Width of the non-batch output (the embedding the runtime emits). */
+  def outputWidth: Int =
+    output.dimOrder.zip(output.shape).collect {
+      case (d, n) if d != "batch" => n
+    }.product
+
+  /** Batch-size resolution, matching data_model.py:493 `get_batch_size`
+    * case by case: no batch dim and no suggestion → 1; suggestion only →
+    * suggestion; batch dim only → its extent (fallback 12 when −1); both →
+    * the extent unless it is −1, then the suggestion. */
+  def batchSize: Int = {
+    val fallback = 12
+    val bi = input.dimOrder.indexOf("batch")
+    (bi, item.batchSizeSuggestion) match {
+      case (-1, None)    => 1
+      case (-1, Some(s)) => s
+      case (i, None)     => if (input.shape(i) == -1) fallback else input.shape(i)
+      case (i, Some(s))  => if (input.shape(i) == -1) s else input.shape(i)
+    }
+  }
+
+  private def runtime: ModelRuntime =
+    runtimeOverride.getOrElse(new StubRuntime(featureWidth, outputWidth))
+
+  /** The mlm:input value scaling as a column expression over the feature
+    * array — declarative (codegen) so Catalyst sees it, exactly like the
+    * reference applies scaling before the tensor leaves numpy
+    * (scaling_utils.py:63). One scaling entry broadcasts to all bands;
+    * per-band entries (len == width) index plan-time literal arrays. */
+  private def scaleExpr(c: Column): Column = input.scaling match {
+    case Nil => c
+    case one :: Nil => transform(c, x => applyOne(one, x, lit(one.p1), lit(one.p2)))
+    case many =>
+      require(many.length == featureWidth,
+        s"ml_predict: ${many.length} value_scaling entries for " +
+          s"$featureWidth input features")
+      require(many.map(_.kind).distinct.length == 1,
+        "ml_predict: mixed value_scaling kinds are not supported")
+      val p1s = typedlit(many.map(_.p1))
+      val p2s = typedlit(many.map(_.p2))
+      transform(c, (x, i) =>
+        applyOne(many.head, x, element_at(p1s, i + 1), element_at(p2s, i + 1)))
+  }
+
+  private def applyOne(v: ValueScaling, x: Column, p1: Column, p2: Column): Column =
+    v.kind match {
+      case "z-score" => (x - p1) / p2
+      case "min-max" => (x - p1) / (p2 - p1)
+      case "scale"   => x / p1
+      case "offset"  => x - p1
+      case "clip"    => least(greatest(x, p1), p2)
+      case other =>
+        throw new IllegalArgumentException(s"unknown scaling '$other'")
+    }
+
+  /** ml_predict: width guard (execution-time raise_error, like
+    * RfClassModel) → declarative scaling → batched runtime scoring.
+    * Output: (id, embedding array<float>, batch_rows) — `batch_rows`
+    * records the actual batch each row rode in, so tests can assert the
+    * spec's batch size took effect (same pattern as Multimodal).
+    */
+  def predict(df: DataFrame, idCol: String = "vec_id",
+              featuresCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = featureWidth
+    val guarded = when(size(col(featuresCol)) === w, col(featuresCol))
+      .otherwise(raise_error(concat(
+        lit(s"ml_predict: model '${item.name}' expects $w features, got "),
+        size(col(featuresCol)).cast("string"))))
+    val bs = batchSize
+    val rt = runtime // local vals only — the closure must not drag `this`
+    df.select(col(idCol).cast("long").as("_id"),
+        scaleExpr(guarded).cast("array<float>").as("_f"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.grouped(bs).flatMap { batch =>
+          val scored = rt.score(batch.iterator.map(_._2).toArray)
+          batch.iterator.zip(scored.iterator).map { case ((id, _), out) =>
+            (id, out, batch.size)
+          }
+        }
+      }
+      .toDF(idCol, "embedding", "batch_rows")
+  }
+
+  /** ml_predict over a datacube: pivot the band dimension into the model's
+    * input band order (one shuffle on the non-band dims), score, and
+    * explode the output embedding back to long format — the cube → batches
+    * → cube round trip of data_model.py:438,666 with the model's output
+    * dim as the new cube dimension. Single mapPartitions stage carrying the
+    * kept dims through as passthrough columns (no join, no synthetic ids).
+    */
+  def predictCube(cube: graft.cube.DataCube): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val b = cube.requireDim(cube.bandDim, "bands")
+    val keep = cube.dims.filterNot(_ == b)
+    val vcol = col(cube.valueCol)
+    require(input.bands.nonEmpty,
+      "ml_predict: the selected mlm:input declares no bands")
+    require(featureWidth == input.bands.length,
+      s"ml_predict: cube predict supports 1-D feature models; input " +
+        s"declares ${input.bands.length} bands but width $featureWidth")
+    val feats = array(input.bands.map { name =>
+      val alts = graft.cube.BandAliases.alternatives(name).map(_.toLowerCase)
+      first(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol),
+        ignoreNulls = true)
+    }: _*)
+    val guarded = when(exists(feats, _.isNull),
+        raise_error(lit("ml_predict: cube is missing one of bands " +
+          input.bands.mkString("[", ",", "]"))).cast("array<double>"))
+      .otherwise(feats)
+    // keep dims first, features LAST — the closure below relies on position
+    val prepped = cube.df.groupBy(keep.map(col): _*)
+      .agg(scaleExpr(guarded).cast("array<float>").as("_feats"))
+      .select((keep.map(col) :+ col("_feats")): _*)
+    val outDim = output.dimOrder.filterNot(_ == "batch")
+      .headOption.getOrElse("embedding")
+    val outSchema = StructType(
+      prepped.schema.fields.dropRight(1)
+        :+ StructField(outDim, IntegerType, nullable = false)
+        :+ StructField(cube.valueCol, DoubleType, nullable = false))
+    val bs = batchSize
+    val rt = runtime
+    val nKeep = keep.length
+    prepped.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val scored = rt.score(batch.iterator
+          .map(_.getSeq[Float](nKeep).toArray).toArray)
+        batch.iterator.zip(scored.iterator).flatMap { case (r, out) =>
+          val base = r.toSeq.take(nKeep)
+          out.iterator.zipWithIndex.map { case (v, k) =>
+            Row.fromSeq((base :+ k) :+ v.toDouble)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}

@@ -36,4 +36,11 @@ object MlProcesses {
   /** load_ml_model (reference: load_model.py:21). */
   def loadMlModel(spark: SparkSession, path: String): RfClassModel =
     RfClassModel.load(spark, path)
+
+  /** load_stac_ml (reference: load_model.py:21-98): validate a STAC-MLM
+    * item JSON, select mlm:input/mlm:output by index, and build the
+    * batched external-execution model (non-MLlib frameworks). */
+  def loadStacMl(uri: String, modelAsset: Option[String] = None,
+                 inputIndex: Int = 0, outputIndex: Int = 0): ExternalModel =
+    StacMlm.load(uri, modelAsset, inputIndex, outputIndex)
 }

@@ -1,0 +1,160 @@
+package graft.ml
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** One `mlm:input` entry: band list, tensor shape/dim order, per-band value
+  * scaling (reference: data_model.py input spec). */
+final case class MlmModelInput(
+    name: String,
+    bands: Seq[String],
+    shape: Seq[Int],
+    dimOrder: Seq[String],
+    scaling: Seq[ValueScaling])
+
+/** One `mlm:output` entry: result shape/dim order. */
+final case class MlmModelOutput(
+    name: String,
+    shape: Seq[Int],
+    dimOrder: Seq[String])
+
+/** A parsed STAC-MLM item — the metadata that drives model execution
+  * (reference: load_model.py + data_model.py `MLModel`). */
+final case class StacMlmItem(
+    id: String,
+    name: String,
+    framework: String,
+    batchSizeSuggestion: Option[Int],
+    inputs: Seq[MlmModelInput],
+    outputs: Seq[MlmModelOutput],
+    weightsHref: Option[String],
+    artifactType: Option[String])
+
+/** STAC-MLM item loading — the Spark analog of the reference's
+  * `load_stac_ml` (load_model.py:21-98): validate the JSON is a STAC Item,
+  * check the MLM extension is declared, check the framework is supported,
+  * select `mlm:input[input_index]` / `mlm:output[output_index]`, and hand
+  * the result to a model-execution backend.
+  *
+  * Parsing uses Jackson (already on the Spark classpath) — item metadata is
+  * a driver-side object of a few KB; no Spark job is involved until
+  * prediction runs.
+  */
+object StacMlm {
+
+  /** load_model.py:47 — the extension match is a version-tolerant regex. */
+  private val MlmExtension =
+    "^https://stac-extensions\\.github\\.io/mlm/v(\\d+\\.){0,2}\\d*/schema\\.json$".r
+
+  /** Frameworks this backend can execute (reference:
+    * AVAILABLE_ML_FRAMEWORKS, load_model.py:6). `spark-mllib` is the native
+    * path (RfClassModel); `onnx`/`pytorch` route to the batched external
+    * scorer (ExternalModel) whose session is stubbed in this container. */
+  val supportedFrameworks: Set[String] = Set("spark-mllib", "onnx", "pytorch")
+
+  /** load_stac_ml: read + validate an item JSON file and build the
+    * external-execution model for it. Indices select among multiple
+    * declared inputs/outputs (load_model.py:80-91). */
+  def load(uri: String, modelAsset: Option[String] = None,
+           inputIndex: Int = 0, outputIndex: Int = 0): ExternalModel = {
+    val item = parseItem(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      modelAsset)
+    require(supportedFrameworks.contains(item.framework.toLowerCase),
+      s"load_stac_ml: framework '${item.framework}' is not supported by " +
+        s"this backend; supported: ${supportedFrameworks.mkString(", ")}")
+    require(inputIndex < item.inputs.length,
+      s"load_stac_ml: input_index=$inputIndex exceeds the " +
+        s"${item.inputs.length} input specification(s) in the item")
+    require(outputIndex < item.outputs.length,
+      s"load_stac_ml: output_index=$outputIndex exceeds the " +
+        s"${item.outputs.length} output specification(s) in the item")
+    new ExternalModel(item, inputIndex, outputIndex)
+  }
+
+  /** Validate + parse an item JSON string into the metadata model.
+    * Validation order mirrors load_model.py: STAC Item first, MLM
+    * extension second — framework/index checks happen in [[load]]. */
+  def parseItem(json: String, modelAsset: Option[String] = None): StacMlmItem = {
+    val root = new ObjectMapper().readTree(json)
+    require(root.path("type").asText() == "Feature",
+      "load_stac_ml: the provided JSON is not a STAC Item (type != Feature)")
+    val exts = root.path("stac_extensions").elements().asScala
+      .map(_.asText()).toSeq
+    require(exts.exists(e => MlmExtension.findFirstIn(e).isDefined),
+      "load_stac_ml: the STAC Item does not declare the STAC:MLM extension")
+    val props = root.path("properties")
+    require(props.hasNonNull("mlm:name") && props.hasNonNull("mlm:framework"),
+      "load_stac_ml: the STAC Item is missing required mlm:name/mlm:framework")
+
+    val inputs = props.path("mlm:input").elements().asScala.map { in =>
+      MlmModelInput(
+        name = in.path("name").asText(""),
+        bands = in.path("bands").elements().asScala.map(_.asText()).toSeq,
+        shape = in.path("input").path("shape").elements().asScala
+          .map(_.asInt()).toSeq,
+        dimOrder = in.path("input").path("dim_order").elements().asScala
+          .map(_.asText()).toSeq,
+        scaling = in.path("value_scaling").elements().asScala
+          .map(parseScaling).toSeq)
+    }.toSeq
+    val outputs = props.path("mlm:output").elements().asScala.map { out =>
+      MlmModelOutput(
+        name = out.path("name").asText(""),
+        shape = out.path("result").path("shape").elements().asScala
+          .map(_.asInt()).toSeq,
+        dimOrder = out.path("result").path("dim_order").elements().asScala
+          .map(_.asText()).toSeq)
+    }.toSeq
+    require(inputs.nonEmpty && outputs.nonEmpty,
+      "load_stac_ml: the item declares no mlm:input or no mlm:output")
+
+    // model asset: explicit key, else the asset carrying the mlm:model role
+    val assets = root.path("assets")
+    val asset = modelAsset match {
+      case Some(k) =>
+        require(assets.has(k), s"load_stac_ml: no asset named '$k' in item")
+        Some(assets.path(k))
+      case None => assets.fields().asScala
+        .map(_.getValue)
+        .find(_.path("roles").elements().asScala.exists(r =>
+          r.asText() == "mlm:model" || r.asText() == "mlm:weights"))
+    }
+
+    StacMlmItem(
+      id = root.path("id").asText(""),
+      name = props.path("mlm:name").asText(),
+      framework = props.path("mlm:framework").asText(),
+      batchSizeSuggestion =
+        if (props.hasNonNull("mlm:batch_size_suggestion"))
+          Some(props.path("mlm:batch_size_suggestion").asInt())
+        else None,
+      inputs = inputs,
+      outputs = outputs,
+      weightsHref = asset.map(_.path("href").asText("")).filter(_.nonEmpty),
+      artifactType = asset.flatMap(a =>
+        Option(a.path("mlm:artifact_type").asText(null))))
+  }
+
+  /** A `value_scaling` entry → the library's ValueScaling (reference:
+    * scaling_utils.py kinds). */
+  private def parseScaling(n: JsonNode): ValueScaling =
+    n.path("type").asText() match {
+      case "z-score" =>
+        ValueScaling("z-score", n.path("mean").asDouble(),
+          n.path("stddev").asDouble())
+      case "min-max" =>
+        ValueScaling("min-max", n.path("minimum").asDouble(),
+          n.path("maximum").asDouble())
+      case "scale"  => ValueScaling("scale", n.path("value").asDouble(), 0)
+      case "offset" => ValueScaling("offset", n.path("value").asDouble(), 0)
+      case "clip" =>
+        ValueScaling("clip", n.path("minimum").asDouble(),
+          n.path("maximum").asDouble())
+      case other =>
+        throw new IllegalArgumentException(
+          s"load_stac_ml: unknown value_scaling type '$other'")
+    }
+}

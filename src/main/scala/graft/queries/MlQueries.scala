@@ -13,6 +13,52 @@ import graft.ml.MlProcesses
   */
 object MlQueries {
 
+  /** A STAC-MLM item fixture for the external-execution path: 64-band 1-D
+    * input with per-band z-score scaling, 8-wide embedding output, batch
+    * dim −1 + suggestion 32 (so the suggestion wins, data_model.py:493).
+    * Written once per JVM; the JSON shape follows the public STAC-MLM
+    * extension (mlm:input / mlm:output / assets with the mlm:model role).
+    */
+  lazy val externalItemPath: String = {
+    val scaling = (0 until 64).map { i =>
+      s"""{"type": "z-score", "mean": ${0.01 * i}, "stddev": ${1.0 + 0.05 * i}}"""
+    }.mkString("[", ", ", "]")
+    val bands = (0 until 64).map(i => s""""f$i"""").mkString("[", ", ", "]")
+    val json =
+      s"""{
+         |  "stac_version": "1.0.0",
+         |  "stac_extensions": [
+         |    "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+         |  "type": "Feature",
+         |  "id": "graft-ext-encoder",
+         |  "properties": {
+         |    "mlm:name": "graft-ext-encoder",
+         |    "mlm:framework": "onnx",
+         |    "mlm:batch_size_suggestion": 32,
+         |    "mlm:input": [{
+         |      "name": "embedding vector",
+         |      "bands": $bands,
+         |      "input": {"shape": [-1, 64],
+         |                "dim_order": ["batch", "embedding"],
+         |                "data_type": "float32"},
+         |      "value_scaling": $scaling}],
+         |    "mlm:output": [{
+         |      "name": "encoded vector",
+         |      "result": {"shape": [-1, 8],
+         |                 "dim_order": ["batch", "embedding"],
+         |                 "data_type": "float32"}}]
+         |  },
+         |  "assets": {"weights": {
+         |    "href": "weights.onnx",
+         |    "roles": ["mlm:model", "mlm:weights"],
+         |    "mlm:artifact_type": "onnx"}}
+         |}""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft_mlm_item_", ".json")
+    java.nio.file.Files.write(p,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
   /** A1–A3: configure → fit (85/15 split, metrics) → predict the full
     * table. Output one row per vector with label and prediction. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -55,6 +101,21 @@ object MlQueries {
         .select(col("vec_id"), col("prediction"),
           lit(loaded.spec.name).as("model_name"),
           lit(loaded.spec.pretrained).as("pretrained"))
+    },
+
+    // load_stac_ml + ml_predict through a NON-MLlib framework: the STAC-MLM
+    // item drives scaling / batch size / output width, and scoring runs as
+    // batched mapPartitions behind the ModelRuntime session contract (the
+    // session itself is a deterministic stub — this container has no ONNX
+    // runtime). Rows-only in the gate; value/batch invariants in MlSpec.
+    "ml_predict_external" -> { (s, d) =>
+      val model = MlProcesses.loadStacMl(externalItemPath)
+      model.predict(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("batch_rows"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          graft.core.Exact.rnd4(col("col").cast("double")).as("value"),
+          col("batch_rows"))
     },
 
     // ml_datacube_bridge: ViT patch embeddings → spatial featuremap. Model

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.{ExternalModel, MlmModelInput, MlmModelOutput, StacMlm, StacMlmItem, ValueScaling}
+import graft.queries.MlQueries
+
+/** External model execution (STAC-MLM driven, non-MLlib frameworks):
+  * item parsing/validation (load_model.py:21-98), the batch-size
+  * resolution cases (data_model.py:493), declarative scaling up to the
+  * session boundary, and the cube round trip.
+  */
+class ExternalModelSpec extends SparkSpec {
+
+  private def item(dimOrder: Seq[String], shape: Seq[Int],
+                   suggestion: Option[Int]): StacMlmItem =
+    StacMlmItem("t", "t", "onnx", suggestion,
+      Seq(MlmModelInput("in", (0 until shape.last).map(i => s"f$i"),
+        shape, dimOrder, Nil)),
+      Seq(MlmModelOutput("out", Seq(-1, 4), Seq("batch", "embedding"))),
+      None, None)
+
+  test("item fixture parses: framework, bands, scaling, asset, suggestion") {
+    val m = StacMlm.load(MlQueries.externalItemPath)
+    assert(m.item.name == "graft-ext-encoder")
+    assert(m.item.framework == "onnx")
+    assert(m.item.batchSizeSuggestion.contains(32))
+    assert(m.input.bands.length == 64)
+    assert(m.input.scaling.length == 64)
+    assert(m.input.scaling.head == ValueScaling("z-score", 0.0, 1.0))
+    assert(m.output.shape == Seq(-1, 8))
+    assert(m.item.weightsHref.contains("weights.onnx"))
+    assert(m.item.artifactType.contains("onnx"))
+    assert(m.featureWidth == 64 && m.outputWidth == 8)
+  }
+
+  test("parses real published STAC-MLM items (reference examples)") {
+    // the reference ships real-world MLM items (examples/mlm_items/); the
+    // parser must read their shapes — multi-output, per-band z-score lists,
+    // jit-artifact assets. Skipped when the reference tree is absent.
+    val dir = java.nio.file.Paths.get("/root/reference/examples/mlm_items")
+    assume(java.nio.file.Files.isDirectory(dir))
+    import scala.jdk.CollectionConverters._
+    val items = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq
+    assert(items.nonEmpty)
+    items.foreach { p =>
+      val parsed = StacMlm.parseItem(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      assert(parsed.framework.nonEmpty && parsed.inputs.nonEmpty &&
+        parsed.outputs.nonEmpty, s"$p parsed empty")
+      val in = parsed.inputs.head
+      assert(in.shape.nonEmpty && in.dimOrder.length == in.shape.length,
+        s"$p input shape/dim_order mismatch")
+      assert(in.scaling.isEmpty || in.scaling.forall(_.kind.nonEmpty))
+      assert(parsed.weightsHref.nonEmpty, s"$p has no mlm:model asset")
+      // PyTorch framework items pass the framework whitelist; only the
+      // session behind them is stubbed in this container
+      assert(StacMlm.supportedFrameworks.contains(parsed.framework.toLowerCase))
+    }
+  }
+
+  test("validation rejects non-Items, non-MLM items, bad frameworks/indices") {
+    def write(s: String): String = {
+      val p = java.nio.file.Files.createTempFile("graft_badmlm_", ".json")
+      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+      p.toString
+    }
+    // not a STAC Item
+    val e1 = intercept[IllegalArgumentException] {
+      StacMlm.load(write("""{"type": "FeatureCollection"}"""))
+    }
+    assert(e1.getMessage.contains("not a STAC Item"))
+    // Item without the MLM extension
+    val e2 = intercept[IllegalArgumentException] {
+      StacMlm.load(write(
+        """{"type": "Feature", "stac_extensions":
+          |["https://stac-extensions.github.io/raster/v1.1.0/schema.json"],
+          |"properties": {}}""".stripMargin))
+    }
+    assert(e2.getMessage.contains("STAC:MLM"))
+    // valid shape, unsupported framework
+    val tf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MlQueries.externalItemPath)), "UTF-8")
+      .replace("\"onnx\"", "\"tensorflow\"")
+    val e3 = intercept[IllegalArgumentException] { StacMlm.load(write(tf)) }
+    assert(e3.getMessage.contains("not supported"))
+    // out-of-range input/output indices
+    val e4 = intercept[IllegalArgumentException] {
+      StacMlm.load(MlQueries.externalItemPath, inputIndex = 1)
+    }
+    assert(e4.getMessage.contains("input_index"))
+    val e5 = intercept[IllegalArgumentException] {
+      StacMlm.load(MlQueries.externalItemPath, outputIndex = 3)
+    }
+    assert(e5.getMessage.contains("output_index"))
+  }
+
+  test("batch-size resolution matches data_model.py:493 case by case") {
+    // no batch dim, no suggestion → 1
+    assert(new ExternalModel(item(Seq("embedding"), Seq(64), None), 0, 0)
+      .batchSize == 1)
+    // no batch dim, suggestion → suggestion
+    assert(new ExternalModel(item(Seq("embedding"), Seq(64), Some(7)), 0, 0)
+      .batchSize == 7)
+    // batch dim with extent, no suggestion → extent
+    assert(new ExternalModel(
+      item(Seq("batch", "embedding"), Seq(16, 64), None), 0, 0).batchSize == 16)
+    // batch dim −1, no suggestion → fallback 12
+    assert(new ExternalModel(
+      item(Seq("batch", "embedding"), Seq(-1, 64), None), 0, 0).batchSize == 12)
+    // batch dim −1 + suggestion → suggestion
+    assert(new ExternalModel(
+      item(Seq("batch", "embedding"), Seq(-1, 64), Some(5)), 0, 0).batchSize == 5)
+    // fixed batch dim beats a differing suggestion
+    assert(new ExternalModel(
+      item(Seq("batch", "embedding"), Seq(16, 64), Some(5)), 0, 0).batchSize == 16)
+  }
+
+  test("predict: batches honor the spec size; output is the scaled slice mean") {
+    val m = StacMlm.load(MlQueries.externalItemPath)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = m.predict(emb).cache()
+    assert(out.count() == emb.count())
+    // every batch is ≤ the spec batch size, and the dominant batch IS it
+    val sizes = out.groupBy("batch_rows").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.forall(_ <= 32), s"batch over spec size: $sizes")
+    assert(sizes.keys.max == 32, s"no full-size batch ran: $sizes")
+    // value check against an independent driver-side computation
+    val row = emb.orderBy("vec_id").first()
+    val feats = row.getSeq[Float](row.fieldIndex("embedding"))
+    val scaled = feats.zipWithIndex.map { case (x, i) =>
+      ((x - 0.01 * i) / (1.0 + 0.05 * i)).toFloat }
+    val expect = (0 until 8).map { k =>
+      var s = 0.0f
+      (k * 8 until (k + 1) * 8).foreach(i => s += scaled(i))
+      s / 8
+    }
+    val got = m.predict(emb.orderBy("vec_id").limit(1)).first()
+      .getSeq[Float](1)
+    expect.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-5f, s"expected $e got $g")
+    }
+  }
+
+  test("predict rejects wrong feature width at execution time") {
+    val m = StacMlm.load(MlQueries.externalItemPath)
+    val bad = Tables.embeddings(spark, sfDir)
+      .withColumn("embedding", slice(col("embedding"), 1, 10))
+    val ex = intercept[Exception] { m.predict(bad).collect() }
+    assert(ex.getMessage.contains("expects 64 features") || ex.getCause != null)
+  }
+
+  test("cube predict equals vector predict (band pivot + explode roundtrip)") {
+    val m = StacMlm.load(MlQueries.externalItemPath)
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val cube = graft.cube.DataCube(emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        col("value").cast("double").as("value")))
+    val viaCube = m.predictCube(cube)
+      .select(col("vec_id"), col("embedding").as("pos"),
+        graft.core.Exact.rnd4(col("value")).as("v"))
+    val direct = m.predict(emb)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        graft.core.Exact.rnd4(col("col").cast("double")).as("v"))
+    assert(viaCube.exceptAll(direct).isEmpty && direct.exceptAll(viaCube).isEmpty,
+      "cube-predict must equal vector-predict")
+  }
+}
