@@ -34,14 +34,16 @@ object ProcessExpression {
     "tanh", "sign", "signum")
 
   def validate(spark: org.apache.spark.sql.SparkSession,
-               expression: String): Unit = {
+               expression: String,
+               allowedRefs: Set[String] = Set("x")): Unit = {
     val parsed = spark.sessionState.sqlParser.parseExpression(expression)
     val refs = parsed.collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name
     }
-    require(refs.toSet.subsetOf(Set("x")),
-      s"scaling expression may only reference 'x', got: ${refs.distinct}")
+    require(refs.toSet.subsetOf(allowedRefs),
+      s"expression may only reference ${allowedRefs.mkString("/")}, " +
+        s"got: ${refs.distinct}")
     val badClasses = parsed.collect {
       case e if !allowedClasses.contains(e.getClass.getSimpleName) =>
         e.getClass.getSimpleName
@@ -57,28 +59,36 @@ object ProcessExpression {
       s"scaling expression uses non-whitelisted functions: ${badFns.distinct}")
   }
 
-  /** Apply a processing expression to a cube's value column. Only format
-    * `sql` is implemented; others raise like the reference.
+  /** Validate an expression and bind its references to actual columns —
+    * the general whitelisted-callback form used by process-graph `apply` /
+    * overlap resolvers as well as scaling.
     *
-    * The substitution happens on the PARSED tree (UnresolvedAttribute("x")
-    * → the value column), so exactly the expression that was validated is
-    * executed — a textual rewrite would also hit 'x' inside string
-    * literals and could drift from the validated tree. */
+    * The substitution happens on the PARSED tree (each bound
+    * UnresolvedAttribute → its column's expression), so exactly the
+    * expression that was validated is executed — a textual rewrite would
+    * also hit reference names inside string literals and could drift from
+    * the validated tree. */
+  def column(spark: org.apache.spark.sql.SparkSession, expression: String,
+             bindings: Map[String, org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    validate(spark, expression, bindings.keySet)
+    val parsed = spark.sessionState.sqlParser.parseExpression(expression)
+    val substituted = parsed.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if bindings.contains(a.name) =>
+        org.apache.spark.sql.GraftBridge.toExpression(bindings(a.name))
+    }
+    org.apache.spark.sql.GraftBridge.toColumn(substituted).cast("double")
+  }
+
+  /** Apply a processing expression to a cube's value column. Only format
+    * `sql` is implemented; others raise like the reference. */
   def scaleCube(cube: DataCube, format: String, expression: String): DataCube = {
     if (format != "sql")
       throw new UnsupportedOperationException(
         s"processing expression format '$format' not implemented")
     val spark = cube.df.sparkSession
-    validate(spark, expression)
-    val parsed = spark.sessionState.sqlParser.parseExpression(expression)
-    val substituted = parsed.transform {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        if a.name == "x" =>
-        org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute(Seq(cube.valueCol))
-    }
-    val out = cube.df.withColumn(cube.valueCol,
-      org.apache.spark.sql.GraftBridge.toColumn(substituted).cast("double"))
-    cube.copy(df = out)
+    cube.copy(df = cube.df.withColumn(cube.valueCol,
+      column(spark, expression, Map("x" -> col(cube.valueCol)))))
   }
 }

@@ -97,6 +97,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       val bands = args.path("bands")
       if (bands.isArray)
         cube = cube.filterBands(bands.elements().asScala.map(_.asText()).toSeq)
+      // spatial_extent belongs to load_collection like the temporal one
+      // (reference: custom_processes.py:55 BoundingBox) — applied at load
+      // so the x/y range reaches the scan as a pushed/pruning predicate
+      val se = args.path("spatial_extent")
+      if (se.isObject)
+        cube = cube.filterBbox(
+          se.path("west").asDouble(), se.path("east").asDouble(),
+          se.path("south").asDouble(), se.path("north").asDouble())
       cube
 
     case "filter_temporal" =>
@@ -114,20 +122,21 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         e.get("west").asDouble(), e.get("east").asDouble(),
         e.get("south").asDouble(), e.get("north").asDouble())
 
-    // apply with a named unary process (the openEO child-graph restricted
-    // to the built-in math set so it stays codegen)
+    // apply with a named unary process, or — the reference's child-graph
+    // flexibility, made safe — any whitelisted expression over `x`
+    // (ProcessExpression: parse-tree whitelist, still pure codegen math)
     case "apply" =>
       val f = args.get("process").asText()
-      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        f match {
-          case "absolute" => abs
-          case "sqrt"     => c => sqrt(abs(c))
-          case "ln"       => c => log(abs(c) + 1)
-          case "exp"      => exp
-          case other =>
-            throw new IllegalArgumentException(s"apply: unknown process $other")
-        }
-      cubeArg(args, "data", evalNode).applyUnary(fn)
+      f match {
+        case "absolute" => cubeArg(args, "data", evalNode).applyUnary(abs)
+        case "sqrt" => cubeArg(args, "data", evalNode)
+          .applyUnary(c => sqrt(abs(c)))
+        case "ln" => cubeArg(args, "data", evalNode)
+          .applyUnary(c => log(abs(c) + 1))
+        case "exp" => cubeArg(args, "data", evalNode).applyUnary(exp)
+        case expression => graft.ml.ProcessExpression.scaleCube(
+          cubeArg(args, "data", evalNode), "sql", expression)
+      }
 
     case "reduce_dimension" =>
       cubeArg(args, "data", evalNode).reduceDimension(
@@ -185,10 +194,27 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode)
         .mask(cubeArg(args, "mask", evalNode), repl)
 
+    // merge_cubes with an overlap resolver: a named reducer, or a
+    // whitelisted expression over `x` (cube1's value) and `y` (cube2's) —
+    // openEO's resolver child graph in the safe expression form. Named
+    // resolvers treat a cell present in only one cube as that cube's
+    // value; an expression resolver sees the raw (possibly null) sides.
     case "merge_cubes" =>
+      val resolver: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        args.path("overlap_resolver").asText("sum") match {
+          case "sum" => (l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0))
+          case "max" => (l, r) => greatest(l, r)
+          case "min" => (l, r) => least(l, r)
+          case "first" => (l, r) => coalesce(l, r)
+          case "mean" => (l, r) =>
+            (coalesce(l, r) + coalesce(r, l)) / lit(2.0)
+          case expression => (l, r) =>
+            graft.ml.ProcessExpression.column(spark, expression,
+              Map("x" -> l, "y" -> r))
+        }
       cubeArg(args, "cube1", evalNode).merge(
-        cubeArg(args, "cube2", evalNode),
-        (l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0)))
+        cubeArg(args, "cube2", evalNode), resolver)
 
     case "mask_polygon" =>
       val poly = polygonArg(args.get("mask"))

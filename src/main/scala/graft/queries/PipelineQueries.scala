@@ -92,7 +92,83 @@ object PipelineQueries {
       s"$dir/catalog.json"
     })
 
+  /** Build (once per sfDir) a spatially-tiled STAC fixture: the 64×64 grid
+    * cube split into four 32×32 tile assets, each item carrying its
+    * (inclusive) `bbox` — the layout a tiled raster catalog has, so bbox
+    * item pruning is observable at the file level. */
+  def stacSpatialFixture(s: SparkSession, d: String): String =
+    stacFixtures.computeIfAbsent("bbox:" + d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stac_sp_")
+      import graft.core.Exact
+      val cube = Tables.lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(64)).as("x"),
+          pmod(col("l_suppkey"), lit(64)).as("y"),
+          col("l_returnflag").as("band"), col("l_quantity"))
+        .groupBy("x", "y", "band")
+        .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value"))
+      val tiles = Seq(("t00", 0, 0), ("t10", 32, 0), ("t01", 0, 32),
+        ("t11", 32, 32))
+      val items = tiles.map { case (id, x0, y0) =>
+        val href = s"$dir/$id.parquet"
+        cube.filter(col("x") >= x0 && col("x") < x0 + 32 &&
+          col("y") >= y0 && col("y") < y0 + 32)
+          .write.mode("overwrite").parquet(href)
+        s"""{"type": "Feature", "id": "$id",
+           |  "bbox": [$x0, $y0, ${x0 + 31}, ${y0 + 31}],
+           |  "properties": {"datetime": "2024-01-01"},
+           |  "assets": {"data": {"href": "$href"}}}""".stripMargin
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/catalog.json"),
+        items.mkString("{\"type\": \"FeatureCollection\", \"features\": [",
+          ",\n", "]}"))
+      s"$dir/catalog.json"
+    })
+
+  /** Graph exercising the safe child-graph callbacks: spatial_extent at
+    * load, two expression `apply` nodes, an expression overlap resolver,
+    * then a spatial reduce. */
+  private val exprGraph =
+    """{
+      |  "process_graph": {
+      |    "load": {"process_id": "load_collection",
+      |             "arguments": {"id": "grid",
+      |               "spatial_extent": {"west": 0, "east": 32,
+      |                                  "south": 0, "north": 32}}},
+      |    "a": {"process_id": "apply",
+      |          "arguments": {"data": {"from_node": "load"},
+      |                        "process": "x / 2 + 1"}},
+      |    "b": {"process_id": "apply",
+      |          "arguments": {"data": {"from_node": "load"},
+      |                        "process": "sqrt(abs(x))"}},
+      |    "m": {"process_id": "merge_cubes",
+      |          "arguments": {"cube1": {"from_node": "a"},
+      |                        "cube2": {"from_node": "b"},
+      |                        "overlap_resolver": "greatest(x, y)"}},
+      |    "red": {"process_id": "reduce_spatial",
+      |            "arguments": {"data": {"from_node": "m"},
+      |                          "reducer": "mean"},
+      |            "result": true}
+      |  }
+      |}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C14b spatial: bbox item pruning (driver-side, file-level) + residual
+    // half-open x/y row filter — the spatial twin of stac_load.
+    "stac_load_bbox" -> { (s, d) =>
+      val catalog = stacSpatialFixture(s, d)
+      StacCatalog.loadCollection(s, catalog,
+        spatialExtent = Some(StacCatalog.BBox(10, 2, 40, 9)))
+        .select(col("x"), col("y"), col("band"), col("value"))
+    },
+
+    // C16 + child-graph callbacks: expression apply nodes and an
+    // expression overlap resolver, all through the parse-tree whitelist.
+    "process_graph_expr" -> { (s, d) =>
+      new ProcessGraph(s, d).run(exprGraph)
+        .select(col("band"), Exact.rnd4(col("value")).as("value"))
+    },
 
     "multimodal_pipeline" -> { (s, d) =>
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -161,6 +237,24 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "stac_load_bbox" ->
+      s"""WITH ${CubeQueries.gridCubeSql}
+        |SELECT x, y, band, value FROM cube
+        |WHERE x >= 10 AND x < 40 AND y >= 2 AND y < 9""".stripMargin,
+
+    "process_graph_expr" ->
+      s"""WITH ${CubeQueries.gridCubeSql},
+        |clip AS (
+        |  SELECT * FROM cube
+        |  WHERE x >= 0 AND x < 32 AND y >= 0 AND y < 32),
+        |m AS (
+        |  SELECT band, greatest(value / 2 + 1, sqrt(abs(value))) AS value
+        |  FROM clip)
+        |SELECT band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |         / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM m GROUP BY 1""".stripMargin,
 
     "multimodal_pipeline" ->
       """SELECT doc_id AS media_id,

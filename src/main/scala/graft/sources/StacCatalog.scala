@@ -35,13 +35,26 @@ object StacCatalog {
     }
   }
 
-  /** Items overlapping the extent (ISO-8601 strings compare
+  /** Spatial extent, openEO BoundingBox semantics (reference:
+    * custom_processes.py:55): half-open [west, east) × [south, north) at
+    * the row level; item-level pruning compares against the item's
+    * (inclusive) `bbox` [w, s, e, n]. */
+  final case class BBox(west: Double, south: Double,
+                        east: Double, north: Double) {
+    def overlaps(w: Double, s: Double, e: Double, n: Double): Boolean =
+      w < east && e >= west && s < north && n >= south
+  }
+
+  /** Items overlapping the extents (ISO-8601 strings compare
     * lexicographically, so no datetime parsing is needed) and passing all
     * property filters. Items missing a filtered property are excluded,
-    * the STAC convention. */
+    * the STAC convention; items missing a `bbox` cannot be spatially
+    * pruned and are conservatively kept (the residual row filter still
+    * applies). */
   def selectAssets(catalogPath: String,
                    temporalExtent: Option[(String, String)],
-                   properties: Seq[PropertyFilter] = Nil): Seq[String] = {
+                   properties: Seq[PropertyFilter] = Nil,
+                   spatialExtent: Option[BBox] = None): Seq[String] = {
     val root = mapper.readTree(new java.io.File(catalogPath))
     val feats = root.path("features").elements().asScala.toSeq
     val selected = feats.filter { f =>
@@ -51,7 +64,13 @@ object StacCatalog {
         val e = p.path("end_datetime").asText(p.path("datetime").asText(""))
         s < to && e >= from
       }
-      inExtent && properties.forall { pf =>
+      val inBbox = spatialExtent.forall { ext =>
+        val bb = f.path("bbox")
+        !bb.isArray || bb.size() < 4 || ext.overlaps(
+          bb.get(0).asDouble(), bb.get(1).asDouble(),
+          bb.get(2).asDouble(), bb.get(3).asDouble())
+      }
+      inExtent && inBbox && properties.forall { pf =>
         p.has(pf.name) && pf.accepts(p.path(pf.name).asDouble())
       }
     }
@@ -60,17 +79,24 @@ object StacCatalog {
   }
 
   /** Load the collection: pruned asset files → one scan → residual
-    * row-level extent filter (reaches PushedFilters). */
+    * row-level extent filters (both reach PushedFilters). */
   def loadCollection(spark: SparkSession, catalogPath: String,
                      temporalExtent: Option[(String, String)] = None,
                      timeCol: String = "ts",
-                     properties: Seq[PropertyFilter] = Nil): DataFrame = {
-    val hrefs = selectAssets(catalogPath, temporalExtent, properties)
+                     properties: Seq[PropertyFilter] = Nil,
+                     spatialExtent: Option[BBox] = None,
+                     xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val hrefs = selectAssets(catalogPath, temporalExtent, properties,
+      spatialExtent)
     require(hrefs.nonEmpty, "no catalog items overlap the requested extent")
     val df = spark.read.parquet(hrefs: _*)
-    temporalExtent.fold(df) { case (from, to) =>
+    val t = temporalExtent.fold(df) { case (from, to) =>
       df.filter(col(timeCol) >= lit(from).cast("timestamp") &&
         col(timeCol) < lit(to).cast("timestamp"))
+    }
+    spatialExtent.fold(t) { ext =>
+      t.filter(col(xCol) >= ext.west && col(xCol) < ext.east &&
+        col(yCol) >= ext.south && col(yCol) < ext.north)
     }
   }
 }

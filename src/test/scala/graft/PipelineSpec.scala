@@ -126,6 +126,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stac catalog: spatial extent prunes tile FILES before the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.StacCatalog
+    val catalog = graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
+    val loaded = StacCatalog.loadCollection(spark, catalog,
+      spatialExtent = Some(StacCatalog.BBox(10, 2, 40, 9)))
+    // extent reaches only the two southern tiles: t01/t11 (y ≥ 32) must
+    // not even appear in the scan's file list
+    val files = loaded.inputFiles
+      .map(_.replaceAll(".*/(t\\d\\d)\\.parquet.*", "$1")).toSet
+    assert(files == Set("t00", "t10"), s"expected 2 pruned tiles, got $files")
+    // residual row filter: half-open [west,east) × [south,north)
+    val r = loaded.agg(min("x"), max("x"), min("y"), max("y")).first()
+    assert(r.getLong(0) >= 10 && r.getLong(1) < 40 &&
+      r.getLong(2) >= 2 && r.getLong(3) < 9)
+    // an item without a bbox cannot be pruned and is conservatively kept
+    val noBbox = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(catalog)).replaceFirst("\"bbox\": \\[[^]]*],", "")
+    val p2 = java.nio.file.Files.createTempFile("graft_stacnb_", ".json")
+    java.nio.file.Files.writeString(p2, noBbox)
+    val kept = StacCatalog.selectAssets(p2.toString, None,
+      spatialExtent = Some(StacCatalog.BBox(100, 100, 200, 200)))
+    assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
+  }
+
+  test("graph expression callbacks stay inside the whitelist") {
+    // resolver/apply expressions route through ProcessExpression: a
+    // non-whitelisted function must be rejected at plan time
+    val pg = new graft.plans.ProcessGraph(spark, sfDir)
+    val bad = intercept[IllegalArgumentException] {
+      pg.run(
+        """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+          | "a": {"process_id": "apply",
+          |       "arguments": {"data": {"from_node": "l"},
+          |                     "process": "reflect('java.lang.System','exit',0)"},
+          |       "result": true}}""".stripMargin)
+    }
+    assert(bad.getMessage.contains("non-whitelisted"))
+    val badRef = intercept[IllegalArgumentException] {
+      pg.run(
+        """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+          | "m": {"process_id": "merge_cubes",
+          |       "arguments": {"cube1": {"from_node": "l"},
+          |                     "cube2": {"from_node": "l"},
+          |                     "overlap_resolver": "x + z"},
+          |       "result": true}}""".stripMargin)
+    }
+    assert(badRef.getMessage.contains("may only reference"))
+  }
+
   test("stac catalog: extent prunes asset FILES, not just rows") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_stacspec_")
