@@ -931,6 +931,33 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
         array((0 to degree).map(k => col(s"_r$k")): _*)).as("coefs")): _*)
   }
 
+  /** Degree-3 `fit_curve` with the solve as PURE column math: one
+    * moment-sum aggregation (like fitCurvePoly) and then Cramer's rule on
+    * the 4×4 normal equations, generated by graft.core.Cramer — the same
+    * expansion instantiated as SQL text gives a bit-identical DuckDB
+    * oracle, which the pivoting Gaussian solve of fitCurvePoly (an
+    * iterative, data-dependent algorithm) cannot. No UDF, fully codegen.
+    * Returns seriesDims + c0..c3.
+    */
+  def fitCurveCubic(seriesDims: Seq[String], epoch: String): DataFrame = {
+    val t = requireDim(timeDim, "temporal")
+    import graft.core.{Cramer, Exact}
+    val td = (unix_micros(col(t)) -
+      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val pre = df.filter(v.isNotNull).select(
+      (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
+    def tpow(k: Int): Column =
+      (1 to k).map(_ => col("_t")).foldLeft(lit(1.0))(_ * _)
+    val aggs = (0 to 6).map(k => Exact.esum(tpow(k)).as(s"_s$k")) ++
+      (0 to 3).map(k => Exact.esum(tpow(k) * col("_v")).as(s"_r$k"))
+    val g = pre.groupBy(seriesDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mat = Vector.tabulate(4, 4)((i, j) => col(s"_s${i + j}"))
+    val rhs = Vector.tabulate(4)(i => col(s"_r$i"))
+    val coefs = Cramer.solve(mat, rhs, Cramer.columns)
+    g.select((seriesDims.map(col) ++
+      coefs.zipWithIndex.map { case (c, k) => c.as(s"c$k") }): _*)
+  }
+
   /** `predict_curve` for fitCurvePoly coefficients: value = Σ cₖ·tᵏ with a
     * broadcast join of the per-series coefficient rows. */
   def predictCurvePoly(coefs: DataFrame, seriesDims: Seq[String],

@@ -343,15 +343,17 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
-    // arbitrary-degree fit: rows-only in the gate (no closed-form SQL
-    // mirror); exact-recovery invariants live in CubeSpec
+    // degree-3 fit, FULL oracle: the Cramer solve is generated column math
+    // (graft.core.Cramer) whose SQL instantiation below evaluates the
+    // identical double DAG — bit-identical coefficients cross-engine.
+    // fitCurvePoly (pivoting Gaussian, arbitrary degree) keeps its
+    // exact-recovery invariants in CubeSpec.
     "cube_fit_cubic" -> { (s, d) =>
       val c = DataCube(Tables.events(s, d).select(
         col("ts").as("time"), col("event_type").as("band"), col("value")))
-      c.fitCurvePoly(Seq("band"), "2024-01-01", degree = 3)
+      c.fitCurveCubic(Seq("band"), "2024-01-01")
         .select((col("band") +:
-          (0 to 3).map(k => Exact.rnd4(element_at(col("coefs"), k + 1))
-            .as(s"c$k"))): _*)
+          (0 to 3).map(k => Exact.rnd4(col(s"c$k")).as(s"c$k"))): _*)
     },
 
     "cube_apply_polygon" -> { (s, d) =>
@@ -456,7 +458,41 @@ object CubeQueries {
       |  FROM g)""".stripMargin
   }
 
+  /** Degree-3 mirror of DataCube.fitCurveCubic: moments + Cramer solve,
+    * the solve text generated by the SAME graft.core.Cramer expansion the
+    * Column side uses — identical double DAG, bit-identical results. */
+  private val fitCubicSql: String = {
+    import graft.core.Cramer
+    val mat = Vector.tabulate(4, 4)((i, j) => s"s${i + j}")
+    val rhs = Vector.tabulate(4)(i => s"r$i")
+    val coefs = Cramer.solve(mat, rhs, Cramer.sql)
+    // mirrors DataCube tpow: foldLeft(1.0)(_ * _) — left-associated, and
+    // the leading 1.0 * x is the identity in IEEE doubles
+    def tp(k: Int) = (1 to k).map(_ => "t").foldLeft("1.0")((a, b) => s"$a * $b")
+    val sSums = (0 to 6).map(k =>
+      s"CAST(sum(CAST(${tp(k)} AS DECIMAL(38,10))) AS DOUBLE) AS s$k")
+    val rSums = (0 to 3).map(k =>
+      s"CAST(sum(CAST(${tp(k)} * v AS DECIMAL(38,10))) AS DOUBLE) AS r$k")
+    val sels = coefs.zipWithIndex.map { case (c, k) =>
+      s"floor(($c) * 10000 + 0.5) / 10000.0 AS c$k"
+    }
+    s"""WITH td AS (
+      |  SELECT event_type AS band,
+      |    CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+      |      / 86400000000.0 AS t,
+      |    value AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT band,
+      |    ${(sSums ++ rSums).mkString(",\n    ")}
+      |  FROM td GROUP BY 1)
+      |SELECT band, ${sels.mkString(",\n  ")}
+      |FROM g""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "cube_fit_cubic" -> fitCubicSql,
 
     "cube_apply_unary" ->
       """SELECT event_id,
