@@ -67,17 +67,30 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band signature.
     * `n_bands` = number of agreeing bands (collision strength).
     *
-    * One groupBy on (band, sig) — the signature pipeline is evaluated
-    * exactly once (a self-join would duplicate the whole upstream subtree,
-    * doubling the hashing scan), then pairs explode only within buckets, so
-    * the work is quadratic in bucket size, never in corpus size. At lake
-    * scale, boilerplate-heavy buckets get capped/salted before the pair
-    * explosion; AQE handles residual skew.
+    * The signature pipeline is evaluated exactly once (a self-join would
+    * duplicate the whole upstream subtree, doubling the hashing scan);
+    * pairs explode only within buckets, so the work is quadratic in bucket
+    * size, never in corpus size.
+    *
+    * `maxBucket` is the boilerplate guard: a bucket of n docs explodes to
+    * n(n−1)/2 pairs, so one boilerplate signature shared by 10⁶ docs would
+    * dominate the whole job — buckets above the cap are dropped (standard
+    * LSH-dedup practice: such buckets are near-certain template text, and
+    * the exact/SimHash passes still catch their identical members). The
+    * cardinality check runs as a WINDOW count over the bucket partitioning
+    * BEFORE collect_list, because WindowExec streams and spills arbitrary
+    * bucket sizes while a collect_list buffer is a single unspillable
+    * array; the subsequent groupBy reuses the window's hash partitioning,
+    * so the guard costs no extra Exchange.
     */
-  def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val buckets = sigs.groupBy("band", "sig")
+  def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id",
+                        maxBucket: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val bounded = sigs
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+    val buckets = bounded.groupBy("band", "sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
     buckets
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
@@ -226,9 +239,16 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99,
                         planes: Int = 16, idCol: String = "vec_id",
-                        embCol: String = "embedding"): DataFrame = {
+                        embCol: String = "embedding",
+                        maxBucket: Int = 1024): DataFrame = {
+    // same boilerplate guard as minhashCandidates: a degenerate bucket
+    // (e.g. all-zero embeddings) must not quadratically dominate the join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     val withBucket = embs.select(col(idCol), col(embCol),
       lshBucket(col(embCol), planes).as("bucket"))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),

@@ -87,10 +87,14 @@ object DedupQueries {
       |    list_aggregate(list_transform(shingles,
       |      s -> substr(md5(s) || md5('x:' || s), j * 8 + 1, 8)), 'min') AS sig
       |  FROM sh CROSS JOIN generate_series(0, 7) AS g(j)),
+      |bsz AS (
+      |  SELECT band, sig, count(*) AS n FROM sig
+      |  WHERE sig IS NOT NULL GROUP BY 1, 2),
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |    AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.band = a.band AND bsz.sig = a.sig AND bsz.n <= 1024
       |  GROUP BY 1, 2)""".stripMargin
 
   private val minhashSigSql = sigChainSql(nearCorpusSql)
@@ -231,10 +235,12 @@ object DedupQueries {
     "dedup_embedding" ->
       s"""WITH $embCorpusSql,
         |bk AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM corpus),
+        |bsz AS (SELECT bucket, count(*) AS n FROM bk GROUP BY 1),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    ${cosSql("a.embedding", "b.embedding")} AS c
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN bsz ON bsz.bucket = a.bucket AND bsz.n <= 1024)
         |SELECT id_a, id_b, floor((c) * 10000 + 0.5) / 10000.0 AS cos_sim
         |FROM pairs WHERE c >= 0.99""".stripMargin
   )

@@ -1,0 +1,40 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** Behavior the oracle gate can't exercise at test SF: the boilerplate
+  * bucket-size guard. A signature shared by a huge block of template text
+  * explodes quadratically in candidate pairs; buckets above `maxBucket`
+  * must be dropped while genuine near-dups keep flowing.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("minhash candidates drop boilerplate buckets above the cap") {
+    import spark.implicits._
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, "terms of service apply to all content on this site every day"))
+    val near = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1001L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs), maxBucket = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1000L, 1001L)),
+      s"near-dup pair must survive the cap, got $capped")
+    assert(capped.forall { case (a, _) => a >= 1000L },
+      s"boilerplate pairs leaked through the cap: ${capped.size}")
+    // uncapped, the 200-doc bucket floods ~20k candidate pairs
+    val flood = Dedup.minhashCandidates(Dedup.minhashSignatures(docs)).count()
+    assert(flood > 10000L, s"expected boilerplate flood, got $flood")
+  }
+
+  test("embedding near-dup buckets above the cap are dropped") {
+    import spark.implicits._
+    val same = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (j + 1).toFloat)))
+    val embs = same.toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDups(embs, maxBucket = 50).count() == 0)
+    assert(Dedup.embeddingNearDups(embs, maxBucket = 1024).count() > 0)
+  }
+}
