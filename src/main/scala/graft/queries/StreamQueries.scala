@@ -26,6 +26,15 @@ object StreamQueries {
           col("session_end"), col("n_events"), col("sum_value"))
     },
 
+    // E2 through Spark's native session_window aggregate — same sessions,
+    // one declarative groupBy that also runs unchanged under streaming
+    // (StreamingSpec proves batch ≡ stream ≡ window-function form)
+    "events_sessionize_native" -> { (s, d) =>
+      EventStreams.sessionizeSessionWindow(Tables.events(s, d), 21600L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+    },
+
     // E3 batch-parity: the corpus is the table ∪ a 1-hour-late redelivery
     // of every event; first delivery wins.
     "events_dedup" -> { (s, d) =>
@@ -89,6 +98,25 @@ object StreamQueries {
         |  count(*) AS n_events,
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize_native" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "events_dedup" ->
       """WITH r AS (

@@ -44,6 +44,40 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Gridded (wide) export — the interop analog of the reference's raster
+    * formats (custom_processes.py:246 netcdf/gtiff): one row per
+    * (other dims…, y), one column per x label, axes sorted, so the file IS
+    * the raster layout a gridded consumer expects, in a lake-readable
+    * format. The x-axis labels are collected (O(axis), like the resample
+    * target grid — never O(cube)) to drive an explicit-values pivot: one
+    * shuffle, no second pass to discover columns.
+    */
+  def saveGridded(cube: graft.cube.DataCube, path: String,
+                  format: String = "csv"): Unit = {
+    import org.apache.spark.sql.functions._
+    val xd = cube.requireDim(cube.xDim, "x")
+    val yd = cube.requireDim(cube.yDim, "y")
+    val others = cube.dims.filterNot(d => d == xd || d == yd)
+    val xs = cube.df.select(col(xd)).distinct().orderBy(col(xd))
+      .collect().map(_.get(0)).toSeq
+    val wide = cube.df.groupBy((others :+ yd).map(col): _*)
+      .pivot(xd, xs)
+      .agg(first(col(cube.valueCol)))
+      .orderBy((others :+ yd).map(col): _*)
+    saveResult(wide, path, format)
+  }
+
+  /** Melt a saveGridded file back into a long-format cube frame:
+    * (other dims…, y, x, value) — x labels come from the column names. */
+  def loadGridded(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCols: Seq[String], format: String = "csv"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wide = loadResult(spark, path, format)
+    val xCols = wide.columns.filterNot(idCols.contains)
+    wide.unpivot(idCols.map(col).toArray,
+      xCols.map(col).toArray, "x", "value")
+  }
+
   /** load_collection analog for results written by saveResult. */
   def loadResult(spark: org.apache.spark.sql.SparkSession, path: String,
                  format: String = "parquet"): DataFrame = format match {

@@ -99,6 +99,30 @@ object EventStreams extends Serializable {
         Exact.rnd4(Exact.esum(col("value"))).as("sum_value"))
   }
 
+  /** E2 via Spark's NATIVE `session_window`: the same gap sessions as one
+    * declarative aggregate that runs identically on batch and streaming
+    * inputs — no window functions, no hand-written state (Spark's
+    * streaming session aggregation manages/merges/evicts the state under
+    * the watermark). The +1 µs widens session_window's half-open window
+    * end onto the batch form's strictly-greater-than gap test ("a gap
+    * STRICTLY exceeding gapSec breaks"), so an event exactly gapSec after
+    * its predecessor joins the same session in both forms.
+    */
+  def sessionizeSessionWindow(events: DataFrame, gapSec: Long,
+                              delay: String = "1 day"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", delay)
+              else events
+    src.groupBy(col("user_id"),
+        session_window(col("ts"),
+          s"${gapSec * 1000000L + 1} microseconds").as("_sw"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Exact.rnd4(Exact.esum(col("value"))).as("sum_value"))
+      .drop("_sw")
+  }
+
   /** E2 streaming twin: flatMapGroupsWithState with event-time timeout.
     * State per user is the open session; a session closes either inline
     * (a same-batch event arrives past the gap) or via timeout when the

@@ -56,6 +56,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("gridded export round-trips the raster layout") {
+    import graft.core.Exact
+    val cube = graft.cube.DataCube(Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_partkey"), lit(16)).as("x"),
+        pmod(col("l_suppkey"), lit(8)).as("y"),
+        col("l_returnflag").as("band"), col("l_quantity"))
+      .groupBy("x", "y", "band")
+      .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gridded_").toString + "/out"
+    Sinks.saveGridded(cube, dir, "csv")
+    // the wide file has one row per (band, y) and one column per x label
+    val wide = Sinks.loadResult(spark, dir, "csv")
+    assert(wide.columns.take(2).toSeq == Seq("band", "y"))
+    assert(wide.columns.length >= 2 + 16, s"x columns missing: ${wide.columns.length}")
+    // melt back → exactly the original cells
+    val back = Sinks.loadGridded(spark, dir, Seq("band", "y"), "csv")
+      .filter(col("value").isNotNull)
+      .select(col("band"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("value").cast("double").as("value"))
+    val orig = cube.df.select(col("band"), col("y").cast("long").as("y"),
+      col("x").cast("long").as("x"), col("value").cast("double").as("value"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "gridded export must round-trip the cube cells exactly")
+  }
+
   test("process graph: whole graph collapses into one pushed-down scan") {
     val df = new ProcessGraph(spark, sfDir).run(PipelineQueries.demoGraph)
     val plan = df.queryExecution.executedPlan.toString

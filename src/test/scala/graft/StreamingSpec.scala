@@ -93,6 +93,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2 session_window: native session aggregate equals batch semantics") {
+    import spark.implicits._
+    // batch ≡ batch: the declarative session_window aggregate must produce
+    // exactly the window-function sessions on the full table
+    val full = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cols = Seq("user_id", "session_start", "session_end", "n_events",
+      "sum_value")
+    val viaSw = EventStreams.sessionizeSessionWindow(full, 21600L)
+      .select(cols.map(col): _*)
+    val viaBatch = EventStreams.sessionizeBatch(full, 21600L)
+      .select(cols.map(col): _*)
+    assert(viaSw.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(viaSw).isEmpty,
+      "session_window sessions diverge from the window-function form")
+
+    // streaming: the same transform over an incremental MemoryStream emits
+    // the same closed sessions under watermark eviction
+    val events = realEvents(20)
+    val lastTs = events.map(_.ts.getTime).max
+    val sentinelTs = lastTs + 3L * 86400 * 1000
+    val sentinels = events.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => Event(920000L + i, new Timestamp(sentinelTs), u,
+        "sentinel", 0.0)
+    }
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeSessionWindow(ms.toDF(), 21600L,
+      delay = "10 minutes")
+      .writeStream.format("memory").queryName("sw_sess_parity")
+      .outputMode("append").start()
+    try {
+      val third = events.length / 3
+      ms.addData(events.take(third)); q.processAllAvailable()
+      ms.addData(events.slice(third, 2 * third)); q.processAllAvailable()
+      ms.addData(events.drop(2 * third)); q.processAllAvailable()
+      ms.addData(sentinels); q.processAllAvailable()
+      val streamed = spark.table("sw_sess_parity")
+        .filter(col("session_start") < new Timestamp(sentinelTs))
+        .select(cols.map(col): _*)
+      val batch = EventStreams.sessionizeBatch(events.toDF(), 21600L)
+        .select(cols.map(col): _*)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming session_window sessions diverge from batch")
+    } finally q.stop()
+  }
+
   test("file-source ingest: windowed stats over incrementally arriving files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val ev = Tables.events(spark, sfDir)
