@@ -90,28 +90,42 @@ final class ExternalModel(
     * reference applies scaling before the tensor leaves numpy
     * (scaling_utils.py:63). One scaling entry broadcasts to all bands;
     * per-band entries (len == width) index plan-time literal arrays. */
-  private def scaleExpr(c: Column): Column = input.scaling match {
-    case Nil => c
-    case one :: Nil => transform(c, x => applyOne(one, x, lit(one.p1), lit(one.p2)))
-    case many =>
-      require(many.length == featureWidth,
-        s"ml_predict: ${many.length} value_scaling entries for " +
-          s"$featureWidth input features")
-      require(many.map(_.kind).distinct.length == 1,
-        "ml_predict: mixed value_scaling kinds are not supported")
-      val p1s = typedlit(many.map(_.p1))
-      val p2s = typedlit(many.map(_.p2))
-      transform(c, (x, i) =>
-        applyOne(many.head, x, element_at(p1s, i + 1), element_at(p2s, i + 1)))
-  }
+  private def scaleExpr(c: Column,
+                        spark: org.apache.spark.sql.SparkSession): Column =
+    input.processing match {
+      // `processing`-type scaling: a whitelisted sql expression over x,
+      // applied per element — the reference declares this type but raises
+      // NotImplemented (scaling_utils.py:95); ProcessExpression IS the
+      // safe implementation of that contract here
+      case Some(exprStr) => transform(c, x =>
+        ProcessExpression.column(spark, exprStr, Map("x" -> x)))
+      case None => input.scaling match {
+        case Nil => c
+        case one :: Nil =>
+          transform(c, x => applyOne(one, x, lit(one.p1), lit(one.p2)))
+        case many =>
+          require(many.length == featureWidth,
+            s"ml_predict: ${many.length} value_scaling entries for " +
+              s"$featureWidth input features")
+          require(many.map(_.kind).distinct.length == 1,
+            "ml_predict: mixed value_scaling kinds are not supported")
+          val p1s = typedlit(many.map(_.p1))
+          val p2s = typedlit(many.map(_.p2))
+          transform(c, (x, i) =>
+            applyOne(many.head, x, element_at(p1s, i + 1),
+              element_at(p2s, i + 1)))
+      }
+    }
 
   private def applyOne(v: ValueScaling, x: Column, p1: Column, p2: Column): Column =
     v.kind match {
       case "z-score" => (x - p1) / p2
       case "min-max" => (x - p1) / (p2 - p1)
       case "scale"   => x / p1
-      case "offset"  => x - p1
-      case "clip"    => least(greatest(x, p1), p2)
+      case "offset"   => x - p1
+      case "clip"     => least(greatest(x, p1), p2)
+      case "clip-min" => greatest(x, p1)
+      case "clip-max" => least(x, p1)
       case other =>
         throw new IllegalArgumentException(s"unknown scaling '$other'")
     }
@@ -134,7 +148,7 @@ final class ExternalModel(
     val bs = batchSize
     val rt = runtime // local vals only — the closure must not drag `this`
     df.select(col(idCol).cast("long").as("_id"),
-        scaleExpr(guarded).cast("array<float>").as("_f"))
+        scaleExpr(guarded, spark).cast("array<float>").as("_f"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.grouped(bs).flatMap { batch =>
@@ -176,7 +190,8 @@ final class ExternalModel(
       .otherwise(feats)
     // keep dims first, features LAST — the closure below relies on position
     val prepped = cube.df.groupBy(keep.map(col): _*)
-      .agg(scaleExpr(guarded).cast("array<float>").as("_feats"))
+      .agg(scaleExpr(guarded, cube.df.sparkSession)
+        .cast("array<float>").as("_feats"))
       .select((keep.map(col) :+ col("_feats")): _*)
     val outDim = output.dimOrder.filterNot(_ == "batch")
       .headOption.getOrElse("embedding")

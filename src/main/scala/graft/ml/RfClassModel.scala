@@ -49,6 +49,10 @@ final class RfClassModel(
       case Some(ValueScaling("offset", o, _)) => transform(guarded, x => x - lit(o))
       case Some(ValueScaling("clip", lo, hi)) =>
         transform(guarded, x => least(greatest(x, lit(lo)), lit(hi)))
+      case Some(ValueScaling("clip-min", lo, _)) =>
+        transform(guarded, x => greatest(x, lit(lo)))
+      case Some(ValueScaling("clip-max", hi, _)) =>
+        transform(guarded, x => least(x, lit(hi)))
       case Some(v) => throw new IllegalArgumentException(s"unknown scaling ${v.kind}")
       case None    => guarded
     }

@@ -11,7 +11,11 @@ final case class MlmModelInput(
     bands: Seq[String],
     shape: Seq[Int],
     dimOrder: Seq[String],
-    scaling: Seq[ValueScaling])
+    scaling: Seq[ValueScaling],
+    /** `processing`-type value_scaling: a whitelisted sql expression over
+      * `x` (the reference declares this type but raises NotImplemented —
+      * scaling_utils.py:95; here it routes through ProcessExpression). */
+    processing: Option[String] = None)
 
 /** One `mlm:output` entry: result shape/dim order. */
 final case class MlmModelOutput(
@@ -90,6 +94,19 @@ object StacMlm {
       "load_stac_ml: the STAC Item is missing required mlm:name/mlm:framework")
 
     val inputs = props.path("mlm:input").elements().asScala.map { in =>
+      val entries = in.path("value_scaling").elements().asScala.toSeq
+      val (procs, numeric) =
+        entries.partition(_.path("type").asText() == "processing")
+      require(procs.isEmpty || entries.length == 1,
+        "load_stac_ml: a processing value_scaling must be the only entry")
+      val processing = procs.headOption.map { p =>
+        val fmt = p.path("format").asText("")
+        if (fmt != "sql")
+          throw new UnsupportedOperationException(
+            s"load_stac_ml: processing value_scaling format '$fmt' not " +
+              "implemented (only 'sql')")
+        p.path("expression").asText()
+      }
       MlmModelInput(
         name = in.path("name").asText(""),
         bands = in.path("bands").elements().asScala.map(_.asText()).toSeq,
@@ -97,8 +114,8 @@ object StacMlm {
           .map(_.asInt()).toSeq,
         dimOrder = in.path("input").path("dim_order").elements().asScala
           .map(_.asText()).toSeq,
-        scaling = in.path("value_scaling").elements().asScala
-          .map(parseScaling).toSeq)
+        scaling = numeric.map(parseScaling),
+        processing = processing)
     }.toSeq
     val outputs = props.path("mlm:output").elements().asScala.map { out =>
       MlmModelOutput(
@@ -153,6 +170,10 @@ object StacMlm {
       case "clip" =>
         ValueScaling("clip", n.path("minimum").asDouble(),
           n.path("maximum").asDouble())
+      case "clip-min" =>
+        ValueScaling("clip-min", n.path("minimum").asDouble(), 0)
+      case "clip-max" =>
+        ValueScaling("clip-max", n.path("maximum").asDouble(), 0)
       case other =>
         throw new IllegalArgumentException(
           s"load_stac_ml: unknown value_scaling type '$other'")

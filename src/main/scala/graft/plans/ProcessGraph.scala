@@ -91,6 +91,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
               col("l_returnflag").as("band"), col("l_quantity"))
             .groupBy("x", "y", "band")
             .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("value")))
+        case "embeddings" =>
+          // vector table as a (vec_id, band, value) cube: every vector has
+          // all 64 f-bands, the complete-group shape ml_predict pivots
+          DataCube(Tables.embeddings(spark, dataDir)
+            .select(col("vec_id"),
+              posexplode(col("embedding")).as(Seq("_p", "value")))
+            .select(col("vec_id"), concat(lit("f"), col("_p")).as("band"),
+              col("value").cast("double").as("value")))
         case other => throw new IllegalArgumentException(
           s"load_collection: unknown collection '$other'")
       }
@@ -309,6 +317,23 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         args.get("dimension").asText(),
         args.get("target_dimensions").elements().asScala.map(_.asText()).toSeq,
         args.path("label_separator").asText("~"))
+
+    // ml_predict as a graph node — the minibackend registers the ML
+    // processes alongside the cube processes (openeo_minibackend.py:52),
+    // so a graph can load a model and score a cube. `model` is a URI:
+    // a STAC-MLM item JSON (external batched execution) or a saved
+    // MLlib model directory (load_ml_model path).
+    case "ml_predict" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val uri = args.get("model").asText()
+      if (uri.endsWith(".json")) {
+        val m = graft.ml.StacMlm.load(uri,
+          inputIndex = args.path("input_index").asInt(0),
+          outputIndex = args.path("output_index").asInt(0))
+        DataCube(m.predictCube(cube))
+      } else {
+        graft.ml.RfClassModel.load(spark, uri).predictCube(cube)
+      }
 
     // save_result (reference: custom_processes.py:246) — pass-through when
     // no path is given (the driver materializes results itself).

@@ -145,6 +145,63 @@ class ExternalModelSpec extends SparkSpec {
     }
   }
 
+  test("scaling kinds: clip-min/clip-max/processing (scaling_utils.py set)") {
+    import spark.implicits._
+    def withScaling(vs: String): String = {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(MlQueries.externalItemPath)), "UTF-8")
+        .replaceAll("(?s)\"value_scaling\": \\[.*?\\]",
+          s""""value_scaling": [$vs]""")
+      val p = java.nio.file.Files.createTempFile("graft_scal_", ".json")
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      p.toString
+    }
+    val one = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    def out(item: String): Float =
+      StacMlm.load(item).predict(one).first().getSeq[Float](1).head
+    // clip-min pins 0.5 up to 0.7; clip-max caps at 0.2; processing doubles
+    assert(math.abs(out(withScaling(
+      """{"type": "clip-min", "minimum": 0.7}""")) - 0.7f) < 1e-6)
+    assert(math.abs(out(withScaling(
+      """{"type": "clip-max", "maximum": 0.2}""")) - 0.2f) < 1e-6)
+    assert(math.abs(out(withScaling(
+      """{"type": "processing", "format": "sql", "expression": "x * 2"}"""))
+      - 1.0f) < 1e-6)
+    // non-sql processing formats raise (the reference raises NotImplemented)
+    intercept[UnsupportedOperationException] {
+      StacMlm.load(withScaling(
+        """{"type": "processing", "format": "python", "expression": "f"}"""))
+    }
+    // a processing entry must be the only value_scaling entry
+    intercept[IllegalArgumentException] {
+      StacMlm.load(withScaling(
+        """{"type": "processing", "format": "sql", "expression": "x"},
+          |{"type": "offset", "value": 1}""".stripMargin))
+    }
+  }
+
+  test("ml_predict runs as a process-graph node (STAC-MLM model)") {
+    val pg = new graft.plans.ProcessGraph(spark, sfDir)
+    val out = pg.run(
+      s"""{"l": {"process_id": "load_collection",
+         |       "arguments": {"id": "embeddings"}},
+         | "p": {"process_id": "ml_predict",
+         |       "arguments": {"data": {"from_node": "l"},
+         |                     "model": "${MlQueries.externalItemPath}"},
+         |       "result": true}}""".stripMargin)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == n * 8, "one row per (vector, output element)")
+    // parity with the direct cube predict
+    val m = StacMlm.load(MlQueries.externalItemPath)
+    val direct = m.predict(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        graft.core.Exact.rnd4(col("col").cast("double")).as("v"))
+    val viaGraph = out.select(col("vec_id"), col("embedding").as("pos"),
+      graft.core.Exact.rnd4(col("value")).as("v"))
+    assert(viaGraph.exceptAll(direct).isEmpty && direct.exceptAll(viaGraph).isEmpty)
+  }
+
   test("predict rejects wrong feature width at execution time") {
     val m = StacMlm.load(MlQueries.externalItemPath)
     val bad = Tables.embeddings(spark, sfDir)
