@@ -147,7 +147,7 @@ final class ExternalModel(
         size(col(featuresCol)).cast("string"))))
     val bs = batchSize
     val rt = runtime // local vals only — the closure must not drag `this`
-    df.select(col(idCol).cast("long").as("_id"),
+    val scored = df.select(col(idCol).cast("long").as("_id"),
         scaleExpr(guarded, spark).cast("array<float>").as("_f"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -159,7 +159,31 @@ final class ExternalModel(
         }
       }
       .toDF(idCol, "embedding", "batch_rows")
+    postProcess(scored, spark)
   }
+
+  /** The output's `post_processing_function`, applied as DECLARATIVE
+    * column math after the session stage (reference: run_pytorch_model.py
+    * :40 applies it to the raw model output). `sql` expressions run
+    * per-element through the whitelist; `python` module-path expressions
+    * (the reference's ViT featuremap reorder etc.) are table-level
+    * reshapes — their native implementation is graft.ml.VitBridge, so the
+    * vector predict declines them explicitly rather than silently
+    * skipping. */
+  private def postProcess(scored: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession): DataFrame =
+    output.postProcessing match {
+      case None => scored
+      case Some(("sql", e)) =>
+        scored.withColumn("embedding",
+          transform(col("embedding"), x =>
+            ProcessExpression.column(spark, e, Map("x" -> x))).cast("array<float>"))
+      case Some((fmt, e)) =>
+        throw new UnsupportedOperationException(
+          s"ml_predict: post_processing_function format '$fmt' ($e) is not " +
+            "executable here; featuremap reorders are implemented natively " +
+            "in graft.ml.VitBridge — apply it to the prediction table")
+    }
 
   /** ml_predict over a datacube: pivot the band dimension into the model's
     * input band order (one shuffle on the non-band dims), score, and

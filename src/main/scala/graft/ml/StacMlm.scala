@@ -17,11 +17,14 @@ final case class MlmModelInput(
       * scaling_utils.py:95; here it routes through ProcessExpression). */
     processing: Option[String] = None)
 
-/** One `mlm:output` entry: result shape/dim order. */
+/** One `mlm:output` entry: result shape/dim order, plus the item's
+  * `post_processing_function` (format, expression) — the reference runs
+  * these around the model call (run_pytorch_model.py:40 postprocess). */
 final case class MlmModelOutput(
     name: String,
     shape: Seq[Int],
-    dimOrder: Seq[String])
+    dimOrder: Seq[String],
+    postProcessing: Option[(String, String)] = None)
 
 /** A parsed STAC-MLM item — the metadata that drives model execution
   * (reference: load_model.py + data_model.py `MLModel`). */
@@ -118,12 +121,17 @@ object StacMlm {
         processing = processing)
     }.toSeq
     val outputs = props.path("mlm:output").elements().asScala.map { out =>
+      val pp = out.path("post_processing_function")
       MlmModelOutput(
         name = out.path("name").asText(""),
         shape = out.path("result").path("shape").elements().asScala
           .map(_.asInt()).toSeq,
         dimOrder = out.path("result").path("dim_order").elements().asScala
-          .map(_.asText()).toSeq)
+          .map(_.asText()).toSeq,
+        postProcessing =
+          if (pp.isObject)
+            Some((pp.path("format").asText(""), pp.path("expression").asText("")))
+          else None)
     }.toSeq
     require(inputs.nonEmpty && outputs.nonEmpty,
       "load_stac_ml: the item declares no mlm:input or no mlm:output")

@@ -202,6 +202,45 @@ class ExternalModelSpec extends SparkSpec {
     assert(viaGraph.exceptAll(direct).isEmpty && direct.exceptAll(viaGraph).isEmpty)
   }
 
+  test("post_processing_function: sql applies per element, python declines") {
+    import spark.implicits._
+    def withPp(pp: String): String = {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(MlQueries.externalItemPath)), "UTF-8")
+        .replace(""""result": {"shape": [-1, 8],""",
+          s""""post_processing_function": $pp,
+             |      "result": {"shape": [-1, 8],""".stripMargin)
+      val p = java.nio.file.Files.createTempFile("graft_pp_", ".json")
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      p.toString
+    }
+    val one = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val base = StacMlm.load(MlQueries.externalItemPath)
+      .predict(one).first().getSeq[Float](1)
+    val scaled = StacMlm.load(withPp(
+      """{"format": "sql", "expression": "x * 10"}"""))
+      .predict(one).first().getSeq[Float](1)
+    base.zip(scaled).foreach { case (b, s) =>
+      assert(math.abs(b * 10 - s) < 1e-5f, s"$b*10 vs $s")
+    }
+    // python module-path post-processing (the reference's ViT reorder) is
+    // a table-level reshape — the vector predict declines it loudly
+    val ex = intercept[UnsupportedOperationException] {
+      StacMlm.load(withPp(
+        """{"format": "python",
+          |  "expression": "x.y:get_featuremap_with_cls"}""".stripMargin))
+        .predict(one).collect()
+    }
+    assert(ex.getMessage.contains("VitBridge"))
+    // the real prithvi item's declared post-processing parses into metadata
+    val ref = java.nio.file.Paths.get(
+      "/root/reference/examples/mlm_items/prithvi_v2_item.json")
+    assume(java.nio.file.Files.exists(ref))
+    val item = StacMlm.parseItem(new String(
+      java.nio.file.Files.readAllBytes(ref), "UTF-8"))
+    assert(item.outputs.exists(_.postProcessing.exists(_._1 == "python")))
+  }
+
   test("predict rejects wrong feature width at execution time") {
     val m = StacMlm.load(MlQueries.externalItemPath)
     val bad = Tables.embeddings(spark, sfDir)
