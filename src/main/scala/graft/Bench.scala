@@ -34,10 +34,12 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // Fixture scaffolding (STAC asset slices) for the TIMED dir is built
-    // here, outside the timed region — it is test setup, not operator work.
-    try graft.queries.PipelineQueries.stacFixture(spark, sfDir)
-    catch { case e: Throwable =>
+    // Fixture scaffolding (STAC asset slices/tiles) for the TIMED dir is
+    // built here, outside the timed region — test setup, not operator work.
+    try {
+      graft.queries.PipelineQueries.stacFixture(spark, sfDir)
+      graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")
     }
 

@@ -139,6 +139,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
   }
 
+  // ---- D19: benchmark decontamination -------------------------------------
+
+  /** Training-data decontamination: flag corpus documents that share any
+    * `w`-gram with a benchmark/eval set (the standard guard against test
+    * leakage into training corpora).
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than the
+    * corpus, so its distinct shingles BROADCAST; corpus shingling is
+    * map-side (explode costs no shuffle), the overlap join is map-side
+    * against the broadcast set, and the only shuffle is the groupBy over
+    * the matching (doc, shingle) rows — a vanishing fraction of the
+    * corpus. One corpus pass, no corpus shuffle.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w))
+    val bench = benchmark.select(explode(sh(benchmark)).as("shingle")).distinct()
+    docs.select(col(idCol), explode(sh(docs)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---- D13: duplicate-cluster resolution ----------------------------------
 
   /** Resolve pairwise duplicate edges into clusters (connected components)

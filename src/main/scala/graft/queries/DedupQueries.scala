@@ -158,7 +158,18 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
-    "dedup_embedding" -> { (s, d) => Dedup.embeddingNearDups(embCorpus(s, d)) }
+    "dedup_embedding" -> { (s, d) => Dedup.embeddingNearDups(embCorpus(s, d)) },
+
+    // D19: decontamination — the truncated variants stand in for a training
+    // corpus that absorbed benchmark text; every 50th base doc is the
+    // "benchmark" and its variant must be flagged by 8-gram overlap.
+    "text_decontaminate" -> { (s, d) =>
+      val corpus = nearCorpus(s, d)
+      val bench = corpus.filter(col("doc_id") < 100000 &&
+        col("doc_id") % 50 === 0)
+      val train = corpus.filter(col("doc_id") >= 100000)
+      Dedup.decontaminate(train, bench, w = 8)
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,6 +242,22 @@ object DedupQueries {
         |SELECT sig, min(doc_id) AS survivor, count(*) AS n_docs
         |FROM sigs GROUP BY 1""".stripMargin
     },
+
+    "text_decontaminate" ->
+      s"""WITH $nearCorpusSql,
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+        |  FROM tok WHERE len(t) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM sh
+        |  WHERE doc_id < 100000 AND doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits
+        |FROM sh s JOIN bench USING (shingle)
+        |WHERE s.doc_id >= 100000
+        |GROUP BY 1""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH $embCorpusSql,
