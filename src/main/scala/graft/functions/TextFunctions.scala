@@ -37,6 +37,24 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
 
+  /** Repeated-word fraction (Gopher-style repetition signal): the share of
+    * tokens that repeat an earlier token. Map-only. DuckDB mirror:
+    * `(len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE)`. */
+  def dupWordFraction(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+
+  /** Top-n-gram fraction (Gopher-style): occurrences of the most frequent
+    * n-gram over all n-grams — high values flag templated/repetitive text.
+    * Per-document higher-order functions only (O(distinct·total) inside
+    * codegen, document-sized arrays), zero shuffle. */
+  def topNgramFraction(toks: Column, n: Int): Column = {
+    val grams = shingles(toks, n)
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    when(size(grams) > 0,
+      array_max(counts).cast("double") / size(grams)).otherwise(lit(0.0))
+  }
+
   /** Count of tokens found in `stop` (case-sensitive — corpus is
     * lower-case). DuckDB mirror: `len(list_filter(toks, t -> t IN (...)))`.
     */

@@ -27,6 +27,19 @@ object TextQueries {
         expr("(length(text) + 3) DIV 4").as("est_tokens"))
     },
 
+    // D21: Gopher-style repetition signals — repeated-word fraction and
+    // top-bigram fraction; high values flag templated/looping text. All
+    // per-document higher-order column math, map-only.
+    "text_repetition" -> { (s, d) =>
+      val t = tokens(col("text"))
+      docs(s, d).select(
+        col("doc_id"), size(t).as("n_words"),
+        Exact.rnd4(graft.functions.TextFunctions.dupWordFraction(t))
+          .as("dup_word_frac"),
+        Exact.rnd4(graft.functions.TextFunctions.topNgramFraction(t, 2))
+          .as("top_bigram_frac"))
+    },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -121,6 +134,25 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS bpe_tokens,
         |  (length(text) + 3) // 4 AS est_tokens
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+1], ' ')) END AS grams
+        |  FROM t)
+        |SELECT doc_id, len(toks) AS n_words,
+        |  floor((CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |         / len(toks)) * 10000 + 0.5) / 10000.0 AS dup_word_frac,
+        |  floor((CASE WHEN len(grams) > 0
+        |    THEN CAST(list_max(list_transform(list_distinct(grams),
+        |           x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+        |         / len(grams)
+        |    ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS top_bigram_frac
+        |FROM g""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (

@@ -71,6 +71,17 @@ class PlanSpec extends SparkSpec {
       s"simhash must shuffle only the O(docs) signature groupBy, found $n:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark; corpus never shuffles") {
+    val full = plan(SparkEntry.queries("text_decontaminate")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$p")
+    // only the benchmark distinct + the per-doc hit count shuffle — the
+    // corpus side is Generate → map-side join, no Exchange
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 Exchanges (bench distinct, hit count), got $n:\n$p")
+  }
+
   test("brute-force ANN never shuffles the corpus: broadcast nested loop") {
     val p = plan(SparkEntry.queries("ann_topk")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"),
