@@ -61,6 +61,19 @@ object StreamQueries {
           max("k").as("max_k"))
     },
 
+    // E8 batch-parity: stream-stream interval join (click→view
+    // attribution within 1 hour); the streaming twin with two watermarked
+    // MemoryStreams is parity-tested in StreamingSpec.
+    "events_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      EventStreams.attribute(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          graft.core.Exact.rnd4(col("value")).as("value"))
+    },
+
     // E4 batch-parity: broadcast enrichment against the customer dim.
     "events_enrich" -> { (s, d) =>
       val dim = Tables.customer(s, d)
@@ -134,6 +147,14 @@ object StreamQueries {
     "events_enrich" ->
       """SELECT event_id, user_id, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin,
+
+    "events_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  floor((v.value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts AND v.ts < c.ts + INTERVAL 3600 SECONDS""".stripMargin,
 
     "events_json" ->
       """SELECT event_type,

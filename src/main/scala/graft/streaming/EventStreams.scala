@@ -77,6 +77,31 @@ object EventStreams extends Serializable {
              key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** E8: stream-stream interval join — attribute each view to every click
+    * by the same user within `[click_ts, click_ts + horizon)`. The classic
+    * two-stream correlation: in streaming BOTH sides carry watermarks and
+    * the event-time range condition lets Spark bound the join state (each
+    * side's buffered rows are evicted once the other side's watermark
+    * passes the interval — state tracks the horizon, not the stream's
+    * history). The identical transform runs on batch frames for the
+    * oracle gate.
+    */
+  def attribute(clicks: DataFrame, views: DataFrame,
+                horizonSec: Long = 3600,
+                delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", delay) else df
+    val c = wm(clicks).select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val v = wm(views).select(col("user_id").as("_vu"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"), col("value"))
+    c.join(v, col("user_id") === col("_vu") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"), col("value"))
+  }
+
   /** E2 batch form: gap-based sessionization with window functions — a
     * session breaks when the inter-event gap exceeds `gapSec`. Exact µs
     * arithmetic; deterministic (ts, event_id) ordering.

@@ -140,6 +140,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E8 attribution: stream-stream interval join equals batch join") {
+    import spark.implicits._
+    val events = realEvents(30)
+    val clicks = events.filter(_.event_type == "click")
+    val views = events.filter(_.event_type == "view")
+    val msC = MemoryStream[Event](spark)
+    val msV = MemoryStream[Event](spark)
+    val q = EventStreams.attribute(msC.toDF(), msV.toDF())
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode("append").start()
+    try {
+      // interleave both streams in two chunks each
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      val (v1, v2) = views.splitAt(views.length / 2)
+      msC.addData(c1); msV.addData(v1); q.processAllAvailable()
+      msC.addData(c2); msV.addData(v2); q.processAllAvailable()
+      val streamed = spark.table("attr_parity")
+        .select("user_id", "click_id", "view_id")
+      val batch = EventStreams.attribute(clicks.toDF(), views.toDF())
+        .select("user_id", "click_id", "view_id")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        s"stream=${streamed.count()} batch=${batch.count()} pairs diverge")
+    } finally q.stop()
+  }
+
   test("file-source ingest: windowed stats over incrementally arriving files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     val ev = Tables.events(spark, sfDir)
