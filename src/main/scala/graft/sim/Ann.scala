@@ -84,29 +84,48 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
               nProbe: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, seed, embCol)
+    val assigned = corpus.select(col(idCol).as("c_id"),
+      col(embCol).as("_c_emb"), cellOf(cents, col(embCol)).as("cell"))
+    rankProbed(assigned, queries, cents, k, nProbe, idCol, embCol)
+  }
+
+  /** K-means coarse quantizer → centroid arrays (plan-time literals). */
+  private def trainCentroids(corpus: DataFrame, nlist: Int, seed: Long,
+                             embCol: String): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("_fv")
-    val model = km.fit(corpus.select(
-      array_to_vector(col(embCol).cast("array<double>")).as("_fv")))
-    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance)
-    def scored(emb: org.apache.spark.sql.Column) = cents.zipWithIndex.map {
-      case (c, i) =>
-        val c2 = c.map(x => x.toDouble * x).sum
-        struct((lit(c2) - lit(2.0) * VectorFunctions.dot(emb, typedlit(c)))
-          .as("d"), lit(i).as("i"))
+    km.fit(corpus.select(
+        array_to_vector(col(embCol).cast("array<double>")).as("_fv")))
+      .clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance)
+  private def centScores(cents: Array[Array[Float]],
+                         emb: org.apache.spark.sql.Column) =
+    cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((lit(c2) - lit(2.0) * VectorFunctions.dot(emb, typedlit(c)))
+        .as("d"), lit(i).as("i"))
     }
-    def cellOf(emb: org.apache.spark.sql.Column) =
-      array_min(array(scored(emb): _*)).getField("i")
-    def probesOf(emb: org.apache.spark.sql.Column) =
-      transform(slice(array_sort(array(scored(emb): _*)), 1, nProbe),
-        s => s.getField("i"))
-    val assigned = corpus.select(col(idCol).as("c_id"),
-      col(embCol).as("_c_emb"), cellOf(col(embCol)).as("cell"))
+
+  private def cellOf(cents: Array[Array[Float]],
+                     emb: org.apache.spark.sql.Column) =
+    array_min(array(centScores(cents, emb): _*)).getField("i")
+
+  private def probesOf(cents: Array[Array[Float]],
+                       emb: org.apache.spark.sql.Column, nProbe: Int) =
+    transform(slice(array_sort(array(centScores(cents, emb): _*)), 1, nProbe),
+      s => s.getField("i"))
+
+  private def rankProbed(assigned: DataFrame, queries: DataFrame,
+                         cents: Array[Array[Float]], k: Int, nProbe: Int,
+                         idCol: String, embCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-        col(embCol).as("_q_emb"), explode(probesOf(col(embCol))).as("cell")))
+      col(embCol).as("_q_emb"),
+      explode(probesOf(cents, col(embCol), nProbe)).as("cell")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     assigned.join(q, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -117,6 +136,69 @@ object Ann {
       .select(col("q_id"), col("c_id"), col("rank"),
         Exact.rnd4(col("sim")).as("sim"))
   }
+
+  /** Materialize the IVF layout on disk: the corpus written PARTITIONED BY
+    * its cell id (one directory per inverted list) plus a centroid
+    * sidecar — the physical realization of "the cell id is the table's
+    * partition key". Build is one assignment pass; the layout is reusable
+    * across every future query batch.
+    */
+  def ivfBuild(corpus: DataFrame, path: String, nlist: Int = 16,
+               seed: Long = 42L, idCol: String = "vec_id",
+               embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nlist, seed, embCol)
+    corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
+        cellOf(cents, col(embCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a built IVF index: the probed cell ids (O(|Q|·nProbe), driver
+    * side — queries are the broadcast-small side by construction) become
+    * an IN-filter on the PARTITION column, so the scan reads only the
+    * probed directories — nProbe/nlist of the lake, proven via inputFiles
+    * in AnnSpec.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+               queries: DataFrame, k: Int, nProbe: Int = 4,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    rankProbed(probedScan(spark, path, queries, cents, nProbe, idCol, embCol),
+      queries, cents, k, nProbe, idCol, embCol)
+  }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
+  /** The pruned corpus scan a probe performs: probed cell ids → IN-filter
+    * on the partition column (directory pruning). Public so tests can
+    * assert the file-level pruning via `inputFiles`. */
+  def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, cents: Array[Array[Float]], nProbe: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val probed = queries
+      .select(explode(probesOf(cents, col(embCol), nProbe)).as("cell"))
+      .distinct().as[Int].collect()
+    spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probed.toSeq: _*))
+  }
+
+  /** Convenience overload loading the sidecar centroids. */
+  def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, nProbe: Int): DataFrame =
+    probedScan(spark, path, queries, loadCentroids(spark, path), nProbe)
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `planes` sign-LSH bits each

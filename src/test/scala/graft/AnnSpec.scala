@@ -57,4 +57,38 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.4, s"ivf recall too low: $recall")
     info(f"ivf recall@5 = $recall%.2f")
   }
+
+  test("ivf partitioned layout: probe reads ONLY the probed cell dirs") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_").toString
+    Ann.ivfBuild(emb, path, nlist = 16)
+    val probed = Ann.ivfProbe(spark, path, qs, k = 5, nProbe = 4).cache()
+    // identical answers to the in-memory ivf path (same quantizer seed)
+    val inMem = Ann.ivfTopK(qs, emb, k = 5, nlist = 16, nProbe = 4)
+    assert(probed.exceptAll(inMem).isEmpty && inMem.exceptAll(probed).isEmpty,
+      "partitioned probe must equal the in-memory ivf ranking")
+    // the scan's file list only contains probed cell partitions — the
+    // physical nProbe/nlist read the SURVEY §5 layout promises
+    val cells = spark.read.parquet(s"$path/data")
+      .select("cell").distinct().count()
+    // a 20-query batch probes most cells; the pruning claim is per-batch,
+    // so measure a small batch whose probe union stays partial. inputFiles
+    // ignores pruning (it lists the base relation), so read the EXECUTED
+    // scan's metrics: the IN-filter must appear as a PartitionFilter and
+    // the file count must drop below the full layout's.
+    val fewQs = emb.filter(col("vec_id") < 3)
+    val pruned = Ann.probedScan(spark, path, fewQs, nProbe = 4)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.toString.contains("PartitionFilters: [cell"),
+      s"cell IN-list must be a partition filter:\n$scan")
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"probe must prune partitions: read $readFiles of $allFiles files " +
+        s"($cells cells)")
+    info(s"probe read $readFiles/$allFiles files across $cells cells")
+  }
 }
