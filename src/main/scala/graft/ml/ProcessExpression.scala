@@ -33,9 +33,16 @@ object ProcessExpression {
     "ceiling", "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh",
     "tanh", "sign", "signum")
 
+  /** Additional node classes a PREDICATE expression may contain —
+    * comparisons and boolean combinators (filter_labels conditions). */
+  private val predicateClasses: Set[String] = Set(
+    "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual",
+    "EqualTo", "EqualNullSafe", "Not", "And", "Or")
+
   def validate(spark: org.apache.spark.sql.SparkSession,
                expression: String,
-               allowedRefs: Set[String] = Set("x")): Unit = {
+               allowedRefs: Set[String] = Set("x"),
+               extraClasses: Set[String] = Set.empty): Unit = {
     val parsed = spark.sessionState.sqlParser.parseExpression(expression)
     val refs = parsed.collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -44,8 +51,9 @@ object ProcessExpression {
     require(refs.toSet.subsetOf(allowedRefs),
       s"expression may only reference ${allowedRefs.mkString("/")}, " +
         s"got: ${refs.distinct}")
+    val allowed = allowedClasses ++ extraClasses
     val badClasses = parsed.collect {
-      case e if !allowedClasses.contains(e.getClass.getSimpleName) =>
+      case e if !allowed.contains(e.getClass.getSimpleName) =>
         e.getClass.getSimpleName
     }
     require(badClasses.isEmpty,
@@ -72,13 +80,30 @@ object ProcessExpression {
              bindings: Map[String, org.apache.spark.sql.Column])
       : org.apache.spark.sql.Column = {
     validate(spark, expression, bindings.keySet)
+    bind(spark, expression, bindings).cast("double")
+  }
+
+  /** Predicate form — the condition callback of openEO `filter_labels`:
+    * the arithmetic whitelist plus comparisons and boolean combinators,
+    * bound and returned as a boolean column. */
+  def predicate(spark: org.apache.spark.sql.SparkSession, expression: String,
+                bindings: Map[String, org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    validate(spark, expression, bindings.keySet, predicateClasses)
+    bind(spark, expression, bindings).cast("boolean")
+  }
+
+  private def bind(spark: org.apache.spark.sql.SparkSession,
+                   expression: String,
+                   bindings: Map[String, org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
     val parsed = spark.sessionState.sqlParser.parseExpression(expression)
     val substituted = parsed.transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         if bindings.contains(a.name) =>
         org.apache.spark.sql.GraftBridge.toExpression(bindings(a.name))
     }
-    org.apache.spark.sql.GraftBridge.toColumn(substituted).cast("double")
+    org.apache.spark.sql.GraftBridge.toColumn(substituted)
   }
 
   /** Apply a processing expression to a cube's value column. Only format

@@ -124,6 +124,28 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       val bands = args.get("bands").elements().asScala.map(_.asText()).toSeq
       cubeArg(args, "data", evalNode).filterBands(bands)
 
+    // filter_labels with the condition child graph in safe predicate form:
+    // a whitelisted expression over `x` (the label), comparisons included
+    case "filter_labels" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val dim = graft.cube.DimAliases.alternative(cube.dims,
+        args.get("dimension").asText())
+        .getOrElse(throw new IllegalArgumentException(
+          s"filter_labels: no dimension ${args.get("dimension").asText()}"))
+      val cond = args.get("condition").asText()
+      cube.filterLabels(dim, c =>
+        graft.ml.ProcessExpression.predicate(spark, cond, Map("x" -> c)))
+
+    // aggregate_temporal with explicit (possibly overlapping) intervals
+    case "aggregate_temporal" =>
+      val intervals = args.get("intervals").elements().asScala.zipWithIndex
+        .map { case (iv, i) =>
+          val label = if (iv.size() > 2) iv.get(2).asText() else s"i$i"
+          (iv.get(0).asText(), iv.get(1).asText(), label)
+        }.toSeq
+      cubeArg(args, "data", evalNode)
+        .aggregateTemporal(intervals, args.path("reducer").asText("mean"))
+
     case "filter_bbox" =>
       val e = args.get("extent")
       cubeArg(args, "data", evalNode).filterBbox(

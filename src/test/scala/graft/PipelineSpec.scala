@@ -177,6 +177,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
   }
 
+  test("graph filter_labels predicate and aggregate_temporal intervals") {
+    val pg = new ProcessGraph(spark, sfDir)
+    val filtered = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "f": {"process_id": "filter_labels",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "dimension": "band",
+        |                     "condition": "x = 'click'"},
+        |       "result": true}}""".stripMargin)
+    assert(filtered.select("band").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("click"))
+    // the predicate whitelist still blocks non-whitelisted functions
+    intercept[IllegalArgumentException] {
+      pg.run(
+        """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+          | "f": {"process_id": "filter_labels",
+          |       "arguments": {"data": {"from_node": "l"},
+          |                     "dimension": "band",
+          |                     "condition": "java_method('x','y') = 'z'"},
+          |       "result": true}}""".stripMargin)
+    }
+    val agg = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "a": {"process_id": "aggregate_temporal",
+        |       "arguments": {"data": {"from_node": "l"},
+        |         "intervals": [["2024-01-01", "2024-01-10", "w1"],
+        |                       ["2024-01-05", "2024-01-20", "w2"]],
+        |         "reducer": "mean"},
+        |       "result": true}}""".stripMargin)
+    assert(agg.count() > 0 && agg.count() <= 2 * 5,
+      s"expected per-(interval, band) rows, got ${agg.count()}")
+  }
+
   test("graph expression callbacks stay inside the whitelist") {
     // resolver/apply expressions route through ProcessExpression: a
     // non-whitelisted function must be rejected at plan time
