@@ -185,6 +185,123 @@ final class ExternalModel(
             "in graft.ml.VitBridge — apply it to the prediction table")
     }
 
+  /** ml_predict for IMAGE-TENSOR inputs (dim_order over batch/band/y/x) —
+    * the reference's cube → batches reshape for models like Prithvi
+    * (data_model.py:438 `reshape_dc_for_input`): the cube is cut into
+    * model-sized (ty × tx) tiles, each tile's cells flatten into one
+    * feature row in the model's dim order, and the tiles ARE the batch.
+    * `get_index_subsets` ends at the last full step, so partial edge tiles
+    * are DROPPED, mirrored here by the completeness filter.
+    *
+    * Spark shape: tile ids and the in-tile flat position are pure column
+    * math (mixed-radix index over the input dim order), assembly is one
+    * groupBy per tile with a sorted struct collect (arrays bounded by the
+    * model's tile size), scoring reuses the same batched session stage.
+    * Requires an integer-indexed grid (x/y are cell indices, as in the
+    * synthetic lake).
+    */
+  def predictTiles(cube: graft.cube.DataCube): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bd = cube.requireDim(cube.bandDim, "bands")
+    val xd = cube.requireDim(cube.xDim, "x")
+    val yd = cube.requireDim(cube.yDim, "y")
+    val others = cube.dims.filterNot(d => d == bd || d == xd || d == yd)
+    val orderNames = input.dimOrder.filterNot(_ == "batch")
+    val extents = input.dimOrder.zip(input.shape).collect {
+      case (d, n) if d != "batch" => d -> n
+    }.toMap
+    def isBandDim(d: String) = graft.cube.DimAliases.band.contains(d) ||
+      d == "channel" || d == "embedding"
+    def isX(d: String) = graft.cube.DimAliases.x.contains(d)
+    def isY(d: String) = graft.cube.DimAliases.y.contains(d)
+    val bandExtent = extents.collectFirst { case (d, n) if isBandDim(d) => n }
+      .getOrElse(1)
+    val tx = extents.collectFirst { case (d, n) if isX(d) => n }.getOrElse(1)
+    val ty = extents.collectFirst { case (d, n) if isY(d) => n }.getOrElse(1)
+    require(bandExtent == input.bands.length || input.bands.isEmpty,
+      s"ml_predict: band extent $bandExtent vs ${input.bands.length} bands")
+    val tileW = bandExtent * tx * ty
+
+    val bandIdx = array_position(
+      typedlit(input.bands), col(bd)).cast("int") - 1
+    def idxOf(d: String): Column =
+      if (isBandDim(d)) bandIdx
+      else if (isX(d)) pmod(col(xd).cast("long"), lit(tx)).cast("int")
+      else if (isY(d)) pmod(col(yd).cast("long"), lit(ty)).cast("int")
+      else throw new IllegalArgumentException(s"ml_predict: tile dim '$d'")
+    // flat in-tile position: mixed-radix over the model's dim order
+    val pos = orderNames.foldLeft(lit(0)) { (acc, d) =>
+      acc * lit(extents(d)) + idxOf(d)
+    }
+    val spark = cube.df.sparkSession
+    val keys = others.map(col) ++ Seq(
+      floor(col(xd).cast("long") / tx).cast("long").as("_tile_x"),
+      floor(col(yd).cast("long") / ty).cast("long").as("_tile_y"))
+    val assembled = cube.df
+      .filter(bandIdx >= 0) // cells of bands the model doesn't take
+      .withColumn("_pos", pos)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("_pos"),
+        col(cube.valueCol).cast("double").as("v")))).as("_cells"))
+      // reference cuts off partial windows — incomplete tiles drop
+      .filter(size(col("_cells")) === tileW)
+      .withColumn("_feats",
+        scaleFlat(transform(col("_cells"), c => c.getField("v")), bandExtent,
+          ty * tx, spark).cast("array<float>"))
+      .drop("_cells")
+    val keptCols = others :+ "_tile_x" :+ "_tile_y"
+    val prepped = assembled.select((keptCols.map(col) :+ col("_feats")): _*)
+    val outDim = output.dimOrder.filterNot(_ == "batch")
+      .headOption.getOrElse("embedding")
+    val outSchema = StructType(
+      prepped.schema.fields.dropRight(1)
+        :+ StructField(outDim, IntegerType, nullable = false)
+        :+ StructField(cube.valueCol, DoubleType, nullable = false))
+    val bs = batchSize
+    val rt = runtime
+    val nKeep = keptCols.length
+    prepped.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val scored = rt.score(batch.iterator
+          .map(_.getSeq[Float](nKeep).toArray).toArray)
+        batch.iterator.zip(scored.iterator).flatMap { case (r, out) =>
+          val base = r.toSeq.take(nKeep)
+          out.iterator.zipWithIndex.map { case (v, k) =>
+            Row.fromSeq((base :+ k) :+ v.toDouble)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Scaling over the FLAT tile feature array: single-entry scaling
+    * broadcasts; per-band entries require channel-first dim order and
+    * expand to per-flat-position parameter literals on the driver. */
+  private def scaleFlat(feats: Column, bandExtent: Int, cellsPerBand: Int,
+                        spark: org.apache.spark.sql.SparkSession): Column =
+    input.processing match {
+      case Some(e) => transform(feats, x =>
+        ProcessExpression.column(spark, e, Map("x" -> x)))
+      case None => input.scaling match {
+        case Nil => feats
+        case one :: Nil =>
+          transform(feats, x => applyOne(one, x, lit(one.p1), lit(one.p2)))
+        case many =>
+          require(many.length == bandExtent,
+            s"ml_predict: ${many.length} value_scaling entries for " +
+              s"$bandExtent bands")
+          require(input.dimOrder.filterNot(_ == "batch").headOption.exists(
+            d => graft.cube.DimAliases.band.contains(d) || d == "channel"),
+            "ml_predict: per-band tile scaling requires channel-first input")
+          val p1s = typedlit(many.flatMap(v => Seq.fill(cellsPerBand)(v.p1)))
+          val p2s = typedlit(many.flatMap(v => Seq.fill(cellsPerBand)(v.p2)))
+          transform(feats, (x, i) =>
+            applyOne(many.head, x, element_at(p1s, i + 1),
+              element_at(p2s, i + 1)))
+      }
+    }
+
   /** ml_predict over a datacube: pivot the band dimension into the model's
     * input band order (one shuffle on the non-band dims), score, and
     * explode the output embedding back to long format — the cube → batches

@@ -118,6 +118,35 @@ object MlQueries {
           col("batch_rows"))
     },
 
+    // A10: image-tensor predict — the cube is cut into model-sized 2×2
+    // tiles (batch = tiles, channel-first dim order) and scored through
+    // the batched session stage; the 16×8 input grid is dense by
+    // construction so every tile is complete. Rows-only (4 outputs/tile).
+    "ml_predict_tiles" -> { (s, d) =>
+      import graft.core.Exact
+      val base = Tables.lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(16)).as("x"),
+          pmod(col("l_suppkey"), lit(8)).as("y"), col("l_quantity"))
+        .groupBy("x", "y")
+        .agg(Exact.rnd4(Exact.esum(col("l_quantity"))).as("v"))
+      val dense = s.range(16).select(col("id").as("x"))
+        .crossJoin(s.range(8).select(col("id").as("y")))
+        .join(base, Seq("x", "y"), "left")
+        .select(col("x"), col("y"), lit("A").as("band"),
+          coalesce(col("v"), lit(0.0)).as("value"))
+      val m = new graft.ml.ExternalModel(
+        graft.ml.StacMlmItem("graft-tile-encoder", "graft-tile-encoder",
+          "onnx", Some(8),
+          Seq(graft.ml.MlmModelInput("img", Seq("A"), Seq(-1, 1, 2, 2),
+            Seq("batch", "channel", "y", "x"), Nil)),
+          Seq(graft.ml.MlmModelOutput("emb", Seq(-1, 4),
+            Seq("batch", "embedding"))),
+          None, None), 0, 0)
+      m.predictTiles(graft.cube.DataCube(dense))
+        .select(col("_tile_x"), col("_tile_y"),
+          col("embedding").as("pos"), Exact.rnd4(col("value")).as("value"))
+    },
+
     // ml_datacube_bridge: ViT patch embeddings → spatial featuremap. Model
     // each 17 consecutive vec_ids as one sample (1 CLS token + 16 patches
     // on a 4×4 raster); drop the CLS, reindex, raster-place. The embedding

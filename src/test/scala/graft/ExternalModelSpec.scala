@@ -249,6 +249,36 @@ class ExternalModelSpec extends SparkSpec {
     assert(ex.getMessage.contains("expects 64 features") || ex.getCause != null)
   }
 
+  test("tiled predict: cube → model-sized tiles, partial edges dropped") {
+    import spark.implicits._
+    // 7×4 grid, 2 bands, value = bandIdx*1000 + y*10 + x (verifiable)
+    val cells = for (x <- 0 until 7; y <- 0 until 4; (b, bi) <- Seq(("A", 0), ("B", 1)))
+      yield (x.toLong, y.toLong, b, (bi * 1000 + y * 10 + x).toDouble)
+    val cube = graft.cube.DataCube(
+      cells.toDF("x", "y", "band", "value"))
+    // channel-first 2×2 tiles, 2 bands → 8 features; output width 4
+    val m = new ExternalModel(
+      StacMlmItem("t", "t", "onnx", Some(4),
+        Seq(MlmModelInput("img", Seq("A", "B"), Seq(-1, 2, 2, 2),
+          Seq("batch", "channel", "y", "x"), Nil)),
+        Seq(MlmModelOutput("emb", Seq(-1, 4), Seq("batch", "embedding"))),
+        None, None), 0, 0)
+    val out = m.predictTiles(cube).cache()
+    // x tiles 0..2 complete, tile 3 (x=6) partial → dropped; y tiles 0..1
+    assert(out.select("_tile_x", "_tile_y").distinct().count() == 3 * 2,
+      "partial edge tiles must be dropped")
+    // stub output k = mean of the k-th 2-feature slice of the band-major
+    // flat tile; verify tile (0,0): features = [b0:(y0x0,y0x1,y1x0,y1x1),
+    // b1:(...)] = [0,1,10,11,1000,1001,1010,1011]
+    val t00 = out.filter(col("_tile_x") === 0 && col("_tile_y") === 0)
+      .orderBy("embedding").select("value").collect().map(_.getDouble(0))
+    val feats = Seq(0.0, 1, 10, 11, 1000, 1001, 1010, 1011).map(_.toFloat)
+    val expect = feats.grouped(2).map(s => (s.sum / 2).toDouble).toSeq
+    t00.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-3, s"tile feature mean $g vs $e")
+    }
+  }
+
   test("cube predict equals vector predict (band pivot + explode roundtrip)") {
     val m = StacMlm.load(MlQueries.externalItemPath)
     val emb = Tables.embeddings(spark, sfDir).limit(100)
