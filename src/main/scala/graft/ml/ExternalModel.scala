@@ -252,11 +252,22 @@ final class ExternalModel(
       .drop("_cells")
     val keptCols = others :+ "_tile_x" :+ "_tile_y"
     val prepped = assembled.select((keptCols.map(col) :+ col("_feats")): _*)
-    val outDim = output.dimOrder.filterNot(_ == "batch")
-      .headOption.getOrElse("embedding")
+    // multi-dim outputs (featuremap models: [batch, y, x, embedding])
+    // decompose the flat output index mixed-radix into one column per
+    // non-batch output dim — the reshape_output_to_cube round trip
+    val outDims = output.dimOrder.filterNot(_ == "batch")
+    val outExt = output.dimOrder.zip(output.shape).collect {
+      case (d, n) if d != "batch" => n
+    }.toArray
+    require(outExt.forall(_ > 0),
+      s"ml_predict: non-batch output extents must be concrete, got " +
+        outExt.mkString("[", ",", "]"))
+    require(outDims.intersect(keptCols).isEmpty,
+      s"ml_predict: output dims $outDims collide with cube dims $keptCols")
+    val strides = outExt.scanRight(1)(_ * _).tail
     val outSchema = StructType(
-      prepped.schema.fields.dropRight(1)
-        :+ StructField(outDim, IntegerType, nullable = false)
+      (prepped.schema.fields.dropRight(1)
+        ++ outDims.map(d => StructField(d, IntegerType, nullable = false)))
         :+ StructField(cube.valueCol, DoubleType, nullable = false))
     val bs = batchSize
     val rt = runtime
@@ -268,7 +279,8 @@ final class ExternalModel(
         batch.iterator.zip(scored.iterator).flatMap { case (r, out) =>
           val base = r.toSeq.take(nKeep)
           out.iterator.zipWithIndex.map { case (v, k) =>
-            Row.fromSeq((base :+ k) :+ v.toDouble)
+            val idxs = strides.zip(outExt).map { case (s, e) => (k / s) % e }
+            Row.fromSeq((base ++ idxs) :+ v.toDouble)
           }
         }
       }

@@ -277,6 +277,21 @@ class ExternalModelSpec extends SparkSpec {
     t00.zip(expect).foreach { case (g, e) =>
       assert(math.abs(g - e) < 1e-3, s"tile feature mean $g vs $e")
     }
+    // featuremap output: [batch, y, x] decomposes the flat index into one
+    // column per output dim (reshape_output_to_cube round trip)
+    val fm = new ExternalModel(
+      StacMlmItem("t", "t", "onnx", Some(4),
+        Seq(MlmModelInput("img", Seq("A", "B"), Seq(-1, 2, 2, 2),
+          Seq("batch", "channel", "y", "x"), Nil)),
+        Seq(MlmModelOutput("map", Seq(-1, 2, 2), Seq("batch", "y", "x"))),
+        None, None), 0, 0)
+    val fmOut = fm.predictTiles(cube)
+    assert(fmOut.columns.toSeq ==
+      Seq("_tile_x", "_tile_y", "y", "x", "value"))
+    val cellIdx = fmOut.filter(col("_tile_x") === 0 && col("_tile_y") === 0)
+      .select("y", "x").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(cellIdx == Set((0, 0), (0, 1), (1, 0), (1, 1)),
+      s"featuremap cells decompose mixed-radix: $cellIdx")
   }
 
   test("cube predict equals vector predict (band pivot + explode roundtrip)") {
