@@ -78,6 +78,8 @@ object StacMlm {
     require(outputIndex < item.outputs.length,
       s"load_stac_ml: output_index=$outputIndex exceeds the " +
         s"${item.outputs.length} output specification(s) in the item")
+    require(item.weightsHref.nonEmpty,
+      "load_stac_ml: the item has no asset with the mlm:model role")
     new ExternalModel(item, inputIndex, outputIndex)
   }
 
@@ -136,16 +138,28 @@ object StacMlm {
     require(inputs.nonEmpty && outputs.nonEmpty,
       "load_stac_ml: the item declares no mlm:input or no mlm:output")
 
-    // model asset: explicit key, else the asset carrying the mlm:model role
+    // model asset: explicit key, else the asset carrying the mlm:model
+    // role. Reference semantics (tests/test_datamodel.py
+    // test_correct_asset_selection): a named asset must actually carry the
+    // role, and multiple role-carrying assets without an explicit name are
+    // AMBIGUOUS and rejected rather than silently picking one.
     val assets = root.path("assets")
+    def hasModelRole(a: JsonNode): Boolean =
+      a.path("roles").elements().asScala.exists(r =>
+        r.asText() == "mlm:model" || r.asText() == "mlm:weights")
     val asset = modelAsset match {
       case Some(k) =>
         require(assets.has(k), s"load_stac_ml: no asset named '$k' in item")
+        require(hasModelRole(assets.path(k)),
+          s"load_stac_ml: asset '$k' does not carry the mlm:model role")
         Some(assets.path(k))
-      case None => assets.fields().asScala
-        .map(_.getValue)
-        .find(_.path("roles").elements().asScala.exists(r =>
-          r.asText() == "mlm:model" || r.asText() == "mlm:weights"))
+      case None =>
+        val candidates = assets.fields().asScala
+          .map(_.getValue).filter(hasModelRole).toSeq
+        require(candidates.length <= 1,
+          "load_stac_ml: multiple assets carry the mlm:model role — pass " +
+            "model_asset to disambiguate")
+        candidates.headOption
     }
 
     StacMlmItem(

@@ -95,6 +95,26 @@ class ExternalModelSpec extends SparkSpec {
       StacMlm.load(MlQueries.externalItemPath, outputIndex = 3)
     }
     assert(e5.getMessage.contains("output_index"))
+    // asset selection (reference test_correct_asset_selection): a named
+    // asset must carry the mlm:model role; two role-carrying assets
+    // without an explicit name are ambiguous; naming one resolves it
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MlQueries.externalItemPath)), "UTF-8")
+    val twoAssets = base.replace(""""assets": {"weights": {""",
+      """"assets": {
+        |  "other": {"href": "doc.pdf", "roles": ["documentation"]},
+        |  "weights2": {"href": "w2.onnx", "roles": ["mlm:model"]},
+        |  "weights": {""".stripMargin)
+    val e6 = intercept[IllegalArgumentException] {
+      StacMlm.load(write(twoAssets))
+    }
+    assert(e6.getMessage.contains("multiple assets"))
+    assert(StacMlm.load(write(twoAssets), modelAsset = Some("weights2"))
+      .item.weightsHref.contains("w2.onnx"))
+    val e7 = intercept[IllegalArgumentException] {
+      StacMlm.load(write(twoAssets), modelAsset = Some("other"))
+    }
+    assert(e7.getMessage.contains("does not carry"))
   }
 
   test("batch-size resolution matches data_model.py:493 case by case") {
