@@ -37,13 +37,21 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       case (id, n) if n.path("result").asBoolean(false) => id
     }.getOrElse(throw new IllegalArgumentException(
       "process graph has no result node"))
-    val memo = scala.collection.mutable.Map.empty[String, DataCube]
-    def evalNode(id: String): DataCube = memo.getOrElseUpdate(id, {
+    // node values are cubes OR models — the reference's registry passes
+    // MLModel objects between ml_* nodes the same way (test_rf_class_
+    // workflow); cubeArg/modelArg unwrap with a typed error
+    val memo = scala.collection.mutable.Map.empty[String, Any]
+    def evalNode(id: String): Any = memo.getOrElseUpdate(id, {
       val node = nodes.getOrElse(id,
         throw new IllegalArgumentException(s"unknown node '$id'"))
       exec(node.get("process_id").asText(), node.get("arguments"), evalNode)
     })
-    evalNode(resultId).df
+    evalNode(resultId) match {
+      case c: DataCube => c.df
+      case other => throw new IllegalArgumentException(
+        s"process graph result node must produce a datacube, got " +
+          other.getClass.getSimpleName)
+    }
   }
 
   /** GeoJSON-style ring `[[x, y], ...]` → vertex list. */
@@ -55,7 +63,28 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
   }
 
   private def cubeArg(args: JsonNode, name: String,
-                      evalNode: String => DataCube): DataCube = {
+                      evalNode: String => Any): DataCube =
+    nodeArg(args, name, evalNode) match {
+      case c: DataCube => c
+      case other => throw new IllegalArgumentException(
+        s"argument '$name' must be a datacube, got " +
+          other.getClass.getSimpleName)
+    }
+
+  private def modelArg(args: JsonNode, name: String,
+                       evalNode: String => Any): Any =
+    nodeArg(args, name, evalNode)
+
+  private def fittedArg(args: JsonNode,
+                        evalNode: String => Any): graft.ml.RfClassModel =
+    modelArg(args, "model", evalNode) match {
+      case m: graft.ml.RfClassModel => m
+      case other => throw new IllegalArgumentException(
+        s"expected a fitted model, got ${other.getClass.getSimpleName}")
+    }
+
+  private def nodeArg(args: JsonNode, name: String,
+                      evalNode: String => Any): Any = {
     val ref = args.get(name)
     require(ref != null && ref.has("from_node"),
       s"argument '$name' must be a from_node reference")
@@ -63,7 +92,7 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
   }
 
   private def exec(processId: String, args: JsonNode,
-                   evalNode: String => DataCube): DataCube = processId match {
+                   evalNode: String => Any): Any = processId match {
 
     // load_collection (reference: custom_processes.py:60): testdata table →
     // long-format cube, with optional extents applied at load so they reach
@@ -340,21 +369,62 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         args.get("target_dimensions").elements().asScala.map(_.asText()).toSeq,
         args.path("label_separator").asText("~"))
 
-    // ml_predict as a graph node — the minibackend registers the ML
-    // processes alongside the cube processes (openeo_minibackend.py:52),
-    // so a graph can load a model and score a cube. `model` is a URI:
-    // a STAC-MLM item JSON (external batched execution) or a saved
-    // MLlib model directory (load_ml_model path).
+    // ---- ML processes as graph nodes -------------------------------------
+    // The minibackend registers the ML processes alongside the cube
+    // processes (openeo_minibackend.py:52), so the reference's RF workflow
+    // (tests/test_rf_class_workflow.py: init → fit → save → load →
+    // predict) is a single graph here too. Model-typed nodes flow between
+    // ml_* processes like cube-typed ones flow between cube processes.
+
+    case "mlm_class_random_forest" =>
+      graft.ml.MlProcesses.mlmClassRandomForest(
+        numTrees = args.path("num_trees").asInt(100),
+        maxVariables = args.path("max_variables").asText("sqrt"),
+        seed = args.path("seed").asLong(42L),
+        maxDepth = args.path("max_depth").asInt(10))
+
+    // ml_fit trains on a named TABLE (features array + target column) —
+    // the training set carries labels, which a value cube does not
+    case "ml_fit" =>
+      val untrained = modelArg(args, "model", evalNode) match {
+        case u: graft.ml.RfUntrained => u
+        case other => throw new IllegalArgumentException(
+          s"ml_fit: model must be an untrained forest, got " +
+            other.getClass.getSimpleName)
+      }
+      val training = args.path("training").asText("embeddings") match {
+        case "embeddings" => Tables.embeddings(spark, dataDir)
+        case other => throw new IllegalArgumentException(
+          s"ml_fit: unknown training collection '$other'")
+      }
+      graft.ml.MlProcesses.mlFit(untrained, training,
+        labelCol = args.path("target").asText("label"))
+
+    case "save_ml_model" =>
+      val m = fittedArg(args, evalNode)
+      graft.ml.MlProcesses.saveMlModel(m, args.get("path").asText())
+      m
+
+    case "load_ml_model" =>
+      graft.ml.MlProcesses.loadMlModel(spark, args.get("path").asText())
+
+    // ml_predict: `model` is a from_node reference (fitted in-graph), a
+    // STAC-MLM item JSON path (external batched execution), or a saved
+    // MLlib model directory.
     case "ml_predict" =>
       val cube = cubeArg(args, "data", evalNode)
-      val uri = args.get("model").asText()
-      if (uri.endsWith(".json")) {
-        val m = graft.ml.StacMlm.load(uri,
-          inputIndex = args.path("input_index").asInt(0),
-          outputIndex = args.path("output_index").asInt(0))
-        DataCube(m.predictCube(cube))
-      } else {
-        graft.ml.RfClassModel.load(spark, uri).predictCube(cube)
+      if (args.path("model").has("from_node"))
+        fittedArg(args, evalNode).predictCube(cube)
+      else {
+        val uri = args.get("model").asText()
+        if (uri.endsWith(".json")) {
+          val m = graft.ml.StacMlm.load(uri,
+            inputIndex = args.path("input_index").asInt(0),
+            outputIndex = args.path("output_index").asInt(0))
+          DataCube(m.predictCube(cube))
+        } else {
+          graft.ml.RfClassModel.load(spark, uri).predictCube(cube)
+        }
       }
 
     // save_result (reference: custom_processes.py:246) — pass-through when

@@ -261,6 +261,56 @@ class ExternalModelSpec extends SparkSpec {
     assert(item.outputs.exists(_.postProcessing.exists(_._1 == "python")))
   }
 
+  test("RF workflow runs as one graph: init → fit → save → load → predict") {
+    // the reference's test_rf_class_workflow shape, as a single process
+    // graph with model-typed nodes flowing between the ml_* processes
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pgrf_").toString
+    val pg = new graft.plans.ProcessGraph(spark, sfDir)
+    // only nodes reachable from the result execute (openEO lazy-graph
+    // semantics), so predict chains THROUGH save (which returns the model)
+    val out = pg.run(
+      s"""{"init": {"process_id": "mlm_class_random_forest",
+         |          "arguments": {"num_trees": 20}},
+         | "fit":  {"process_id": "ml_fit",
+         |          "arguments": {"model": {"from_node": "init"},
+         |                        "training": "embeddings",
+         |                        "target": "label"}},
+         | "save": {"process_id": "save_ml_model",
+         |          "arguments": {"model": {"from_node": "fit"},
+         |                        "path": "$dir"}},
+         | "data": {"process_id": "load_collection",
+         |          "arguments": {"id": "embeddings"}},
+         | "pred": {"process_id": "ml_predict",
+         |          "arguments": {"data": {"from_node": "data"},
+         |                        "model": {"from_node": "save"}},
+         |          "result": true}}""".stripMargin)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == n, "one prediction per vector")
+    val preds = out.select(col("value").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(preds.subsetOf((0 to 9).toSet), s"class range: $preds")
+    // second graph: reload the saved model and predict — same answers
+    val reloaded = pg.run(
+      s"""{"load": {"process_id": "load_ml_model",
+         |          "arguments": {"path": "$dir"}},
+         | "data": {"process_id": "load_collection",
+         |          "arguments": {"id": "embeddings"}},
+         | "pred": {"process_id": "ml_predict",
+         |          "arguments": {"data": {"from_node": "data"},
+         |                        "model": {"from_node": "load"}},
+         |          "result": true}}""".stripMargin)
+    assert(reloaded.exceptAll(out).isEmpty && out.exceptAll(reloaded).isEmpty,
+      "reloaded model must predict identically through the graph")
+    // a model-typed result node is rejected (the contract is a cube)
+    val ex = intercept[IllegalArgumentException] {
+      pg.run(
+        """{"init": {"process_id": "mlm_class_random_forest",
+          |          "arguments": {}, "result": true}}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("must produce a datacube"))
+  }
+
   test("predict rejects wrong feature width at execution time") {
     val m = StacMlm.load(MlQueries.externalItemPath)
     val bad = Tables.embeddings(spark, sfDir)
