@@ -54,13 +54,45 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     }
   }
 
-  /** GeoJSON-style ring `[[x, y], ...]` → vertex list. */
+  /** Polygon argument: a bare ring `[[x, y], ...]` or real GeoJSON — a
+    * Polygon geometry, a Feature, or the first feature of a
+    * FeatureCollection (what openEO clients actually send; the exterior
+    * ring is used, matching the rasterize analog's even-odd test). */
   private def polygonArg(node: JsonNode): Seq[(Double, Double)] = {
-    require(node != null && node.isArray, "polygon must be [[x,y],...]")
-    node.elements().asScala.map { pt =>
+    require(node != null, "polygon argument missing")
+    val ring: JsonNode = node.path("type").asText("") match {
+      case "Polygon" => node.path("coordinates").path(0)
+      case "Feature" => node.path("geometry").path("coordinates").path(0)
+      case "FeatureCollection" =>
+        node.path("features").path(0).path("geometry")
+          .path("coordinates").path(0)
+      case _ => node
+    }
+    require(ring.isArray && ring.size() >= 3,
+      "polygon must be [[x,y],...] or GeoJSON Polygon/Feature(Collection)")
+    val pts = ring.elements().asScala.map { pt =>
       (pt.get(0).asDouble(), pt.get(1).asDouble())
     }.toSeq
+    // GeoJSON rings repeat the first vertex at the end; the ray-cast
+    // operator expects an open ring
+    if (pts.length > 3 && pts.head == pts.last) pts.dropRight(1) else pts
   }
+
+  /** Named zones: a `{name: ring}` object or a GeoJSON FeatureCollection
+    * whose features carry a `name`/`id` property. */
+  private def zonesArg(node: JsonNode): Seq[(String, Seq[(Double, Double)])] =
+    if (node.path("type").asText("") == "FeatureCollection")
+      node.path("features").elements().asScala.zipWithIndex.map {
+        case (f, i) =>
+          val name = Option(f.path("properties").path("name").asText(null))
+            .orElse(Option(f.path("id").asText(null)))
+            .getOrElse(s"zone$i")
+          name -> polygonArg(f)
+      }.toSeq
+    else
+      node.properties().asScala.map { e =>
+        e.getKey -> polygonArg(e.getValue)
+      }.toSeq
 
   private def cubeArg(args: JsonNode, name: String,
                       evalNode: String => Any): DataCube =
@@ -286,9 +318,7 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         .filterSpatial(polygonArg(args.get("geometries")))
 
     case "aggregate_spatial" =>
-      val zones = args.get("geometries").properties().asScala.map { e =>
-        e.getKey -> polygonArg(e.getValue)
-      }.toSeq
+      val zones = zonesArg(args.get("geometries"))
       val c = cubeArg(args, "data", evalNode)
       c.copy(df = c.aggregateSpatialPolygons(zones,
         args.path("reducer").asText("mean"),

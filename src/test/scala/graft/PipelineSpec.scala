@@ -177,6 +177,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
   }
 
+  test("graph polygon args accept real GeoJSON (Feature/Collection forms)") {
+    val pg = new ProcessGraph(spark, sfDir)
+    // inline ring vs GeoJSON FeatureCollection of the same diamond — the
+    // closed-ring repeat vertex is dropped, results identical
+    def clipGraph(geom: String) =
+      s"""{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+         | "c": {"process_id": "filter_spatial",
+         |       "arguments": {"data": {"from_node": "l"},
+         |                     "geometries": $geom},
+         |       "result": true}}""".stripMargin
+    val inline = pg.run(clipGraph("[[32,2],[62,32],[32,62],[2,32]]"))
+    val geojson = pg.run(clipGraph(
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"name": "diamond"},
+        |   "geometry": {"type": "Polygon", "coordinates":
+        |     [[[32,2],[62,32],[32,62],[2,32],[32,2]]]}}]}""".stripMargin))
+    assert(inline.exceptAll(geojson).isEmpty &&
+      geojson.exceptAll(inline).isEmpty,
+      "GeoJSON polygon must clip identically to the inline ring")
+    // zonal stats over a FeatureCollection with named features
+    val zonal = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+        | "z": {"process_id": "aggregate_spatial",
+        |       "arguments": {"data": {"from_node": "l"},
+        |         "reducer": "mean",
+        |         "geometries": {"type": "FeatureCollection", "features": [
+        |           {"type": "Feature", "properties": {"name": "west"},
+        |            "geometry": {"type": "Polygon", "coordinates":
+        |              [[[0,0],[31,0],[31,63],[0,63],[0,0]]]}}]}},
+        |       "result": true}}""".stripMargin)
+    assert(zonal.select("zone_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("west"))
+  }
+
   test("graph filter_labels predicate and aggregate_temporal intervals") {
     val pg = new ProcessGraph(spark, sfDir)
     val filtered = pg.run(
