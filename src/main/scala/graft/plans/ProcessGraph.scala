@@ -458,12 +458,18 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       }
 
     // save_result (reference: custom_processes.py:246) — pass-through when
-    // no path is given (the driver materializes results itself).
+    // no path is given (the driver materializes results itself). Formats:
+    // the lake-native parquet/csv/json, plus "gridded"/"gridded-csv" — the
+    // wide raster layout standing in for the reference's netcdf/gtiff.
     case "save_result" =>
       val cube = cubeArg(args, "data", evalNode)
       Option(args.get("path")).foreach { p =>
-        Sinks.saveResult(cube.df, p.asText(),
-          args.path("format").asText("parquet"))
+        args.path("format").asText("parquet") match {
+          case "gridded" | "gridded-parquet" =>
+            Sinks.saveGridded(cube, p.asText(), "parquet")
+          case "gridded-csv" => Sinks.saveGridded(cube, p.asText(), "csv")
+          case fmt => Sinks.saveResult(cube.df, p.asText(), fmt)
+        }
       }
       cube
 

@@ -177,6 +177,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
   }
 
+  test("graph save_result writes the gridded raster layout") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pg_grid_").toString + "/out"
+    new ProcessGraph(spark, sfDir).run(
+      s"""{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+         | "s": {"process_id": "save_result",
+         |       "arguments": {"data": {"from_node": "l"},
+         |                     "path": "$dir", "format": "gridded-csv"},
+         |       "result": true}}""".stripMargin)
+    val wide = Sinks.loadResult(spark, dir, "csv")
+    assert(wide.columns.take(2).toSeq == Seq("band", "y"))
+    assert(wide.columns.length > 10, s"x columns: ${wide.columns.length}")
+  }
+
   test("graph polygon args accept real GeoJSON (Feature/Collection forms)") {
     val pg = new ProcessGraph(spark, sfDir)
     // inline ring vs GeoJSON FeatureCollection of the same diamond — the
