@@ -26,8 +26,10 @@ object SimQueries {
     },
 
     "ann_lsh" -> { (s, d) =>
+      // multi-probe: each query also checks one-bit-flipped buckets —
+      // higher recall for query-side-only extra lookups (AnnSpec measures)
       Ann.lshTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
-        planes = 4, tables = 8)
+        planes = 4, tables = 8, hammingProbes = 1)
     },
 
     "ann_ivf" -> { (s, d) =>

@@ -208,20 +208,37 @@ object Ann {
     * bucket-mates. The corpus is bucketed once (a `tables`-way explode —
     * the classic LSH space/recall trade) and that layout is reusable
     * across query batches; per-query work is bucket size, not corpus size.
+    *
+    * `hammingProbes = 1` turns on MULTI-PROBE: each query additionally
+    * probes every bucket at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall lever that costs (1 + planes)× QUERY-side
+    * lookups while the corpus layout stays untouched, exactly what you
+    * want when the corpus is 100 TB and the query batch is small.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 4,
-              tables: Int = 8, idCol: String = "vec_id",
+              tables: Int = 8, hammingProbes: Int = 0,
+              idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
-    def buckets(emb: org.apache.spark.sql.Column) =
-      array((0 until tables).map { t =>
-        struct(lit(t).as("t"),
-          Dedup.lshBucket(emb, planes, seed = s"$t/").as("bucket"))
+    require(hammingProbes >= 0 && hammingProbes <= 1,
+      s"hammingProbes: only 0 or 1 supported, got $hammingProbes")
+    def flip(b: org.apache.spark.sql.Column, p: Int) = concat(
+      substring(b, 1, p),
+      when(substring(b, p + 1, 1) === "1", "0").otherwise("1"),
+      substring(b, p + 2, planes - p - 1))
+    def buckets(emb: org.apache.spark.sql.Column, probes: Int) =
+      array((0 until tables).flatMap { t =>
+        val base = Dedup.lshBucket(emb, planes, seed = s"$t/")
+        val bs =
+          if (probes == 0) Seq(base)
+          else base +: (0 until planes).map(p => flip(base, p))
+        bs.map(b => struct(lit(t).as("t"), b.as("bucket")))
       }: _*)
     val bucketed = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
-      explode(buckets(col(embCol))).as("tb"))
+      explode(buckets(col(embCol), 0)).as("tb"))
       .select(col("c_id"), col("_c_emb"), col("tb.t"), col("tb.bucket"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(embCol).as("_q_emb"), explode(buckets(col(embCol))).as("tb"))
+      col(embCol).as("_q_emb"),
+      explode(buckets(col(embCol), hammingProbes)).as("tb"))
       .select(col("q_id"), col("_q_emb"), col("tb.t"), col("tb.bucket")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     bucketed.join(q, Seq("t", "bucket"))

@@ -44,6 +44,20 @@ class AnnSpec extends SparkSpec {
     info(f"lsh recall@5 = $recall%.2f")
   }
 
+  test("multi-probe lsh lifts recall over single-bucket probing") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "c_id")
+        .join(bf.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .count().toDouble / bf.count()
+    val rSingle = recall(lsh)
+    val rMulti = recall(Ann.lshTopK(qs, emb, k = 5, planes = 4, tables = 8,
+      hammingProbes = 1))
+    assert(rMulti >= rSingle,
+      f"multi-probe must not lose recall: $rMulti%.2f vs $rSingle%.2f")
+    assert(rMulti > 0.7, f"multi-probe recall too low: $rMulti%.2f")
+    info(f"recall@5: single $rSingle%.2f → multi-probe $rMulti%.2f")
+  }
+
   test("ivf agrees with brute force on shared pairs; multi-probe recall") {
     val ivf = Ann.ivfTopK(qs, emb, k = 5, nlist = 16, nProbe = 4).cache()
     val joined = ivf.select(col("q_id"), col("c_id"), col("sim").as("isim"))
