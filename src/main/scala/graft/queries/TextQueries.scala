@@ -27,6 +27,20 @@ object TextQueries {
         expr("(length(text) + 3) DIV 4").as("est_tokens"))
     },
 
+    // D22: per-source corpus statistics — the size/length profile a
+    // curation pipeline reads before setting sampling rates. Exact
+    // percentiles (Spark `percentile` = DuckDB quantile_cont); one
+    // partial-agg shuffle keyed on source.
+    "text_corpus_stats" -> { (s, d) =>
+      val t = tokens(col("text"))
+      docs(s, d).select(col("source"), size(t).as("n_words"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          Exact.rnd4(percentile(col("n_words"), lit(0.5))).as("p50_words"),
+          Exact.rnd4(percentile(col("n_words"), lit(0.9))).as("p90_words"))
+    },
+
     // D21: Gopher-style repetition signals — repeated-word fraction and
     // top-bigram fraction; high values flag templated/looping text. All
     // per-document higher-order column math, map-only.
@@ -134,6 +148,16 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS bpe_tokens,
         |  (length(text) + 3) // 4 AS est_tokens
         |FROM documents""".stripMargin,
+
+    "text_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_words
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  floor((quantile_cont(n_words, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_words,
+        |  floor((quantile_cont(n_words, 0.9)) * 10000 + 0.5) / 10000.0 AS p90_words
+        |FROM t GROUP BY 1""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (
