@@ -335,6 +335,25 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode).resampleSpatial(
         args.path("resolution").asInt(2), args.path("method").asText("mean"))
 
+    // grid-align onto another cube's spatial axes (target is a from_node)
+    case "resample_cube_spatial" =>
+      cubeArg(args, "data", evalNode).resampleCubeSpatial(
+        cubeArg(args, "target", evalNode),
+        args.path("method").asText("mean"))
+
+    // nearest-in-time alignment onto another cube's timestamps
+    case "resample_cube_temporal" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val target = cubeArg(args, "target", evalNode)
+      val ts = cube.requireDim(cube.timeDim, "temporal")
+      val tt = target.requireDim(target.timeDim, "temporal")
+      val series = cube.dims.filterNot(_ == ts)
+      require(series.forall(target.dims.contains),
+        s"resample_cube_temporal: target lacks series dims $series")
+      cube.resampleCubeTemporal(
+        target.df.select((series.map(col) :+ col(tt).as(ts)): _*).distinct(),
+        series)
+
     case "resample_spatial_up" =>
       cubeArg(args, "data", evalNode)
         .upsampleSpatial(args.path("factor").asInt(2))

@@ -177,6 +177,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
   }
 
+  test("graph resample_cube_spatial/temporal align onto a target cube") {
+    val pg = new ProcessGraph(spark, sfDir)
+    // spatial: align the full grid onto its own 2×-downscaled twin
+    val aligned = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+        | "t": {"process_id": "resample_spatial",
+        |       "arguments": {"data": {"from_node": "l"}, "resolution": 2}},
+        | "r": {"process_id": "resample_cube_spatial",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "target": {"from_node": "t"}},
+        |       "result": true}}""".stripMargin)
+    val down = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+        | "t": {"process_id": "resample_spatial",
+        |       "arguments": {"data": {"from_node": "l"}, "resolution": 2},
+        |       "result": true}}""".stripMargin)
+    assert(aligned.select("x", "y").distinct().count() ==
+      down.select("x", "y").distinct().count(),
+      "aligned cube must live on the target grid")
+    // temporal: events onto the daily-mean cube's timestamps
+    val asof = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "d": {"process_id": "aggregate_temporal_period",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "period": "day", "reducer": "mean"}},
+        | "r": {"process_id": "resample_cube_temporal",
+        |       "arguments": {"data": {"from_node": "l"},
+        |                     "target": {"from_node": "d"}},
+        |       "result": true}}""".stripMargin)
+    assert(asof.count() > 0)
+    assert(asof.filter(col("value").isNull).count() == 0,
+      "every target timestamp picks a nearest source value")
+  }
+
   test("graph save_result writes the gridded raster layout") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pg_grid_").toString + "/out"
