@@ -199,6 +199,33 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
   /** openEO `climatological_normal`: reduce the time dimension to the mean
     * over a climatology period (month / dayofyear / hour). The output cube
     * swaps `time` for a `period` dimension. Exact decimal mean. */
+  /** openEO's two-argument `anomaly(data, normals, period)`: subtract a
+    * PRECOMPUTED normals cube (dims = non-time dims + `period`) — e.g. a
+    * 30-year climatology applied to a fresh season, where the single-cube
+    * `anomaly` above would wrongly derive normals from the new data
+    * itself. Broadcast join on (shared dims, period): normals are tiny
+    * (periods × bands) next to the cube. */
+  def anomalyAgainst(normals: DataCube, freq: String = "month"): DataCube = {
+    val t = requireDim(timeDim, "temporal")
+    require(normals.dims.contains("period"),
+      "anomaly: normals cube must carry a 'period' dimension")
+    val periodCol = freq match {
+      case "month"     => month(col(t))
+      case "dayofyear" => dayofyear(col(t))
+      case "hour"      => hour(col(t))
+      case other => throw new IllegalArgumentException(s"anomaly: freq $other")
+    }
+    val keys = normals.dims.filterNot(_ == "period")
+      .filter(dims.contains) :+ "period"
+    val n = normals.df
+      .withColumnRenamed(normals.valueCol, "_normal")
+    copy(df = df.withColumn("period", periodCol)
+      .join(broadcast(n.select((keys.map(col) :+ col("_normal")): _*)), keys,
+        "left_outer")
+      .withColumn(valueCol, v - col("_normal"))
+      .drop("_normal", "period"))
+  }
+
   def climatologicalNormal(freq: String = "month"): DataCube = {
     val t = requireDim(timeDim, "temporal")
     val periodCol = freq match {

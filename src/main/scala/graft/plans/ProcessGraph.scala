@@ -378,9 +378,15 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode)
         .reduceSpatial(args.get("reducer").asText())
 
+    // anomaly: single-cube form derives normals from the data itself;
+    // with a `normals` from_node it subtracts the precomputed climatology
+    // (the openEO two-argument signature)
     case "anomaly" =>
-      cubeArg(args, "data", evalNode)
-        .anomaly(args.path("frequency").asText("month"))
+      val freq = args.path("frequency").asText("month")
+      if (args.has("normals"))
+        cubeArg(args, "data", evalNode)
+          .anomalyAgainst(cubeArg(args, "normals", evalNode), freq)
+      else cubeArg(args, "data", evalNode).anomaly(freq)
 
     case "climatological_normal" =>
       cubeArg(args, "data", evalNode)

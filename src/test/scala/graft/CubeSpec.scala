@@ -10,6 +10,22 @@ import graft.cube.{BandAliases, DataCube, DimAliases, DimensionMissing}
   */
 class CubeSpec extends SparkSpec {
 
+  test("anomaly against precomputed normals equals the single-cube form") {
+    import org.apache.spark.sql.functions._
+    import graft.core.{Exact, Tables}
+    import graft.cube.DataCube
+    val c = DataCube(Tables.events(spark, sfDir).select(
+      col("ts").as("time"), col("event_type").as("band"), col("value")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("time"), col("band"), Exact.rnd4(col("value")).as("v"))
+    val single = norm(c.anomaly("month").df)
+    val against = norm(
+      c.anomalyAgainst(c.climatologicalNormal("month"), "month").df)
+    assert(single.exceptAll(against).isEmpty &&
+      against.exceptAll(single).isEmpty,
+      "two-argument anomaly must equal the derived-normals form")
+  }
+
   test("B1: dimension aliases resolve case-insensitively per group") {
     assert(DimAliases.alternative(Seq("Time", "bands", "x"), "t") == Some("Time"))
     assert(DimAliases.alternative(Seq("date", "channel"), "time") == Some("date"))
