@@ -474,6 +474,23 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
                         col(yd) >= ymin && col(yd) < ymax))
   }
 
+  /** openEO `trim_cube`: drop the outer spatial margins where every cell
+    * is nodata, keeping interior nulls. The non-null bounding box is one
+    * tiny aggregate (4 numbers) broadcast back onto the cube — a
+    * declarative two-pass plan with no driver collect, so it composes
+    * inside a graph like any other node. */
+  def trimCube(): DataCube = {
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    val b = df.filter(v.isNotNull).agg(
+      min(col(xd)).as("_x0"), max(col(xd)).as("_x1"),
+      min(col(yd)).as("_y0"), max(col(yd)).as("_y1"))
+    copy(df = df.crossJoin(broadcast(b))
+      .filter(col(xd).between(col("_x0"), col("_x1")) &&
+        col(yd).between(col("_y0"), col("_y1")))
+      .drop("_x0", "_x1", "_y0", "_y1"))
+  }
+
   /** openEO `filter_bands`, honoring band-name alias groups. */
   def filterBands(bands: Seq[String]): DataCube = {
     val b = requireDim(bandDim, "bands")

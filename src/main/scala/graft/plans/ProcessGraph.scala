@@ -335,6 +335,9 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       cubeArg(args, "data", evalNode).resampleSpatial(
         args.path("resolution").asInt(2), args.path("method").asText("mean"))
 
+    case "trim_cube" =>
+      cubeArg(args, "data", evalNode).trimCube()
+
     // grid-align onto another cube's spatial axes (target is a from_node)
     case "resample_cube_spatial" =>
       cubeArg(args, "data", evalNode).resampleCubeSpatial(

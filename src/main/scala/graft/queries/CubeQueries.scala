@@ -362,6 +362,18 @@ object CubeQueries {
           Exact.rnd4(col("value")).as("value"))
     },
 
+    // C40: null out everything beyond an interior window, then trim the
+    // all-nodata margins — bounds come back as the window; interior nulls
+    // survive (coalesce to −1 so the gate never hashes a raw null).
+    "cube_trim" -> { (s, d) =>
+      val masked = gridCube(s, d).copy(df = gridCube(s, d).df
+        .withColumn("value", when(col("x").between(5, 50) &&
+          col("y").between(3, 40), col("value"))))
+      masked.trimCube()
+        .df.select(col("x"), col("y"), col("band"),
+          coalesce(Exact.rnd4(col("value")), lit(-1.0)).as("value"))
+    },
+
     "cube_upsample" -> { (s, d) =>
       gridCube(s, d).filterBbox(0, 16, 0, 16).upsampleSpatial(2)
         .df.select(col("x"), col("y"), col("band"),
@@ -647,6 +659,21 @@ object CubeQueries {
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
         |FROM events JOIN iv ON ts >= lo AND ts < hi
         |GROUP BY 1, 2""".stripMargin,
+
+    "cube_trim" ->
+      s"""WITH $gridCubeSql,
+        |n AS (
+        |  SELECT x, y, band,
+        |    CASE WHEN x BETWEEN 5 AND 50 AND y BETWEEN 3 AND 40
+        |         THEN value END AS value
+        |  FROM cube),
+        |b AS (
+        |  SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |  FROM n WHERE value IS NOT NULL)
+        |SELECT n.x, n.y, n.band,
+        |  coalesce(floor((value) * 10000 + 0.5) / 10000.0, -1.0) AS value
+        |FROM n, b
+        |WHERE n.x BETWEEN x0 AND x1 AND n.y BETWEEN y0 AND y1""".stripMargin,
 
     "cube_fit_curve" ->
       s"""WITH $fitCurveSql
