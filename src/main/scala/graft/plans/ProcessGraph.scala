@@ -338,6 +338,13 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "trim_cube" =>
       cubeArg(args, "data", evalNode).trimCube()
 
+    // linear nodata interpolation along time, per series (= every
+    // non-time dim), the overrides/arrays.py:7 process
+    case "array_interpolate_linear" =>
+      val cube = cubeArg(args, "data", evalNode)
+      val t = cube.requireDim(cube.timeDim, "temporal")
+      cube.interpolateLinear(cube.dims.filterNot(_ == t))
+
     // grid-align onto another cube's spatial axes (target is a from_node)
     case "resample_cube_spatial" =>
       cubeArg(args, "data", evalNode).resampleCubeSpatial(

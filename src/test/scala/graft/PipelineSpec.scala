@@ -290,6 +290,23 @@ class PipelineSpec extends SparkSpec {
         |       "result": true}}""".stripMargin)
     assert(agg.count() > 0 && agg.count() <= 2 * 5,
       s"expected per-(interval, band) rows, got ${agg.count()}")
+    // trim + interpolate round out the node set: both run and preserve
+    // row counts (interpolation fills, never drops)
+    val interp = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+        | "t": {"process_id": "trim_cube",
+        |       "arguments": {"data": {"from_node": "l"}},
+        |       "result": true}}""".stripMargin)
+    assert(interp.count() > 0)
+    val base = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"},
+        |       "result": true}}""".stripMargin)
+    val filled = pg.run(
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        | "i": {"process_id": "array_interpolate_linear",
+        |       "arguments": {"data": {"from_node": "l"}},
+        |       "result": true}}""".stripMargin)
+    assert(filled.count() == base.count())
   }
 
   test("graph expression callbacks stay inside the whitelist") {
