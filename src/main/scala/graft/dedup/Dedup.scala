@@ -67,28 +67,38 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band signature.
     * `n_bands` = number of agreeing bands (collision strength).
     *
-    * The signature pipeline is evaluated exactly once (a self-join would
-    * duplicate the whole upstream subtree, doubling the hashing scan);
-    * pairs explode only within buckets, so the work is quadratic in bucket
-    * size, never in corpus size.
+    * Pairs explode only within buckets, so the work is quadratic in bucket
+    * size, never in corpus size. The size-guard branch does re-evaluate the
+    * signature subtree (Spark does not CSE duplicate plan fragments), but
+    * that branch collapses map-side to O(buckets) rows — a second pass of
+    * cheap md5 column math, far cheaper than the full-corpus sort a window
+    * count pays; callers who already materialize signatures (the streaming
+    * path, an incremental-dedup pipeline) can hand in a persisted `sigs`
+    * and pay the scan once.
     *
     * `maxBucket` is the boilerplate guard: a bucket of n docs explodes to
     * n(n−1)/2 pairs, so one boilerplate signature shared by 10⁶ docs would
     * dominate the whole job — buckets above the cap are dropped (standard
     * LSH-dedup practice: such buckets are near-certain template text, and
     * the exact/SimHash passes still catch their identical members). The
-    * cardinality check runs as a WINDOW count over the bucket partitioning
-    * BEFORE collect_list, because WindowExec streams and spills arbitrary
-    * bucket sizes while a collect_list buffer is a single unspillable
-    * array; the subsequent groupBy reuses the window's hash partitioning,
-    * so the guard costs no extra Exchange.
+    * cardinality check is a separate `groupBy(band, sig).count()` joined
+    * back on the bucket key BEFORE collect_list: map-side partial
+    * aggregation collapses the size branch to O(buckets) shuffled rows, and
+    * filtering ahead of the list build keeps any over-cap bucket out of a
+    * collect_list buffer (a single unspillable array). The join is hinted
+    * shuffle_hash — a sort-merge join would re-pay, on every signature row,
+    * exactly the full-corpus sort this formulation exists to avoid (a
+    * window count costs that sort; measured 3× on the round-3 bench). Both
+    * join sides and the downstream groupBy share the (band, sig) hash
+    * partitioning, so the guard adds only the O(buckets) size shuffle.
     */
   def minhashCandidates(sigs: DataFrame, idCol: String = "doc_id",
                         maxBucket: Int = 1024): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val bounded = sigs
-      .withColumn("_n", count(lit(1)).over(w))
+    val sizes = sigs.groupBy("band", "sig")
+      .agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val bounded = sigs.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
     val buckets = bounded.groupBy("band", "sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
     buckets
@@ -267,13 +277,20 @@ object Dedup {
                         embCol: String = "embedding",
                         maxBucket: Int = 1024): DataFrame = {
     // same boilerplate guard as minhashCandidates: a degenerate bucket
-    // (e.g. all-zero embeddings) must not quadratically dominate the join
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val withBucket = embs.select(col(idCol), col(embCol),
+    // (e.g. all-zero embeddings) must not quadratically dominate the join.
+    // The bucket key is a `planes`-bit code, so the size table has at most
+    // 2^planes rows REGARDLESS of corpus size — broadcastable at any scale
+    // for the sane plane counts (≤24); beyond that fall back to a
+    // shuffle-hash join (never sort-merge: the window-count formulation
+    // this replaces paid a full corpus sort, 1.8× on the round-3 bench).
+    val bucketed = embs.select(col(idCol), col(embCol),
       lshBucket(col(embCol), planes).as("bucket"))
-      .withColumn("_n", count(lit(1)).over(w))
+    val sizes0 = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket)
-      .drop("_n")
+      .select(col("bucket"))
+    val sizes = if (planes <= 24) broadcast(sizes0) else sizes0.hint("shuffle_hash")
+    val withBucket = bucketed.join(sizes, Seq("bucket"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),

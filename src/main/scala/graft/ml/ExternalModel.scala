@@ -16,10 +16,14 @@ trait ModelRuntime extends Serializable {
 
 /** Deterministic stand-in for a real inference session (this container has
   * no ONNX/Torch runtime — same policy as Multimodal.decodeStub): output
-  * k is the mean of the k-th contiguous input slice, accumulated in float32
-  * like a real encoder would. A real build replaces exactly this class with
-  * a session wrapper (e.g. ONNX Runtime `OrtSession`); everything around
-  * it — batching, scaling, dim-order, schema — is the real plumbing.
+  * k is the mean of the k-th contiguous input slice. The accumulator is
+  * DOUBLE (each float32 widens exactly; left-to-right double adds are the
+  * repo's cross-engine contract, graft.core.Exact) with a float32 result
+  * element, so the whole predict chain is mirrorable in the DuckDB oracle
+  * — scale (double) → float32 features → double slice-sum → float32
+  * output. A real build replaces exactly this class with a session wrapper
+  * (e.g. ONNX Runtime `OrtSession`); everything around it — batching,
+  * scaling, dim-order, schema — is the real plumbing.
   */
 final class StubRuntime(inWidth: Int, outWidth: Int) extends ModelRuntime {
   override def score(batch: Array[Array[Float]]): Array[Array[Float]] =
@@ -28,10 +32,10 @@ final class StubRuntime(inWidth: Int, outWidth: Int) extends ModelRuntime {
         val span = math.max(1, inWidth / outWidth)
         val from = k * span
         val to = math.min(inWidth, from + span)
-        var s = 0.0f
+        var s = 0.0d
         var i = from
         while (i < to) { s += feat(i); i += 1 }
-        s / (to - from)
+        (s / (to - from)).toFloat
       }
     }
 }
@@ -223,8 +227,13 @@ final class ExternalModel(
       s"ml_predict: band extent $bandExtent vs ${input.bands.length} bands")
     val tileW = bandExtent * tx * ty
 
-    val bandIdx = array_position(
-      typedlit(input.bands), col(bd)).cast("int") - 1
+    // A band-less STAC-MLM input (bands: []) means "any single band":
+    // bandExtent is 1 there, so every cell maps to in-tile band slot 0 —
+    // the array_position form would yield a constant -1 and silently
+    // filter out EVERY cell (an empty result with no error).
+    val bandIdx =
+      if (input.bands.isEmpty) lit(0)
+      else array_position(typedlit(input.bands), col(bd)).cast("int") - 1
     def idxOf(d: String): Column =
       if (isBandDim(d)) bandIdx
       else if (isX(d)) pmod(col(xd).cast("long"), lit(tx)).cast("int")

@@ -72,11 +72,11 @@ object StacMlm {
     require(supportedFrameworks.contains(item.framework.toLowerCase),
       s"load_stac_ml: framework '${item.framework}' is not supported by " +
         s"this backend; supported: ${supportedFrameworks.mkString(", ")}")
-    require(inputIndex < item.inputs.length,
-      s"load_stac_ml: input_index=$inputIndex exceeds the " +
+    require(inputIndex >= 0 && inputIndex < item.inputs.length,
+      s"load_stac_ml: input_index=$inputIndex outside the " +
         s"${item.inputs.length} input specification(s) in the item")
-    require(outputIndex < item.outputs.length,
-      s"load_stac_ml: output_index=$outputIndex exceeds the " +
+    require(outputIndex >= 0 && outputIndex < item.outputs.length,
+      s"load_stac_ml: output_index=$outputIndex outside the " +
         s"${item.outputs.length} output specification(s) in the item")
     require(item.weightsHref.nonEmpty,
       "load_stac_ml: the item has no asset with the mlm:model role")

@@ -64,6 +64,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       case "Polygon" => node.path("coordinates").path(0)
       case "Feature" => node.path("geometry").path("coordinates").path(0)
       case "FeatureCollection" =>
+        // single-polygon argument position: a multi-feature collection here
+        // would silently lose every feature after the first — reject it
+        // (multi-geometry inputs go through zonesArg, which handles all
+        // features)
+        require(node.path("features").size() == 1,
+          s"polygon argument: FeatureCollection has " +
+            s"${node.path("features").size()} features; pass exactly one " +
+            "(use the zones form for multi-polygon operations)")
         node.path("features").path(0).path("geometry")
           .path("coordinates").path(0)
       case _ => node

@@ -19,9 +19,16 @@ object MlQueries {
     * Written once per JVM; the JSON shape follows the public STAC-MLM
     * extension (mlm:input / mlm:output / assets with the mlm:model role).
     */
+  /** The fixture's per-band z-score parameters — shared by the STAC-MLM
+    * JSON and the DuckDB oracle generator below, so both engines evaluate
+    * the SAME doubles (Scala toString round-trips exactly; Jackson and
+    * DuckDB's string→double both parse to the identical bits). */
+  val extMeans: IndexedSeq[Double] = (0 until 64).map(i => 0.01 * i)
+  val extStds: IndexedSeq[Double] = (0 until 64).map(i => 1.0 + 0.05 * i)
+
   lazy val externalItemPath: String = {
     val scaling = (0 until 64).map { i =>
-      s"""{"type": "z-score", "mean": ${0.01 * i}, "stddev": ${1.0 + 0.05 * i}}"""
+      s"""{"type": "z-score", "mean": ${extMeans(i)}, "stddev": ${extStds(i)}}"""
     }.mkString("[", ", ", "]")
     val bands = (0 until 64).map(i => s""""f$i"""").mkString("[", ", ", "]")
     val json =
@@ -107,15 +114,17 @@ object MlQueries {
     // item drives scaling / batch size / output width, and scoring runs as
     // batched mapPartitions behind the ModelRuntime session contract (the
     // session itself is a deterministic stub — this container has no ONNX
-    // runtime). Rows-only in the gate; value/batch invariants in MlSpec.
+    // runtime). FULL hash oracle: the stub's scale → float32 → double
+    // slice-sum → float32 chain is mirrored operation-for-operation in
+    // DuckDB (generator below). `batch_rows` is partition-dependent and so
+    // stays out of the gate output; the batching invariants live in
+    // ExternalModelSpec.
     "ml_predict_external" -> { (s, d) =>
       val model = MlProcesses.loadStacMl(externalItemPath)
       model.predict(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("batch_rows"),
-          posexplode(col("embedding")))
+        .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("int").as("pos"),
-          graft.core.Exact.rnd4(col("col").cast("double")).as("value"),
-          col("batch_rows"))
+          graft.core.Exact.rnd4(col("col").cast("double")).as("value"))
     },
 
     // A10: image-tensor predict — the cube is cut into model-sized 2×2
@@ -169,8 +178,34 @@ object MlQueries {
   )
 
   /** Training queries are not SQL-expressible (driver records rows-only);
-    * the ViT bridge is pure relational algebra and gets a full oracle. */
+    * the ViT bridge is pure relational algebra and the external-model stub
+    * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Mirrors ExternalModel.predict + StubRuntime operation-for-operation
+    // (the Cramer playbook: same expression DAG, two engines):
+    //   scaled_i = float32((double(emb[i]) - mean_i) / std_i)   [z-score]
+    //   out_k    = float32((Σ_{i∈slice_k} double(scaled_i)) / 8) [left-assoc]
+    //   value    = rnd4(double(out_k))
+    // Every scalar literal goes through CAST('<scala toString>' AS DOUBLE)
+    // so DuckDB parses the IDENTICAL double Jackson hands Spark (a bare
+    // SQL decimal literal would be DECIMAL-typed and round differently).
+    "ml_predict_external" -> {
+      val outExprs = (0 until 8).map { k =>
+        val terms = (k * 8 until k * 8 + 8).map { i =>
+          s"CAST(CAST((CAST(embedding[${i + 1}] AS DOUBLE) - " +
+            s"CAST('${extMeans(i)}' AS DOUBLE)) / " +
+            s"CAST('${extStds(i)}' AS DOUBLE) AS FLOAT) AS DOUBLE)"
+        }
+        s"WHEN $k THEN CAST(CAST((${terms.mkString(" + ")}) / 8 AS FLOAT) AS DOUBLE)"
+      }
+      s"""SELECT vec_id, CAST(k AS INT) AS pos,
+         |  floor((CASE k ${outExprs.mkString("\n    ")}
+         |   END) * 10000 + 0.5) / 10000.0 AS value
+         |FROM embeddings
+         |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin
+    },
+
     "ml_vit_bridge" ->
       """WITH fm AS (
         |  SELECT vec_id // 17 AS sample,

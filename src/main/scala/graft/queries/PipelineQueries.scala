@@ -293,7 +293,8 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT media_id, CAST(b AS INT) AS pos,
         |  floor((len(list_filter(cs, c -> c // 16 = b))
-        |         / CAST(len(cs) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
+        |         / CAST(greatest(len(cs), 1) AS DOUBLE)) * 10000 + 0.5)
+        |    / 10000.0 AS value
         |FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bins""".stripMargin,
 
     "stac_load" ->

@@ -154,9 +154,9 @@ class ExternalModelSpec extends SparkSpec {
     val scaled = feats.zipWithIndex.map { case (x, i) =>
       ((x - 0.01 * i) / (1.0 + 0.05 * i)).toFloat }
     val expect = (0 until 8).map { k =>
-      var s = 0.0f
+      var s = 0.0d // stub contract: double accumulation, float32 element
       (k * 8 until (k + 1) * 8).foreach(i => s += scaled(i))
-      s / 8
+      (s / 8).toFloat
     }
     val got = m.predict(emb.orderBy("vec_id").limit(1)).first()
       .getSeq[Float](1)
