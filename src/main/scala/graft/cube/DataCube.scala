@@ -78,9 +78,36 @@ object Reducers {
   * /root/reference (see SURVEY.md §2C), with the dimension-alias behavior of
   * `utils/dim_utils.py`.
   */
-final case class DataCube(df: DataFrame, valueCol: String = "value") {
+final case class DataCube(df: DataFrame, valueCol: String = "value",
+                          crs: Option[Crs] = None) {
 
   def dims: Seq[String] = df.columns.toSeq.filterNot(_ == valueCol)
+
+  /** Attach CRS metadata (EPSG code + affine grid transform). Operators
+    * preserve it via `copy`; grid-changing operators that move to a new
+    * transform set it explicitly (`resampleProjection`). */
+  def withCrs(c: Crs): DataCube = copy(crs = Some(c))
+
+  /** Reference semantics: binary cube operations must not silently mix
+    * projections (the reference resolves both cubes' CRS up front,
+    * utils/epsg_utils.py:10). A CRS-carrying cube combined with a
+    * projectionless one is as much a mismatch as two different codes. */
+  private def requireSameCrs(other: DataCube, op: String): Unit =
+    (crs, other.crs) match {
+      case (Some(l), Some(r)) =>
+        require(l.epsg == r.epsg,
+          s"$op: CRS mismatch — EPSG:${l.epsg} vs EPSG:${r.epsg}; " +
+            "reproject one cube first")
+      case (Some(l), None) =>
+        throw new IllegalArgumentException(
+          s"$op: left cube carries EPSG:${l.epsg} but the right cube has " +
+            "no CRS")
+      case (None, Some(r)) =>
+        throw new IllegalArgumentException(
+          s"$op: right cube carries EPSG:${r.epsg} but the left cube has " +
+            "no CRS")
+      case (None, None) => ()
+    }
 
   def bandDim: Option[String] = DimAliases.resolve(dims, DimAliases.band)
   def timeDim: Option[String] = DimAliases.resolve(dims, DimAliases.time)
@@ -215,15 +242,21 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
       case "hour"      => hour(col(t))
       case other => throw new IllegalArgumentException(s"anomaly: freq $other")
     }
-    val keys = normals.dims.filterNot(_ == "period")
-      .filter(dims.contains) :+ "period"
+    // Every non-period normals dim must exist on the data cube: silently
+    // dropping an extra normals dim from the join keys would duplicate
+    // every data row once per label of that dim via the broadcast join.
+    val extra = normals.dims.filterNot(_ == "period").filterNot(dims.contains)
+    require(extra.isEmpty,
+      s"anomaly: normals dims ${extra.mkString(",")} absent from data cube")
+    val keys = normals.dims.filterNot(_ == "period") :+ "_graft_period"
     val n = normals.df
       .withColumnRenamed(normals.valueCol, "_normal")
-    copy(df = df.withColumn("period", periodCol)
+      .withColumnRenamed("period", "_graft_period")
+    copy(df = df.withColumn("_graft_period", periodCol)
       .join(broadcast(n.select((keys.map(col) :+ col("_normal")): _*)), keys,
         "left_outer")
       .withColumn(valueCol, v - col("_normal"))
-      .drop("_normal", "period"))
+      .drop("_normal", "_graft_period"))
   }
 
   def climatologicalNormal(freq: String = "month"): DataCube = {
@@ -564,6 +597,7 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     * pre-partitioned cubes co-locate and skip the exchange.
     */
   def merge(other: DataCube, resolver: (Column, Column) => Column): DataCube = {
+    requireSameCrs(other, "merge_cubes")
     val common = dims.intersect(other.dims)
     require(common.nonEmpty, "merge_cubes: no shared dimensions")
     val l = df.withColumnRenamed(valueCol, "_v_left")
@@ -578,6 +612,7 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     * non-zero. Left join on the mask's dimensions.
     */
   def mask(maskCube: DataCube, replacement: Option[Double] = None): DataCube = {
+    requireSameCrs(maskCube, "mask")
     val keys = dims.intersect(maskCube.dims)
     require(keys.nonEmpty, "mask: no shared dimensions")
     val m = maskCube.df.withColumnRenamed(maskCube.valueCol, "_mask")
@@ -781,6 +816,37 @@ final case class DataCube(df: DataFrame, valueCol: String = "value") {
     * of the input — the standard pyramid step. */
   def resampleSpatial(factor: Int, reducer: String = "mean"): DataCube =
     aggregateSpatialWindow(factor, factor, reducer)
+
+  /** openEO `resample_spatial` with a `projection`/`resolution` argument:
+    * re-grid the cube from its own affine transform onto `target`'s grid
+    * (same EPSG — cross-EPSG datum math is rejected, see [[Crs]]). Each
+    * cell CENTER maps src grid → world → target cell as one composed
+    * affine — pure column math inside codegen, so the only shuffle is the
+    * final reduce of cells landing on the same target cell; at any scale
+    * this is exactly one exchange, like `aggregate_spatial_window`.
+    * Nearest-cell (floor) assignment, the reference's default resampling.
+    */
+  def resampleProjection(target: Crs, reducer: String = "mean"): DataCube = {
+    val src = crs.getOrElse(throw new DimensionMissing(
+      "resample_spatial: cube has no CRS; attach one with withCrs"))
+    require(src.epsg == target.epsg,
+      s"resample_spatial: cross-EPSG reprojection (EPSG:${src.epsg} → " +
+        s"EPSG:${target.epsg}) needs a projection library; this build " +
+        "re-grids within one EPSG only")
+    val xd = requireDim(xDim, "x")
+    val yd = requireDim(yDim, "y")
+    // operand order is mirrored verbatim in the DuckDB oracle
+    // (CubeQueries.reprojectSql) — keep the two in sync
+    val wx = (col(xd).cast("double") + lit(0.5)) * lit(src.a) + lit(src.c)
+    val wy = (col(yd).cast("double") + lit(0.5)) * lit(src.e) + lit(src.f)
+    val gx = floor((wx - lit(target.c)) / lit(target.a))
+    val gy = floor((wy - lit(target.f)) / lit(target.e))
+    val keep = dims.filterNot(d => d == xd || d == yd)
+    copy(df = df
+      .groupBy((keep.map(col) :+ gx.as(xd) :+ gy.as(yd)): _*)
+      .agg(Reducers(reducer)(v).as(valueCol)),
+      crs = Some(target))
+  }
 
   /** `resample_spatial` in the upscale direction: each cell becomes a
     * `factor`×`factor` block of cells carrying its value (nearest-neighbor

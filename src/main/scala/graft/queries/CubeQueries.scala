@@ -220,6 +220,20 @@ object CubeQueries {
           Exact.rnd4(col("value")).as("value"))
     },
 
+    // resample_spatial with a projection argument: 10 m north-up UTM grid
+    // re-gridded to a 25 m grid of the same EPSG — cell centers through
+    // the composed affine, mean-reduce on collision. The CRS metadata +
+    // affine is the reference's epsg_utils analog (see graft.cube.Crs).
+    "cube_reproject" -> { (s, d) =>
+      gridCube(s, d)
+        .withCrs(graft.cube.Crs(32633, a = 10.0, c = 500000.0,
+          e = -10.0, f = 4500000.0))
+        .resampleProjection(graft.cube.Crs(32633, a = 25.0, c = 500000.0,
+          e = -25.0, f = 4500000.0), "mean")
+        .df.select(col("x"), col("y"), col("band"),
+          Exact.rnd4(col("value")).as("value"))
+    },
+
     "cube_anomaly" -> { (s, d) =>
       eventsCube(s, d).anomaly("dayofyear")
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
@@ -708,6 +722,21 @@ object CubeQueries {
       s"""WITH $gridCubeSql
         |SELECT CAST(floor(x / 4) AS BIGINT) AS x,
         |       CAST(floor(y / 4) AS BIGINT) AS y, band,
+        |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |        / count(value)) * 10000 + 0.5) / 10000.0 AS value
+        |FROM cube GROUP BY 1, 2, 3""".stripMargin,
+
+    // mirrors DataCube.resampleProjection operand-for-operand: cell center
+    // through the source affine, minus target origin, divided by target
+    // pixel size, floored. Every literal is a dyadic-exact double, so both
+    // engines see identical IEEE operations.
+    "cube_reproject" ->
+      s"""WITH $gridCubeSql
+        |SELECT
+        |  CAST(floor((((CAST(x AS DOUBLE) + 0.5) * 10.0 + 500000.0)
+        |              - 500000.0) / 25.0) AS BIGINT) AS x,
+        |  CAST(floor((((CAST(y AS DOUBLE) + 0.5) * -10.0 + 4500000.0)
+        |              - 4500000.0) / -25.0) AS BIGINT) AS y, band,
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
         |        / count(value)) * 10000 + 0.5) / 10000.0 AS value
         |FROM cube GROUP BY 1, 2, 3""".stripMargin,

@@ -210,4 +210,78 @@ class CubeSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
     assert(got == Map(1 -> 2.0, 6 -> 10.0))
   }
+
+  test("anomaly against normals: extra normals dim is rejected, " +
+    "existing period column survives") {
+    import spark.implicits._
+    import graft.cube.DataCube
+    val c = DataCube(Seq(("2020-01-05", "b", 5.0))
+      .toDF("time", "band", "value")
+      .withColumn("time", col("time").cast("timestamp")))
+    val extraDim = DataCube(Seq(("b", "s1", 1, 2.0))
+      .toDF("band", "site", "period", "value"))
+    val ex = intercept[IllegalArgumentException] {
+      c.anomalyAgainst(extraDim, "month")
+    }
+    assert(ex.getMessage.contains("site"))
+    // a data cube that already carries a 'period' dimension must keep it
+    val withPeriod = DataCube(Seq(("2020-01-05", "b", 7, 5.0))
+      .toDF("time", "band", "period", "value"))
+    val normals = DataCube(Seq(("b", 1, 2.0))
+      .toDF("band", "period", "value"))
+    // normals' 'period' is the climatology key, the data cube's 'period'
+    // is an unrelated dimension — the join must key on the derived month
+    // via a temp column, not clobber the data cube's column
+    val out = withPeriod.anomalyAgainst(normals, "month")
+    assert(out.dims.contains("period"), "data cube 'period' dim clobbered")
+    assert(out.df.select("period").first().getInt(0) == 7)
+    assert(out.df.select("value").first().getDouble(0) == 3.0)
+  }
+
+  // ---- CRS analog (reference: utils/epsg_utils.py) ------------------------
+
+  test("crs: merge/mask reject mismatched or one-sided projections") {
+    import spark.implicits._
+    import graft.cube.{Crs, DataCube}
+    def cube() = DataCube(Seq((0L, 0L, "A", 1.0))
+      .toDF("x", "y", "band", "value"))
+    val utm33 = Crs(32633, a = 10.0, c = 500000.0, e = -10.0, f = 4500000.0)
+    val utm34 = Crs(32634, a = 10.0, c = 500000.0, e = -10.0, f = 4500000.0)
+    val resolver = (l: org.apache.spark.sql.Column,
+                    r: org.apache.spark.sql.Column) => coalesce(l, r)
+    val ex = intercept[IllegalArgumentException] {
+      cube().withCrs(utm33).merge(cube().withCrs(utm34), resolver)
+    }
+    assert(ex.getMessage.contains("32633") && ex.getMessage.contains("32634"))
+    intercept[IllegalArgumentException] {
+      cube().withCrs(utm33).mask(cube()) // one-sided CRS is a mismatch too
+    }
+    intercept[IllegalArgumentException] {
+      cube().merge(cube().withCrs(utm34), resolver)
+    }
+    // both projectionless (the pre-CRS behavior) and both-equal still work
+    assert(cube().merge(cube(), resolver).df.count() == 1)
+    assert(cube().withCrs(utm33).mask(cube().withCrs(utm33)).df.count() == 1)
+  }
+
+  test("crs: resampleProjection re-grids through the composed affine") {
+    import spark.implicits._
+    import graft.cube.{Crs, DataCube, DimensionMissing}
+    val c = DataCube(Seq(
+      (0L, 0L, "A", 2.0), (1L, 0L, "A", 4.0),   // centers 5m, 15m → 25m cell 0
+      (3L, 0L, "A", 8.0))                        // center 35m → 25m cell 1
+      .toDF("x", "y", "band", "value"))
+    val src = Crs(32633, a = 10.0, c = 500000.0, e = -10.0, f = 4500000.0)
+    val tgt = Crs(32633, a = 25.0, c = 500000.0, e = -25.0, f = 4500000.0)
+    intercept[DimensionMissing] { c.resampleProjection(tgt) } // no CRS yet
+    intercept[IllegalArgumentException] {
+      c.withCrs(src).resampleProjection(Crs(32634, a = 25.0)) // cross-EPSG
+    }
+    val out = c.withCrs(src).resampleProjection(tgt, "mean")
+    assert(out.crs.contains(tgt), "result must carry the target CRS")
+    val got = out.df.collect()
+      .map(r => (r.getLong(r.fieldIndex("x")), r.getDouble(r.fieldIndex("value"))))
+      .toMap
+    assert(got == Map(0L -> 3.0, 1L -> 8.0), s"got $got")
+  }
 }
