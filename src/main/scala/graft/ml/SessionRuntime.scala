@@ -1,0 +1,66 @@
+package graft.ml
+
+/** The tensor-session seam a REAL inference runtime plugs into. The method
+  * shape mirrors ONNX Runtime's `OrtSession.run` contract — one named
+  * input tensor (row-major flat buffer + shape) in, one named output
+  * tensor out — without depending on the (absent) onnxruntime jar, so the
+  * adapter below compiles and is unit-tested against this container while
+  * a production build only has to wrap `OrtSession` in ~5 lines:
+  *
+  * {{{
+  * class OrtTensorSession(env: OrtEnvironment, session: OrtSession)
+  *     extends TensorSession {
+  *   def run(inputName: String, flat: Array[Float], shape: Array[Long],
+  *           outputName: String): Array[Float] = {
+  *     val t = OnnxTensor.createTensor(env,
+  *       java.nio.FloatBuffer.wrap(flat), shape)
+  *     try session.run(java.util.Map.of(inputName, t))
+  *       .get(outputName).get().getValue
+  *       .asInstanceOf[Array[Array[Float]]].flatten
+  *     finally t.close()
+  *   }
+  * }
+  * }}}
+  *
+  * Implementations ship to executors once and are reused across batches
+  * (same lifecycle as the reference's per-worker session,
+  * model_execution/run_pytorch_model.py:52).
+  */
+trait TensorSession extends Serializable {
+  /** `flat` is row-major `[shape(0) × shape(1)]`; returns the output
+    * buffer, row-major `[shape(0) × outWidth]`. */
+  def run(inputName: String, flat: Array[Float], shape: Array[Long],
+          outputName: String): Array[Float]
+}
+
+/** ModelRuntime over a [[TensorSession]]: packs each mapPartitions batch
+  * into one row-major tensor, runs the session once per batch (batched
+  * inference, not per-row), and unpacks the output rows. This is the
+  * production path behind `load_stac_ml` → `ml_predict`; [[StubRuntime]]
+  * only stands in where no runtime jar exists.
+  */
+final class SessionRuntime(session: TensorSession,
+                           inWidth: Int, outWidth: Int,
+                           inputName: String = "input",
+                           outputName: String = "output") extends ModelRuntime {
+  override def score(batch: Array[Array[Float]]): Array[Array[Float]] = {
+    val n = batch.length
+    if (n == 0) return Array.empty
+    val flat = new Array[Float](n * inWidth)
+    var r = 0
+    while (r < n) {
+      require(batch(r).length == inWidth,
+        s"SessionRuntime: row $r has ${batch(r).length} features, " +
+          s"expected $inWidth")
+      System.arraycopy(batch(r), 0, flat, r * inWidth, inWidth)
+      r += 1
+    }
+    val out = session.run(inputName, flat, Array(n.toLong, inWidth.toLong),
+      outputName)
+    require(out.length == n * outWidth,
+      s"SessionRuntime: session returned ${out.length} values for " +
+        s"$n×$outWidth output")
+    Array.tabulate(n)(i =>
+      java.util.Arrays.copyOfRange(out, i * outWidth, (i + 1) * outWidth))
+  }
+}

@@ -102,6 +102,19 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         e.getKey -> polygonArg(e.getValue)
       }.toSeq
 
+  /** The unary per-cell vocabulary shared by `apply` and `apply_polygon`
+    * (abs-guarded sqrt/ln, like the reference's safe math wrappers). */
+  private object UnaryProcess {
+    def unapply(name: String): Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = name match {
+      case "absolute" => Some(c => abs(c))
+      case "sqrt"     => Some(c => sqrt(abs(c)))
+      case "ln"       => Some(c => log(abs(c) + 1))
+      case "exp"      => Some(c => exp(c))
+      case _          => None
+    }
+  }
+
   private def cubeArg(args: JsonNode, name: String,
                       evalNode: String => Any): DataCube =
     nodeArg(args, name, evalNode) match {
@@ -225,14 +238,8 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     // flexibility, made safe — any whitelisted expression over `x`
     // (ProcessExpression: parse-tree whitelist, still pure codegen math)
     case "apply" =>
-      val f = args.get("process").asText()
-      f match {
-        case "absolute" => cubeArg(args, "data", evalNode).applyUnary(abs)
-        case "sqrt" => cubeArg(args, "data", evalNode)
-          .applyUnary(c => sqrt(abs(c)))
-        case "ln" => cubeArg(args, "data", evalNode)
-          .applyUnary(c => log(abs(c) + 1))
-        case "exp" => cubeArg(args, "data", evalNode).applyUnary(exp)
+      args.get("process").asText() match {
+        case UnaryProcess(f) => cubeArg(args, "data", evalNode).applyUnary(f)
         case expression => graft.ml.ProcessExpression.scaleCube(
           cubeArg(args, "data", evalNode), "sql", expression)
       }
@@ -441,6 +448,47 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         args.get("dimension").asText(),
         args.get("target_dimensions").elements().asScala.map(_.asText()).toSeq,
         args.path("label_separator").asText("~"))
+
+    case "aggregate_spatial_window" =>
+      val size = Option(args.get("size"))
+        .map(_.elements().asScala.map(_.asInt()).toSeq)
+        .getOrElse(Seq(2, 2))
+      require(size.length == 2,
+        s"aggregate_spatial_window: size must be [x, y], got $size")
+      cubeArg(args, "data", evalNode).aggregateSpatialWindow(
+        size(0), size(1), args.path("reducer").asText("mean"))
+
+    case "add_dimension" =>
+      cubeArg(args, "data", evalNode).addDimension(
+        args.get("name").asText(), args.get("label").asText())
+
+    case "drop_dimension" =>
+      cubeArg(args, "data", evalNode)
+        .dropDimension(args.get("name").asText())
+
+    case "rename_dimension" =>
+      cubeArg(args, "data", evalNode).renameDimension(
+        args.get("source").asText(), args.get("target").asText())
+
+    case "rename_labels" =>
+      val source = args.get("source").elements().asScala.map(_.asText()).toSeq
+      val target = args.get("target").elements().asScala.map(_.asText()).toSeq
+      require(source.length == target.length,
+        s"rename_labels: ${source.length} source labels vs " +
+          s"${target.length} targets")
+      cubeArg(args, "data", evalNode).renameLabels(
+        args.get("dimension").asText(), source.zip(target).toMap)
+
+    // region-scoped apply: cells inside the polygon go through the unary
+    // process, the rest pass unchanged (openEO apply_polygon)
+    case "apply_polygon" =>
+      val f = args.get("process").asText() match {
+        case UnaryProcess(g) => g
+        case other => throw new IllegalArgumentException(
+          s"apply_polygon: unknown process '$other'")
+      }
+      cubeArg(args, "data", evalNode)
+        .applyPolygon(polygonArg(args.get("polygons")), f)
 
     // ---- ML processes as graph nodes -------------------------------------
     // The minibackend registers the ML processes alongside the cube

@@ -60,6 +60,48 @@ object PipelineQueries {
       |  }
       |}""".stripMargin
 
+  /** Composed dimension-management + order-statistic graph: the vocabulary
+    * the round-3 review listed as missing from the executor —
+    * apply_polygon, aggregate_spatial_window, add/rename/drop_dimension,
+    * rename_labels, and quantile reducers through reduce_dimension. */
+  private val dimsGraph =
+    """{
+      |  "process_graph": {
+      |    "load":  {"process_id": "load_collection",
+      |              "arguments": {"id": "grid"}},
+      |    "roi":   {"process_id": "apply_polygon",
+      |              "arguments": {"data": {"from_node": "load"},
+      |                "polygons": [[32,2],[62,32],[32,62],[2,32]],
+      |                "process": "sqrt"}},
+      |    "win":   {"process_id": "aggregate_spatial_window",
+      |              "arguments": {"data": {"from_node": "roi"},
+      |                "size": [4, 4], "reducer": "mean"}},
+      |    "epoch": {"process_id": "add_dimension",
+      |              "arguments": {"data": {"from_node": "win"},
+      |                "name": "epoch", "label": "e1"}},
+      |    "era":   {"process_id": "rename_dimension",
+      |              "arguments": {"data": {"from_node": "epoch"},
+      |                "source": "epoch", "target": "era"}},
+      |    "bands": {"process_id": "rename_labels",
+      |              "arguments": {"data": {"from_node": "era"},
+      |                "dimension": "band",
+      |                "source": ["A", "N", "R"],
+      |                "target": ["ret_a", "ret_n", "ret_r"]}},
+      |    "slim":  {"process_id": "drop_dimension",
+      |              "arguments": {"data": {"from_node": "bands"},
+      |                "name": "era"}},
+      |    "q":     {"process_id": "reduce_dimension",
+      |              "arguments": {"data": {"from_node": "slim"},
+      |                "dimension": "y", "reducer": "quantile:0.25"}},
+      |    "med":   {"process_id": "reduce_dimension",
+      |              "arguments": {"data": {"from_node": "q"},
+      |                "dimension": "x", "reducer": "quantile:0.5"}},
+      |    "save":  {"process_id": "save_result",
+      |              "arguments": {"data": {"from_node": "med"}},
+      |              "result": true}
+      |  }
+      |}""".stripMargin
+
   /** sfDir → path of a materialized weekly-sliced STAC fixture catalog. */
   private val stacFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -233,6 +275,11 @@ object PipelineQueries {
       new ProcessGraph(s, d).run(spatialGraph)
         .select(col("zone_id"), col("band"),
           Exact.rnd4(col("value")).as("value"), col("n_cells"))
+    },
+
+    "process_graph_dims" -> { (s, d) =>
+      new ProcessGraph(s, d).run(dimsGraph)
+        .select(col("band"), Exact.rnd4(col("value")).as("value"))
     }
   )
 
@@ -255,6 +302,35 @@ object PipelineQueries {
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
         |         / count(value)) * 10000 + 0.5) / 10000.0 AS value
         |FROM m GROUP BY 1""".stripMargin,
+
+    // mirror of dimsGraph: sqrt(abs(x)) inside the diamond (identical edge
+    // terms via insideSql), 4×4 window mean (decimal-exact), band label
+    // CASE map, quantile_cont == Spark percentile. add/rename/drop of the
+    // constant 'era' dimension is a no-op relationally, as in the engine.
+    "process_graph_dims" -> {
+      val inside = CubeQueries.insideSql(CubeQueries.diamond,
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)")
+      s"""WITH ${CubeQueries.gridCubeSql},
+        |roi AS (
+        |  SELECT x, y, band,
+        |    CASE WHEN $inside THEN sqrt(abs(value)) ELSE value END AS value
+        |  FROM cube),
+        |win AS (
+        |  SELECT x // 4 AS x, y // 4 AS y, band,
+        |    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+        |      / count(value) AS value
+        |  FROM roi GROUP BY 1, 2, 3),
+        |q AS (
+        |  SELECT x, band, quantile_cont(value, 0.25) AS value
+        |  FROM win GROUP BY 1, 2),
+        |m AS (
+        |  SELECT band, quantile_cont(value, 0.5) AS value
+        |  FROM q GROUP BY 1)
+        |SELECT CASE band WHEN 'A' THEN 'ret_a' WHEN 'N' THEN 'ret_n'
+        |            WHEN 'R' THEN 'ret_r' END AS band,
+        |  floor((value) * 10000 + 0.5) / 10000.0 AS value
+        |FROM m""".stripMargin
+    },
 
     "multimodal_pipeline" ->
       """SELECT doc_id AS media_id,

@@ -381,4 +381,54 @@ class ExternalModelSpec extends SparkSpec {
     assert(viaCube.exceptAll(direct).isEmpty && direct.exceptAll(viaCube).isEmpty,
       "cube-predict must equal vector-predict")
   }
+
+  test("SessionRuntime: packs batches row-major, honors the session's " +
+    "tensor contract (ORT seam)") {
+    import graft.ml.{SessionRuntime, TensorSession}
+    RecordingSession.shapes.clear()
+    val base = StacMlm.load(MlQueries.externalItemPath)
+    val m = new ExternalModel(base.item, 0, 0,
+      Some(new SessionRuntime(new RecordingSession(64, 8), 64, 8)))
+    val emb = Tables.embeddings(spark, sfDir).limit(70).coalesce(1)
+    val out = m.predict(emb).cache()
+    assert(out.count() == 70)
+    // one session call per batch: 70 rows in one partition at spec batch
+    // size 32 → tensors [32,64], [32,64], [6,64]
+    val shapes = RecordingSession.shapes.toArray(Array.empty[(Long, Long)])
+    assert(shapes.toSeq.sorted == Seq((6L, 64L), (32L, 64L), (32L, 64L)),
+      s"got ${shapes.toSeq}")
+    // the fake session doubles the first 8 scaled features — verify the
+    // packed/unpacked values round-trip through the flat buffer
+    val row = Tables.embeddings(spark, sfDir).orderBy("vec_id").first()
+    val feats = row.getSeq[Float](row.fieldIndex("embedding"))
+    val expect = (0 until 8).map { i =>
+      (((feats(i) - 0.01 * i) / (1.0 + 0.05 * i)).toFloat) * 2.0f
+    }
+    val got = m.predict(emb.orderBy("vec_id").limit(1)).first().getSeq[Float](1)
+    expect.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-6f, s"expected $e got $g")
+    }
+  }
+}
+
+/** Fake ORT-shaped session: asserts tensor shape sanity, records each
+  * batch's shape (static queue — local mode, one JVM), and returns a
+  * deterministic output (first `outW` features, doubled). */
+object RecordingSession {
+  val shapes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+}
+final class RecordingSession(inW: Int, outW: Int)
+    extends graft.ml.TensorSession {
+  override def run(inputName: String, flat: Array[Float],
+                   shape: Array[Long], outputName: String): Array[Float] = {
+    require(inputName == "input" && outputName == "output")
+    require(shape.length == 2 && shape(1) == inW,
+      s"bad tensor shape ${shape.toSeq}")
+    require(flat.length == shape(0) * shape(1), "flat buffer/shape mismatch")
+    RecordingSession.shapes.add((shape(0), shape(1)))
+    val n = shape(0).toInt
+    Array.tabulate(n * outW) { j =>
+      flat((j / outW) * inW + (j % outW)) * 2.0f
+    }
+  }
 }
