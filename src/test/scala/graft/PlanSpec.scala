@@ -130,4 +130,20 @@ class PlanSpec extends SparkSpec {
       !schema.contains("l_extendedprice") && !schema.contains("l_comment"),
       s"scan must read only the two referenced columns:\n$schema")
   }
+
+  test("resampleProjection is one aggregation: exactly one Exchange") {
+    import graft.cube.{Crs, DataCube}
+    val cube = DataCube(Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_partkey"), lit(64)).as("x"),
+        pmod(col("l_suppkey"), lit(64)).as("y"),
+        col("l_returnflag").as("band"),
+        col("l_quantity").cast("double").as("value")))
+      .withCrs(Crs(32633, a = 10.0, c = 500000.0, e = -10.0, f = 4500000.0))
+    val p = plan(cube.resampleProjection(
+      Crs(32633, a = 25.0, c = 500000.0, e = -25.0, f = 4500000.0)).df)
+      .split("== Initial Plan ==")(0) // AQE toString repeats the pre-AQE plan
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"re-grid must be column math + one reduce shuffle, got $n:\n$p")
+  }
 }
