@@ -65,10 +65,7 @@ object StacMlm {
     * declared inputs/outputs (load_model.py:80-91). */
   def load(uri: String, modelAsset: Option[String] = None,
            inputIndex: Int = 0, outputIndex: Int = 0): ExternalModel = {
-    val item = parseItem(
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri)),
-        java.nio.charset.StandardCharsets.UTF_8),
-      modelAsset)
+    val item = parseItem(graft.sources.Remote.readString(uri), modelAsset)
     require(supportedFrameworks.contains(item.framework.toLowerCase),
       s"load_stac_ml: framework '${item.framework}' is not supported by " +
         s"this backend; supported: ${supportedFrameworks.mkString(", ")}")

@@ -54,8 +54,10 @@ object StacCatalog {
   def selectAssets(catalogPath: String,
                    temporalExtent: Option[(String, String)],
                    properties: Seq[PropertyFilter] = Nil,
-                   spatialExtent: Option[BBox] = None): Seq[String] = {
-    val root = mapper.readTree(new java.io.File(catalogPath))
+                   spatialExtent: Option[BBox] = None,
+                   conf: org.apache.hadoop.conf.Configuration =
+                     new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+    val root = mapper.readTree(Remote.readString(catalogPath, conf))
     val feats = root.path("features").elements().asScala.toSeq
     val selected = feats.filter { f =>
       val p = f.path("properties")
@@ -87,7 +89,7 @@ object StacCatalog {
                      spatialExtent: Option[BBox] = None,
                      xCol: String = "x", yCol: String = "y"): DataFrame = {
     val hrefs = selectAssets(catalogPath, temporalExtent, properties,
-      spatialExtent)
+      spatialExtent, spark.sparkContext.hadoopConfiguration)
     require(hrefs.nonEmpty, "no catalog items overlap the requested extent")
     val df = spark.read.parquet(hrefs: _*)
     val t = temporalExtent.fold(df) { case (from, to) =>
