@@ -130,7 +130,10 @@ object MlQueries {
     // A10: image-tensor predict — the cube is cut into model-sized 2×2
     // tiles (batch = tiles, channel-first dim order) and scored through
     // the batched session stage; the 16×8 input grid is dense by
-    // construction so every tile is complete. Rows-only (4 outputs/tile).
+    // construction so every tile is complete. FULL hash oracle: with a
+    // 4-wide tile and a 4-wide output the stub's slice mean is the
+    // identity through float32, so the whole tile assembly (mixed-radix
+    // in-tile position) + scoring chain is mirrored in SQL below.
     "ml_predict_tiles" -> { (s, d) =>
       import graft.core.Exact
       val base = Tables.lineitem(s, d)
@@ -205,6 +208,29 @@ object MlQueries {
          |FROM embeddings
          |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin
     },
+
+    // Mirrors predictTiles + StubRuntime on the dense 16×8 single-band
+    // grid: tile id = cell // 2 per axis; in-tile flat position over dim
+    // order [channel, y, x] with extents [1, 2, 2] is (y%2)*2 + (x%2);
+    // the 4-in/4-out stub emits float32(feat[k]) at output k, so value =
+    // rnd4(double(float32(v))). v itself is the rnd4'd exact decimal sum
+    // (Exact.esum ≡ sum of DECIMAL(38,10)), 0.0 on never-sold cells.
+    "ml_predict_tiles" ->
+      """WITH base AS (
+        |  SELECT l_partkey % 16 AS x, l_suppkey % 8 AS y,
+        |    floor(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+        |      * 10000 + 0.5) / 10000.0 AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT gx.x, gy.y, COALESCE(b.v, 0.0) AS v
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) gy
+        |  LEFT JOIN base b USING (x, y))
+        |SELECT x // 2 AS _tile_x, y // 2 AS _tile_y,
+        |  CAST((y % 2) * 2 + (x % 2) AS INT) AS pos,
+        |  floor(CAST(CAST(v AS FLOAT) AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |    AS value
+        |FROM grid""".stripMargin,
 
     "ml_vit_bridge" ->
       """WITH fm AS (
