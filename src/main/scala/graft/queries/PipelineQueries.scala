@@ -157,7 +157,9 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(href)
         s"""{"type": "Feature", "id": "$id",
            |  "bbox": [$x0, $y0, ${x0 + 31}, ${y0 + 31}],
-           |  "properties": {"datetime": "2024-01-01"},
+           |  "properties": {"datetime": "2024-01-01",
+           |    "proj:epsg": 32633,
+           |    "proj:transform": [10.0, 0.0, 500000.0, 0.0, -10.0, 4650000.0]},
            |  "assets": {"data": {"href": "$href"}}}""".stripMargin
       }
       java.nio.file.Files.writeString(

@@ -56,10 +56,22 @@ object StacCatalog {
                    properties: Seq[PropertyFilter] = Nil,
                    spatialExtent: Option[BBox] = None,
                    conf: org.apache.hadoop.conf.Configuration =
-                     new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+                     new org.apache.hadoop.conf.Configuration()): Seq[String] =
+    selectItems(catalogPath, temporalExtent, properties, spatialExtent, conf)
+      .map(_.path("assets").path("data").path("href").asText())
+      .filter(_.nonEmpty)
+
+  /** The pruned item JSON nodes themselves (selectAssets keeps only the
+    * data hrefs; CRS extraction needs the proj metadata too). */
+  private def selectItems(catalogPath: String,
+                          temporalExtent: Option[(String, String)],
+                          properties: Seq[PropertyFilter],
+                          spatialExtent: Option[BBox],
+                          conf: org.apache.hadoop.conf.Configuration)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
     val root = mapper.readTree(Remote.readString(catalogPath, conf))
     val feats = root.path("features").elements().asScala.toSeq
-    val selected = feats.filter { f =>
+    feats.filter { f =>
       val p = f.path("properties")
       val inExtent = temporalExtent.forall { case (from, to) =>
         val s = p.path("start_datetime").asText(p.path("datetime").asText(""))
@@ -76,8 +88,44 @@ object StacCatalog {
         p.has(pf.name) && pf.accepts(p.path(pf.name).asDouble())
       }
     }
-    selected.map(_.path("assets").path("data").path("href").asText())
-      .filter(_.nonEmpty)
+  }
+
+  /** CRS of the selected items, from the STAC `proj` extension:
+    * `proj:epsg` plus the optional rasterio-order `proj:transform`
+    * [a, b, c, d, e, f, …] (worldX = a·col + b·row + c,
+    * worldY = d·col + e·row + f). The reference reads exactly this cube
+    * metadata before spatial operations (utils/epsg_utils.py:10); here it
+    * rides the catalog. All selected items must agree — a mixed-CRS
+    * selection is rejected with the offending codes (the same
+    * never-silently-mix policy as merge_cubes), and rotation terms are
+    * rejected because [[graft.cube.Crs]] is axis-aligned. None when no
+    * selected item declares proj:epsg. */
+  def catalogCrs(catalogPath: String,
+                 temporalExtent: Option[(String, String)] = None,
+                 properties: Seq[PropertyFilter] = Nil,
+                 spatialExtent: Option[BBox] = None,
+                 conf: org.apache.hadoop.conf.Configuration =
+                   new org.apache.hadoop.conf.Configuration())
+      : Option[graft.cube.Crs] = {
+    val declared = selectItems(catalogPath, temporalExtent, properties,
+        spatialExtent, conf)
+      .map(_.path("properties"))
+      .filter(_.hasNonNull("proj:epsg"))
+      .map { p =>
+        val t = p.path("proj:transform")
+        if (t.isArray && t.size() >= 6) {
+          require(t.get(1).asDouble() == 0.0 && t.get(3).asDouble() == 0.0,
+            "load_stac: rotated proj:transform is not supported " +
+              s"(b=${t.get(1).asDouble()}, d=${t.get(3).asDouble()})")
+          graft.cube.Crs(p.path("proj:epsg").asInt(),
+            a = t.get(0).asDouble(), c = t.get(2).asDouble(),
+            e = t.get(4).asDouble(), f = t.get(5).asDouble())
+        } else graft.cube.Crs(p.path("proj:epsg").asInt())
+      }.distinct
+    require(declared.length <= 1,
+      "load_stac: selected items carry mixed CRS: " +
+        declared.mkString(", "))
+    declared.headOption
   }
 
   /** Load the collection: pruned asset files → one scan → residual
@@ -100,5 +148,22 @@ object StacCatalog {
       t.filter(col(xCol) >= ext.west && col(xCol) < ext.east &&
         col(yCol) >= ext.south && col(yCol) < ext.north)
     }
+  }
+
+  /** [[loadCollection]] for long-format (dims + value) assets, returned as
+    * a [[graft.cube.DataCube]] tagged with the catalog's CRS when the
+    * items declare one — so `resample_spatial(projection=…)` and the
+    * CRS-mismatch guards on merge/mask work straight off a catalog load. */
+  def loadCube(spark: SparkSession, catalogPath: String,
+               temporalExtent: Option[(String, String)] = None,
+               timeCol: String = "ts",
+               properties: Seq[PropertyFilter] = Nil,
+               spatialExtent: Option[BBox] = None,
+               xCol: String = "x", yCol: String = "y"): graft.cube.DataCube = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cube = graft.cube.DataCube(loadCollection(spark, catalogPath,
+      temporalExtent, timeCol, properties, spatialExtent, xCol, yCol))
+    catalogCrs(catalogPath, temporalExtent, properties, spatialExtent, conf)
+      .fold(cube)(cube.withCrs)
   }
 }

@@ -177,6 +177,49 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == 1, s"bbox-less item must survive pruning: $kept")
   }
 
+  test("stac catalog: proj extension → CRS-tagged cube; mixed CRS rejected") {
+    import graft.sources.StacCatalog
+    val catalog = graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
+
+    // all four tiles declare the same proj:epsg/proj:transform → one Crs
+    val crs = StacCatalog.catalogCrs(catalog).get
+    assert(crs.epsg == 32633)
+    assert(crs.a == 10.0 && crs.c == 500000.0 &&
+      crs.e == -10.0 && crs.f == 4650000.0)
+
+    // loadCube hands back a cube that can resample_spatial(projection=...)
+    // without any manual withCrs — catalog metadata flows through
+    val cube = StacCatalog.loadCube(spark, catalog)
+    assert(cube.crs.contains(crs))
+    val coarse = cube.resampleProjection(
+      graft.cube.Crs(32633, a = 20.0, c = 500000.0, e = -20.0, f = 4650000.0))
+    assert(coarse.crs.exists(_.a == 20.0))
+    assert(coarse.df.count() > 0)
+
+    // one tile on a different EPSG → the selection must refuse to mix
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(catalog))
+    val mixed = java.nio.file.Files.createTempFile("graft_stacmx_", ".json")
+    java.nio.file.Files.writeString(mixed,
+      txt.replaceFirst("\"proj:epsg\": 32633", "\"proj:epsg\": 4326"))
+    val e = intercept[IllegalArgumentException] {
+      StacCatalog.catalogCrs(mixed.toString)
+    }
+    assert(e.getMessage.contains("mixed CRS"))
+    // ...but pruning down to same-CRS items makes the selection valid again
+    assert(StacCatalog.catalogCrs(mixed.toString,
+      spatialExtent = Some(StacCatalog.BBox(33, 33, 63, 63))).isDefined)
+
+    // rotation terms are not representable in the axis-aligned Crs
+    val rot = java.nio.file.Files.createTempFile("graft_stacrot_", ".json")
+    java.nio.file.Files.writeString(rot, txt.replace(
+      "[10.0, 0.0, 500000.0, 0.0, -10.0, 4650000.0]",
+      "[10.0, 0.1, 500000.0, 0.0, -10.0, 4650000.0]"))
+    val e2 = intercept[IllegalArgumentException] {
+      StacCatalog.catalogCrs(rot.toString)
+    }
+    assert(e2.getMessage.contains("rotated"))
+  }
+
   test("graph resample_cube_spatial/temporal align onto a target cube") {
     val pg = new ProcessGraph(spark, sfDir)
     // spatial: align the full grid onto its own 2×-downscaled twin
