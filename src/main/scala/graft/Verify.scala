@@ -17,7 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses every map-only
+      // query's entire compute into a single task (no shuffle boundary
+      // upstream), which turns the heavier per-doc text/dedup expressions
+      // into one-core stragglers at larger SF. The explicit shuffle keeps
+      // compute on all cores and still lands one file per query dir.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
