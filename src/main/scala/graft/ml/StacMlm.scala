@@ -57,8 +57,11 @@ object StacMlm {
   /** Frameworks this backend can execute (reference:
     * AVAILABLE_ML_FRAMEWORKS, load_model.py:6). `spark-mllib` is the native
     * path (RfClassModel); `onnx`/`pytorch` route to the batched external
-    * scorer (ExternalModel) whose session is stubbed in this container. */
-  val supportedFrameworks: Set[String] = Set("spark-mllib", "onnx", "pytorch")
+    * scorer (ExternalModel) whose session is stubbed in this container;
+    * `graft-mlp` is the REAL executable path — the asset's weights are
+    * fetched and run as JVM matmuls ([[MlpSession]]). */
+  val supportedFrameworks: Set[String] =
+    Set("spark-mllib", "onnx", "pytorch", "graft-mlp")
 
   /** load_stac_ml: read + validate an item JSON file and build the
     * external-execution model for it. Indices select among multiple
@@ -77,7 +80,25 @@ object StacMlm {
         s"${item.outputs.length} output specification(s) in the item")
     require(item.weightsHref.nonEmpty,
       "load_stac_ml: the item has no asset with the mlm:model role")
-    new ExternalModel(item, inputIndex, outputIndex)
+    // A graft-mlp artifact is executable here and now: resolve the asset
+    // href (relative hrefs resolve against the item's own location, the
+    // STAC convention), load + dimension-check the weights on the driver,
+    // and hand the batched scorer a real session instead of the stub.
+    val runtime: Option[ModelRuntime] =
+      if (item.artifactType.contains(MlpWeights.ArtifactType)) {
+        val probe = new ExternalModel(item, inputIndex, outputIndex)
+        val href = item.weightsHref.get
+        val itemPath = new org.apache.hadoop.fs.Path(uri)
+        val resolved =
+          if (new java.net.URI(href).isAbsolute ||
+              href.startsWith("/")) href
+          else new org.apache.hadoop.fs.Path(itemPath.getParent, href).toString
+        val layers = MlpWeights.load(resolved, probe.featureWidth,
+          probe.outputWidth)
+        Some(new SessionRuntime(new MlpSession(layers),
+          probe.featureWidth, probe.outputWidth))
+      } else None
+    new ExternalModel(item, inputIndex, outputIndex, runtime)
   }
 
   /** Validate + parse an item JSON string into the metadata model.

@@ -66,6 +66,68 @@ object MlQueries {
     p.toString
   }
 
+  /** The REAL-inference fixture: a `graft-mlp` item whose `mlm:model`
+    * asset is an actual weights file (64 → 8 relu → 4 identity), written
+    * next to the item so the STAC-relative href resolution is exercised.
+    * The weight values are shared with the oracle generator below —
+    * Scala's Double.toString round-trips exactly through both Jackson and
+    * DuckDB's string→double, so both engines run the SAME network. Only
+    * relu/identity activations appear here: their mirror is pure IEEE
+    * arithmetic (sigmoid/tanh would compare exp() implementations across
+    * engines; those are unit-tested JVM-side in MlpSpec instead). */
+  val mlpW1: IndexedSeq[IndexedSeq[Double]] = (0 until 8).map(j =>
+    (0 until 64).map(i => ((i * 7 + j * 13) % 21 - 10) / 20.0))
+  val mlpB1: IndexedSeq[Double] = (0 until 8).map(j => (j - 4) / 8.0)
+  val mlpW2: IndexedSeq[IndexedSeq[Double]] = (0 until 4).map(k =>
+    (0 until 8).map(j => ((j * 5 + k * 3) % 13 - 6) / 12.0))
+  val mlpB2: IndexedSeq[Double] = (0 until 4).map(k => (k - 2) / 10.0)
+
+  lazy val mlpItemPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp_item_")
+    def mat(m: IndexedSeq[IndexedSeq[Double]]): String =
+      m.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val weights =
+      s"""{"layers": [
+         |  {"w": ${mat(mlpW1)}, "b": ${mlpB1.mkString("[", ", ", "]")},
+         |   "activation": "relu"},
+         |  {"w": ${mat(mlpW2)}, "b": ${mlpB2.mkString("[", ", ", "]")},
+         |   "activation": "identity"}
+         |]}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("weights.json"),
+      weights.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val item =
+      s"""{
+         |  "stac_version": "1.0.0",
+         |  "stac_extensions": [
+         |    "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+         |  "type": "Feature",
+         |  "id": "graft-mlp-encoder",
+         |  "properties": {
+         |    "mlm:name": "graft-mlp-encoder",
+         |    "mlm:framework": "graft-mlp",
+         |    "mlm:batch_size_suggestion": 64,
+         |    "mlm:input": [{
+         |      "name": "embedding vector",
+         |      "input": {"shape": [-1, 64],
+         |                "dim_order": ["batch", "embedding"],
+         |                "data_type": "float32"}}],
+         |    "mlm:output": [{
+         |      "name": "encoded vector",
+         |      "result": {"shape": [-1, 4],
+         |                 "dim_order": ["batch", "embedding"],
+         |                 "data_type": "float32"}}]
+         |  },
+         |  "assets": {"weights": {
+         |    "href": "weights.json",
+         |    "roles": ["mlm:model", "mlm:weights"],
+         |    "mlm:artifact_type": "graft-mlp-json"}}
+         |}""".stripMargin
+    val p = dir.resolve("item.json")
+    java.nio.file.Files.write(p,
+      item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
   /** A1–A3: configure → fit (85/15 split, metrics) → predict the full
     * table. Output one row per vector with label and prediction. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,6 +183,20 @@ object MlQueries {
     // ExternalModelSpec.
     "ml_predict_external" -> { (s, d) =>
       val model = MlProcesses.loadStacMl(externalItemPath)
+      model.predict(Tables.embeddings(s, d))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          graft.core.Exact.rnd4(col("col").cast("double")).as("value"))
+    },
+
+    // A12: REAL inference end-to-end — load_stac_ml fetches the item's
+    // actual weight artifact (graft-mlp JSON next to the item, relative
+    // href) and ml_predict runs the network itself (MlpSession matmuls
+    // behind the same TensorSession seam an OrtSession would fill). FULL
+    // hash oracle: the forward pass is mirrored neuron-for-neuron in
+    // DuckDB from the same weight literals.
+    "ml_predict_mlp" -> { (s, d) =>
+      val model = MlProcesses.loadStacMl(mlpItemPath)
       model.predict(Tables.embeddings(s, d))
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("int").as("pos"),
@@ -207,6 +283,38 @@ object MlQueries {
          |   END) * 10000 + 0.5) / 10000.0 AS value
          |FROM embeddings
          |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks""".stripMargin
+    },
+
+    // Mirrors MlpSession neuron-for-neuron (same weight Doubles, string-
+    // cast so DuckDB parses identical bits):
+    //   h_j = float32(relu(Σ_i double(emb[i])·w1_ji  + b1_j))   [left-assoc]
+    //   o_k = float32(      Σ_j double(h_j)·w2_kj + b2_k)
+    //   value = rnd4(double(o_k))
+    // relu mirrors as CASE WHEN s > 0 (sign-of-zero differences cannot
+    // survive: both branches land on +0.0).
+    "ml_predict_mlp" -> {
+      def lit(v: Double) = s"CAST('$v' AS DOUBLE)"
+      val hidden = (0 until 8).map { j =>
+        val s = (0 until 64).map(i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${lit(mlpW1(j)(i))}")
+          .mkString(" + ")
+        s"CAST(CASE WHEN ($s) + ${lit(mlpB1(j))} > 0 " +
+          s"THEN ($s) + ${lit(mlpB1(j))} ELSE 0.0 END AS FLOAT) AS h$j"
+      }.mkString(",\n    ")
+      val outs = (0 until 4).map { k =>
+        val s = (0 until 8).map(j =>
+          s"CAST(h$j AS DOUBLE) * ${lit(mlpW2(k)(j))}").mkString(" + ")
+        s"WHEN $k THEN CAST(CAST(($s) + ${lit(mlpB2(k))} AS FLOAT) AS DOUBLE)"
+      }
+      s"""WITH h AS (
+         |  SELECT vec_id,
+         |    $hidden
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(k AS INT) AS pos,
+         |  floor((CASE k ${outs.mkString("\n    ")}
+         |   END) * 10000 + 0.5) / 10000.0 AS value
+         |FROM h
+         |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks""".stripMargin
     },
 
     // Mirrors predictTiles + StubRuntime on the dense 16×8 single-band

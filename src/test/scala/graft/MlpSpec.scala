@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{MlpLayer, MlpSession, MlpWeights, SessionRuntime, StacMlm}
+import graft.queries.MlQueries
+
+/** The executable `graft-mlp` path: weight parsing + validation, the JVM
+  * forward pass against hand-computed values, activation behavior, and the
+  * full load_stac_ml → ml_predict chain actually using the asset's weights
+  * (not the stub).
+  */
+class MlpSpec extends SparkSpec {
+
+  private def layer(w: Array[Array[Double]], b: Array[Double],
+                    act: String = "identity") = MlpLayer(w, b, act)
+
+  test("forward pass matches hand-computed values (2-2-1 net)") {
+    // h = relu(W1·x + b1); o = W2·h + b2, x = [1, -2]
+    val net = new MlpSession(Seq(
+      layer(Array(Array(0.5, 0.25), Array(-1.0, 0.5)), Array(0.0, 1.0), "relu"),
+      layer(Array(Array(2.0, -1.0)), Array(0.5))))
+    val out = net.run("in", Array(1.0f, -2.0f), Array(1L, 2L), "out")
+    // h0 = relu(0.5 - 0.5 + 0) = 0; h1 = relu(-1 - 1 + 1) = 0 -> o = 0.5
+    assert(out.toSeq == Seq(0.5f))
+    val out2 = net.run("in", Array(2.0f, 2.0f), Array(1L, 2L), "out")
+    // h0 = relu(1 + 0.5) = 1.5; h1 = relu(-2 + 1 + 1) = 0 -> o = 3 + 0.5
+    assert(out2.toSeq == Seq(3.5f))
+  }
+
+  test("sigmoid and tanh activations apply in double, narrow to float32") {
+    val net = new MlpSession(Seq(
+      layer(Array(Array(1.0)), Array(0.0), "sigmoid")))
+    val s = net.run("in", Array(0.0f, 2.0f), Array(2L, 1L), "out")
+    assert(s(0) == 0.5f)
+    assert(s(1) == (1.0 / (1.0 + math.exp(-2.0))).toFloat)
+    val t = new MlpSession(Seq(layer(Array(Array(1.0)), Array(0.0), "tanh")))
+      .run("in", Array(3.0f), Array(1L, 1L), "out")
+    assert(t(0) == math.tanh(3.0).toFloat)
+  }
+
+  test("batched run packs rows independently") {
+    val net = new MlpSession(Seq(layer(Array(Array(1.0, 1.0)), Array(0.0))))
+    val out = net.run("in",
+      Array(1f, 2f, 3f, 4f, 5f, 6f), Array(3L, 2L), "out")
+    assert(out.toSeq == Seq(3f, 7f, 11f))
+  }
+
+  test("weights JSON parses and validates dimensions") {
+    val good = """{"layers": [
+      {"w": [[1, 2], [3, 4]], "b": [0, 0], "activation": "relu"},
+      {"w": [[1, 1]], "b": [0.5]}]}"""
+    val layers = MlpWeights.parse(good)
+    assert(layers.length == 2 && layers.head.activation == "relu"
+      && layers.last.activation == "identity")
+    intercept[IllegalArgumentException](
+      MlpWeights.parse("""{"layers": []}"""))
+    intercept[IllegalArgumentException](
+      MlpWeights.parse("""{"layers": [{"w": [[1], [2, 3]], "b": [0, 0]}]}"""))
+    intercept[IllegalArgumentException](
+      MlpWeights.parse("""{"layers": [{"w": [[1]], "b": [0, 1]}]}"""))
+    intercept[IllegalArgumentException](MlpWeights.parse(
+      """{"layers": [{"w": [[1]], "b": [0], "activation": "softplus"}]}"""))
+  }
+
+  test("load rejects nets whose widths disagree with the MLM item shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp_bad_")
+    val p = dir.resolve("w.json")
+    java.nio.file.Files.write(p,
+      """{"layers": [{"w": [[1, 2, 3]], "b": [0]}]}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      MlpWeights.load(p.toString, inWidth = 2, outWidth = 1))
+    assert(e.getMessage.contains("first layer"))
+    val e2 = intercept[IllegalArgumentException](
+      MlpWeights.load(p.toString, inWidth = 3, outWidth = 4))
+    assert(e2.getMessage.contains("last layer"))
+  }
+
+  test("load_stac_ml resolves the relative weights href and runs the REAL net") {
+    val m = StacMlm.load(MlQueries.mlpItemPath)
+    assert(m.item.framework == "graft-mlp")
+    assert(m.item.artifactType.contains(MlpWeights.ArtifactType))
+    // the runtime must be the session-backed one, not the stub — feed a
+    // known vector through predict and check the first hidden/output math
+    val x = (0 until 64).map(i => (i % 5 - 2) * 0.1f)
+    val df = spark.createDataFrame(
+      Seq((0L, x.toArray))).toDF("vec_id", "embedding")
+    val got = m.predict(df).select("embedding").head().getSeq[Float](0)
+    // hand-run the same forward pass from the shared weight values
+    val session = new MlpSession(Seq(
+      MlpLayer(MlQueries.mlpW1.map(_.toArray).toArray,
+        MlQueries.mlpB1.toArray, "relu"),
+      MlpLayer(MlQueries.mlpW2.map(_.toArray).toArray,
+        MlQueries.mlpB2.toArray, "identity")))
+    val want = session.run("in", x.toArray, Array(1L, 64L), "out")
+    assert(got == want.toSeq)
+    assert(got.length == 4)
+    // and the result must differ from what the stub would have produced
+    val stub = new graft.ml.StubRuntime(64, 4)
+      .score(Array(x.toArray)).head
+    assert(got != stub.toSeq)
+  }
+
+  test("SessionRuntime rejects ragged rows and wrong output sizes") {
+    val rt = new SessionRuntime(new MlpSession(
+      Seq(layer(Array(Array(1.0, 0.0)), Array(0.0)))), 2, 1)
+    intercept[IllegalArgumentException](
+      rt.score(Array(Array(1f, 2f, 3f))))
+    assert(rt.score(Array.empty).isEmpty)
+  }
+}
