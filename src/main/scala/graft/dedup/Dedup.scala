@@ -149,6 +149,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
   }
 
+  // ---- D23: first-wins (online) near-dedup --------------------------------
+
+  /** First-wins near-dedup verdict per document: a document is KEPT iff it
+    * is the earliest (minimum id) occupant of EVERY LSH bucket it signs
+    * into — i.e. none of its band signatures was carried by any earlier
+    * document. This is the ingestion-order contract a streaming dedup
+    * enforces ("the first version of a near-dup cluster enters the corpus;
+    * later arrivals are dropped"), stated over ids so batch and streaming
+    * agree exactly: [[graft.streaming.DedupStreams]] is the incremental
+    * twin, and its result over any batch split equals this whole-corpus
+    * form whenever arrival order respects id order.
+    *
+    * Scale shape: bucket owners collapse map-side (partial min) to
+    * O(buckets) shuffled rows; the verdict join is hinted shuffle_hash on
+    * the same (band, sig) key (no sort), and the per-doc regroup is
+    * O(docs × bands). No bucket is ever collected into memory — unlike
+    * candidate generation there is no quadratic bucket explode at all, so
+    * this needs no bucket cap.
+    */
+  def firstWinsKept(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val owners = sigs.groupBy("band", "sig").agg(min(col(idCol)).as("_owner"))
+    sigs.join(owners.hint("shuffle_hash"), Seq("band", "sig"))
+      .groupBy(col(idCol))
+      .agg(max((col(idCol) =!= col("_owner")).cast("int")).as("_dup"))
+      .select(col(idCol), (lit(1) - col("_dup")).as("kept"))
+  }
+
   // ---- D19: benchmark decontamination -------------------------------------
 
   /** Training-data decontamination: flag corpus documents that share any

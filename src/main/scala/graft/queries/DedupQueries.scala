@@ -76,7 +76,7 @@ object DedupQueries {
   /** Minhash CTE chain over an inlined `corpus` CTE: 4-word shingles → 8
     * band signatures, each band an 8-hex-char slice of md5(s) ‖ md5('x:'‖s)
     * — mirrors Dedup.minhashSignatures exactly. */
-  private def sigChainSql(corpusSql: String) =
+  private def sigOnlySql(corpusSql: String) =
     s"""$corpusSql,
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
       |sh AS (SELECT doc_id,
@@ -86,7 +86,10 @@ object DedupQueries {
       |  SELECT doc_id, j AS band,
       |    list_aggregate(list_transform(shingles,
       |      s -> substr(md5(s) || md5('x:' || s), j * 8 + 1, 8)), 'min') AS sig
-      |  FROM sh CROSS JOIN generate_series(0, 7) AS g(j)),
+      |  FROM sh CROSS JOIN generate_series(0, 7) AS g(j))""".stripMargin
+
+  private def sigChainSql(corpusSql: String) =
+    s"""${sigOnlySql(corpusSql)},
       |bsz AS (
       |  SELECT band, sig, count(*) AS n FROM sig
       |  WHERE sig IS NOT NULL GROUP BY 1, 2),
@@ -150,6 +153,13 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D23: the per-document first-wins verdict (the streaming contract in
+    // its whole-corpus batch form; DedupStreams is the incremental twin,
+    // batch≡stream pinned in StreamingSpec).
+    "dedup_online" -> { (s, d) =>
+      Dedup.firstWinsKept(Dedup.minhashSignatures(nearCorpus(s, d)))
+    },
+
     "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
 
     "dedup_clusters" -> { (s, d) =>
@@ -188,6 +198,19 @@ object DedupQueries {
     "dedup_minhash" ->
       s"""WITH $minhashSigSql
         |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    // owner = min doc_id per bucket; kept iff the doc owns every one of
+    // its buckets (mirrors Dedup.firstWinsKept; no bucket cap by design —
+    // there is no pair explode in this op)
+    "dedup_online" ->
+      s"""WITH ${sigOnlySql(nearCorpusSql)},
+        |s AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
+        |owners AS (
+        |  SELECT band, sig, min(doc_id) AS owner FROM s GROUP BY 1, 2)
+        |SELECT s.doc_id,
+        |  1 - max(CASE WHEN s.doc_id <> o.owner THEN 1 ELSE 0 END) AS kept
+        |FROM s JOIN owners o ON s.band = o.band AND s.sig = o.sig
+        |GROUP BY s.doc_id""".stripMargin,
 
     // exact components via a recursive reachability CTE (min label over
     // everything reachable = component minimum) — the Spark side converges

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.dedup.Dedup
+
+/** Streaming near-duplicate dedup (E9): the incremental twin of
+  * [[graft.dedup.Dedup.firstWinsKept]] — documents arrive continuously, the
+  * first occupant of each MinHash-LSH bucket claims it, and any later
+  * document colliding with a claimed bucket on ANY band is dropped.
+  *
+  * Shape: a document's 8 band signatures land in 8 unrelated buckets, so
+  * the keep/drop verdict needs a per-bucket claim lookup FOLLOWED by a
+  * per-document all-bands regroup — two stateful hops, which Structured
+  * Streaming's single-operator state (flatMapGroupsWithState) cannot chain.
+  * The production shape is therefore `foreachBatch` over an explicit claim
+  * store, which is also what it should be at 100 TB: the claim set (one
+  * row per distinct (band, signature) ever seen) is pipeline STATE that
+  * must outlive any single job — restart, backfill, and a second ingest
+  * stream all consult the same claims. Here the store is a parquet
+  * directory read per micro-batch; at lake scale it would be the same
+  * layout bucketed by (band, sig) (or a Delta/key-value table with merge),
+  * making the per-batch claim join co-located — batch sizes are minutes of
+  * ingest, claims are the corpus history, so the join must shuffle only
+  * the batch side.
+  *
+  * Batch equivalence (pinned in StreamingSpec): as long as arrival order
+  * respects `doc_id` order, running any split of the corpus through
+  * micro-batches yields exactly `firstWinsKept` of the whole corpus.
+  */
+object DedupStreams {
+
+  private val claimsSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("sig", StringType),
+    StructField("_owner", LongType)))
+
+  /** Read the claim store (empty-safe: a store that does not exist yet is
+    * an empty claim set, the cold-start case). */
+  def readClaims(spark: SparkSession, claimsDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(claimsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(claimsSchema).parquet(claimsDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        claimsSchema)
+  }
+
+  /** One micro-batch decision: given this batch's signatures and the claim
+    * store, return (verdicts, newClaims).
+    *
+    *  - a bucket already claimed drops every batch doc signing into it;
+    *  - an unclaimed bucket is claimed by the batch's min doc_id (all other
+    *    batch docs in it collide with that claim);
+    *  - a doc is kept iff NO band collided.
+    *
+    * Claims are recorded for dropped docs' unclaimed buckets too (their
+    * owner is still the first carrier — the sequential contract), which is
+    * exactly `min(doc_id)` per unclaimed bucket.
+    */
+  def dedupStep(sigs: DataFrame, claims: DataFrame,
+                idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val old = claims.withColumnRenamed("_owner", "_old")
+    val batchMin = sigs.groupBy("band", "sig").agg(min(col(idCol)).as("_bmin"))
+    val joined = sigs
+      .join(batchMin.hint("shuffle_hash"), Seq("band", "sig"))
+      .join(old.hint("shuffle_hash"), Seq("band", "sig"), "left")
+    val collided = col("_old").isNotNull || col("_bmin") =!= col(idCol)
+    val verdicts = joined
+      .groupBy(col(idCol))
+      .agg(max(collided.cast("int")).as("_dup"))
+      .select(col(idCol), (lit(1) - col("_dup")).as("kept"))
+    val newClaims = batchMin
+      .join(old.hint("shuffle_hash"), Seq("band", "sig"), "left_anti")
+      .select(col("band"), col("sig"), col("_bmin").as("_owner"))
+    (verdicts, newClaims)
+  }
+
+  /** Run the stream: per micro-batch, signature the arriving documents,
+    * decide against the claim store, append verdicts to `outDir` and new
+    * claims to `claimsDir`. The new-claims frame is materialized BEFORE
+    * either write so the claim-store append never races its own read
+    * (parquet file listing happens at plan time; persisting pins the
+    * result).
+    */
+  def nearDupStream(docs: DataFrame, claimsDir: String, outDir: String,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sigs = Dedup.minhashSignatures(batch, idCol = idCol,
+          textCol = textCol)
+        val (verdicts, newClaims) =
+          dedupStep(sigs, readClaims(spark, claimsDir), idCol)
+        val pinned = newClaims.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        verdicts.repartition(1).write.mode("append").parquet(outDir)
+        pinned.repartition(1).write.mode("append").parquet(claimsDir)
+        pinned.unpersist()
+        ()
+      }
+      .start()
+}

@@ -215,6 +215,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E9 near-dup dedup: claim-store stream equals batch firstWins") {
+    import spark.implicits._
+    // real documents + truncated near-dup variants, ids respecting arrival
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+    val variants = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 100000L, w.take(math.max(w.length - 5, 3)).mkString(" "))
+    }
+    val all = docs ++ variants
+    val claimsDir = java.nio.file.Files
+      .createTempDirectory("graft_claims_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_out_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DedupStreams.nearDupStream(
+      ms.toDF().toDF("doc_id", "text"), claimsDir, outDir)
+    try {
+      // three uneven arrivals; originals precede their variants
+      ms.addData(all.take(40)); q.processAllAvailable()
+      ms.addData(all.slice(40, 70)); q.processAllAvailable()
+      ms.addData(all.drop(70)); q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+      val batch = graft.dedup.Dedup.firstWinsKept(
+        graft.dedup.Dedup.minhashSignatures(
+          all.toDF("doc_id", "text")))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "claim-store streaming dedup diverges from batch firstWins")
+      // and the dedup actually fired: the earliest doc can never collide
+      // with anything earlier, and the truncated variants mostly share
+      // buckets with their originals (originals may also collide among
+      // themselves — first-wins keeps the earliest, which is the contract,
+      // so "all originals kept" is NOT an invariant)
+      val kept = streamed.filter(col("kept") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(docs.map(_._1).min),
+        "the earliest document must always be kept")
+      assert(variants.map(_._1).count(kept.contains) < variants.length / 2,
+        "variants were not dropped — LSH collisions never fired")
+    } finally q.stop()
+  }
+
+  test("E9 dedupStep: an already-claimed bucket drops later batches' docs") {
+    import spark.implicits._
+    val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val claims0 = graft.streaming.DedupStreams.readClaims(spark,
+      "/nonexistent/graft_claims")
+    assert(claims0.isEmpty)
+    val (v1, c1) = graft.streaming.DedupStreams.dedupStep(
+      graft.dedup.Dedup.minhashSignatures(b1), claims0)
+    assert(v1.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 1)))
+    val (v2, _) = graft.streaming.DedupStreams.dedupStep(
+      graft.dedup.Dedup.minhashSignatures(b2), c1)
+    assert(v2.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 0)), "identical doc in a later batch must be dropped")
+  }
+
   test("E4 enrich: stream-static broadcast join equals batch join") {
     import spark.implicits._
     val events = realEvents(30)
