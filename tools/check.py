@@ -23,7 +23,11 @@ if r.returncode != 0:
 import duckdb
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+    # a table may be a single file (driver layout) or a sharded directory
+    # (make_sf1 layout) — glob the parts in the directory case
+    path = f"{SFDIR}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 

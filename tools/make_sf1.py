@@ -84,6 +84,22 @@ for t, shifts in SHIFTS.items():
                                  nudged.cast(rep.schema.field(i).type))
         replicas.append(rep)
     out = pa.concat_tables(replicas)
-    pq.write_table(out, f"{OUT}/{t}.parquet")
-    print(f"{t}: {base.num_rows} -> {out.num_rows} rows")
+    # Shard each scaled table into many part files under a <table>.parquet/
+    # DIRECTORY (the layout a real lake has). A single small parquet file is
+    # one Spark input split no matter how many rows it holds — compressed
+    # text expands 10-50x in compute, so a 5 MB single-file documents table
+    # turns every heavy per-doc expression into a single-core straggler.
+    # 32 parts = one split per local core; at cluster scale the same tables
+    # would be thousands of files and this is a non-issue.
+    d = f"{OUT}/{t}.parquet"
+    os.makedirs(d, exist_ok=True)
+    parts = 32
+    n = out.num_rows
+    for k in range(parts):
+        lo = n * k // parts
+        hi = n * (k + 1) // parts
+        if hi > lo:
+            pq.write_table(out.slice(lo, hi - lo),
+                           f"{d}/part-{k:02d}.parquet")
+    print(f"{t}: {base.num_rows} -> {out.num_rows} rows ({parts} parts)")
 print(f"done -> {OUT}")
