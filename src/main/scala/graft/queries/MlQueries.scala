@@ -108,6 +108,7 @@ object MlQueries {
          |    "mlm:batch_size_suggestion": 64,
          |    "mlm:input": [{
          |      "name": "embedding vector",
+         |      "bands": ${(0 until 64).map(i => s""""f$i"""").mkString("[", ", ", "]")},
          |      "input": {"shape": [-1, 64],
          |                "dim_order": ["batch", "embedding"],
          |                "data_type": "float32"}}],

@@ -101,6 +101,30 @@ class MlpSpec extends SparkSpec {
     assert(got != stub.toSeq)
   }
 
+  test("the make_embeddings workflow runs as a graph with REAL weights") {
+    // reference examples/make_embeddings.py: load_collection →
+    // load_stac_ml → ml_predict → (save_result) — here the model node is
+    // the graft-mlp item, so the graph executes the actual artifact
+    val pg = new graft.plans.ProcessGraph(spark, sfDir)
+    val out = pg.run(
+      s"""{"l": {"process_id": "load_collection",
+         |       "arguments": {"id": "embeddings"}},
+         | "p": {"process_id": "ml_predict",
+         |       "arguments": {"data": {"from_node": "l"},
+         |                     "model": "${MlQueries.mlpItemPath}"},
+         |       "result": true}}""".stripMargin)
+    val m = StacMlm.load(MlQueries.mlpItemPath)
+    val direct = m.predict(graft.core.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        graft.core.Exact.rnd4(col("col").cast("double")).as("v"))
+    val viaGraph = out.select(col("vec_id"), col("embedding").as("pos"),
+      graft.core.Exact.rnd4(col("value")).as("v"))
+    assert(viaGraph.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaGraph).isEmpty,
+      "graph ml_predict with a graft-mlp model diverges from direct predict")
+  }
+
   test("SessionRuntime rejects ragged rows and wrong output sizes") {
     val rt = new SessionRuntime(new MlpSession(
       Seq(layer(Array(Array(1.0, 0.0)), Array(0.0)))), 2, 1)
