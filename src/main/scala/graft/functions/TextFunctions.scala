@@ -117,4 +117,33 @@ object TextFunctions {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** D24: sequence packing — assign each document to a fixed token-budget
+    * pack within its source (the "pack documents into ~N-token training
+    * sequences" step that precedes batching in an LLM data pipeline).
+    * Contiguous greedy packing in deterministic (source, doc_id) order:
+    * pack_id = floor(tokens-before-this-doc / budget), so a document that
+    * straddles a budget boundary belongs to the pack it started filling
+    * (simple overflow packing; no doc is split).
+    *
+    * Scale shape: ONE window partitioned by source — a hash shuffle on
+    * source plus a per-source sort, no global ordering anywhere. At lake
+    * scale the order inside a source is whatever the pipeline fixes
+    * (here doc_id); sources are independent, so skewed sources can be
+    * salted into sub-sources upstream without changing the contract.
+    */
+  def packBySource(docs: org.apache.spark.sql.DataFrame, budget: Long,
+                   srcCol: String = "source", idCol: String = "doc_id",
+                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"packBySource: budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(srcCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(srcCol), col("n_tokens"),
+        (col("_before") / budget).cast("long").as("pack_id"))
+  }
 }

@@ -54,6 +54,14 @@ object TextQueries {
           .as("top_bigram_frac"))
     },
 
+    // D24: sequence packing — per-source fixed-token-budget packs in
+    // deterministic (source, doc_id) order; one partitioned window, no
+    // global sort.
+    "text_pack" -> { (s, d) =>
+      graft.functions.TextFunctions.packBySource(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")), 2048)
+    },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -158,6 +166,24 @@ object TextQueries {
         |  floor((quantile_cont(n_words, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_words,
         |  floor((quantile_cont(n_words, 0.9)) * 10000 + 0.5) / 10000.0 AS p90_words
         |FROM t GROUP BY 1""".stripMargin,
+
+    // window-sum of BIGINT is HUGEINT in DuckDB — CAST keeps the engines'
+    // schemas aligned (the events_sessionize lesson)
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(before // 2048 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (
