@@ -14,11 +14,15 @@ ONLY = set(sys.argv[2:])
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
-out = tempfile.mkdtemp(prefix="graft_verify_")
-env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS","8"))
-r = subprocess.run(["tools/run_local.sh","graft.Verify",SFDIR,out], env=env)
-if r.returncode != 0:
-    sys.exit("Verify failed")
+out = os.environ.get("GRAFT_VERIFY_OUT")
+if out:
+    print(f"[replay] reusing Verify outputs in {out}", file=sys.stderr)
+else:
+    out = tempfile.mkdtemp(prefix="graft_verify_")
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS","8"))
+    r = subprocess.run(["tools/run_local.sh","graft.Verify",SFDIR,out], env=env)
+    if r.returncode != 0:
+        sys.exit("Verify failed")
 
 import duckdb
 con = duckdb.connect()
@@ -42,8 +46,11 @@ def canon(cols, rows):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 fails, passes, skips = [], [], []
+import time
 for name in sorted(oracle):
     if ONLY and name not in ONLY: continue
+    t0 = time.time()
+    print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         fails.append((name, "spark result missing")); continue
@@ -63,6 +70,7 @@ for name in sorted(oracle):
         diff = next((i for i,(x,y) in enumerate(zip(a,b)) if x != y), None)
         fails.append((name, f"value mismatch at sorted row {diff}: spark={a[diff]} oracle={b[diff]}")); continue
     passes.append(name)
+    print(f"[oracle] {name} ok ({time.time()-t0:.1f}s)", file=sys.stderr, flush=True)
 
 rows_only = [q for q in glob.glob(f"{out}/*/") if os.path.basename(q.rstrip('/')) not in oracle]
 for q in sorted(rows_only):
