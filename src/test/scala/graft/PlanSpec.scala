@@ -71,6 +71,33 @@ class PlanSpec extends SparkSpec {
       s"simhash must shuffle only the O(docs) signature groupBy, found $n:\n$p")
   }
 
+  test("first-wins dedup: two bucket-key Exchanges plus the per-doc regroup, no sort") {
+    val full = plan(SparkEntry.queries("dedup_online")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // sigs groupBy(band,sig) owners + sigs→join repartition share the
+    // bucket key; the only other shuffle is the O(docs) doc_id regroup
+    assert(n <= 3, s"first-wins dedup grew extra shuffles ($n):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket join must stay hash-based (no full-corpus sort):\n$p")
+  }
+
+  test("sequence packing: one source-partitioned window, no global sort") {
+    val full = plan(SparkEntry.queries("text_pack")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"packing must shuffle once on source, found $n:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort:\n$p")
+  }
+
+  test("mlp predict is map-only after the scan: no Exchange") {
+    val full = plan(SparkEntry.queries("ml_predict_mlp")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"),
+      s"real-weights predict must stay map-only:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark; corpus never shuffles") {
     val full = plan(SparkEntry.queries("text_decontaminate")(spark, sfDir))
     val p = full.split("== Initial Plan ==").head
