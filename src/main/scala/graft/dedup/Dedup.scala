@@ -137,6 +137,35 @@ object Dedup {
     val tagged = candidates.select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as(idCol))
     val joined = sh.join(broadcast(tagged), Seq(idCol))
+    pairScores(joined, threshold, idCol)
+  }
+
+  /** Dense-regime twin of [[jaccard]] — use when candidate PAIRS are too
+    * many to broadcast (high true-duplicate density: crawl snapshots,
+    * replicated shards — the sf1 stress corpus hit 2.2M pairs). The
+    * candidate-member ID SET is still small (≤ 2 longs per pair, usually
+    * far fewer after dedup), so it broadcasts as a semi-join filter on the
+    * corpus; the docs that survive shuffle by id against the pair list —
+    * O(members + pairs), never O(corpus) — and the same regroup scores
+    * each pair. Same contract, same oracle; DedupSpec pins parity.
+    */
+  def jaccardDense(docs: DataFrame, candidates: DataFrame, w: Int = 4,
+                   threshold: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tagged = candidates.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val members = tagged.select(col(idCol)).distinct()
+    val sh = docs.join(broadcast(members), Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+    pairScores(sh.join(tagged.hint("shuffle_hash"), Seq(idCol)),
+      threshold, idCol)
+  }
+
+  /** Shared verification tail: regroup the (pair, member-shingles) rows to
+    * one row per pair and score |A∩B| / |A∪B| with integer counting. */
+  private def pairScores(joined: DataFrame, threshold: Double,
+                         idCol: String): DataFrame = {
     val agg = joined.groupBy("doc_a", "doc_b").agg(
       first(when(col(idCol) === col("doc_a"), col("_shs")),
         ignoreNulls = true).as("_sha"),

@@ -29,6 +29,24 @@ class DedupSpec extends SparkSpec {
     assert(flood > 10000L, s"expected boilerplate flood, got $flood")
   }
 
+  test("jaccardDense matches jaccard (broadcast vs semi-join regime)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(150)
+    val t = split(col("text"), " ")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3))))
+        .as("text")))
+    val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+      .select("doc_a", "doc_b")
+    val a = Dedup.jaccard(corpus, cand)
+    val b = Dedup.jaccardDense(corpus, cand)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "dense-regime jaccard diverges from the broadcast form")
+    assert(a.count() > 0, "no pairs verified — fixture broke")
+  }
+
   test("embedding near-dup buckets above the cap are dropped") {
     import spark.implicits._
     val same = (0 until 100).map(i =>
