@@ -125,6 +125,74 @@ class MlpSpec extends SparkSpec {
       "graph ml_predict with a graft-mlp model diverges from direct predict")
   }
 
+  test("tiled predict also executes real weights (graft-mlp tile model)") {
+    import spark.implicits._
+    // 2x2 single-band tile -> 4 features in [channel, y, x] order; one
+    // dense layer with distinct weights per output so tile assembly order
+    // is visible in the result
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp_tile_")
+    java.nio.file.Files.write(dir.resolve("w.json"),
+      """{"layers": [{"w": [[1, 0, 0, 0], [0, 2, 0, 0], [0, 0, 3, 0],
+        [0, 0, 0, 4]], "b": [0.5, 0, 0, 0], "activation": "relu"}]}"""
+        .getBytes("UTF-8"))
+    val item =
+      s"""{"stac_version": "1.0.0",
+         |"stac_extensions": ["https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+         |"type": "Feature", "id": "t",
+         |"properties": {"mlm:name": "t", "mlm:framework": "graft-mlp",
+         |  "mlm:input": [{"name": "img", "bands": ["A"],
+         |    "input": {"shape": [-1, 1, 2, 2],
+         |              "dim_order": ["batch", "channel", "y", "x"],
+         |              "data_type": "float32"}}],
+         |  "mlm:output": [{"name": "o",
+         |    "result": {"shape": [-1, 4],
+         |               "dim_order": ["batch", "embedding"]}}]},
+         |"assets": {"weights": {"href": "w.json",
+         |  "roles": ["mlm:model"], "mlm:artifact_type": "graft-mlp-json"}}
+         |}""".stripMargin
+    val ip = dir.resolve("item.json")
+    java.nio.file.Files.write(ip, item.getBytes("UTF-8"))
+    val m = StacMlm.load(ip.toString)
+    // one full tile: cells (x, y, v): pos = (y%2)*2 + (x%2)
+    val cube = graft.cube.DataCube(Seq(
+      (0L, 0L, "A", 10.0), (1L, 0L, "A", 20.0),
+      (0L, 1L, "A", 30.0), (1L, 1L, "A", 40.0))
+      .toDF("x", "y", "band", "value"))
+    val got = m.predictTiles(cube)
+      .select("embedding", "value").as[(Int, Double)].collect().sorted
+    // feats in pos order = [10, 20, 30, 40];
+    // out = relu(W·x + b) = [10.5, 40, 90, 160]
+    assert(got.toSeq == Seq((0, 10.5), (1, 40.0), (2, 90.0), (3, 160.0)),
+      s"real-weights tile predict wrong: ${got.toSeq}")
+  }
+
+  test("streaming inference: predict over a MemoryStream equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = StacMlm.load(MlQueries.mlpItemPath)
+    val rows = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").limit(50)
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = m.predict(ms.toDF().toDF("vec_id", "embedding"))
+      .drop("batch_rows") // partition-dependent
+      .writeStream.format("memory").queryName("mlp_stream_parity")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(20)
+      ms.addData(a); q.processAllAvailable()
+      ms.addData(b); q.processAllAvailable()
+      val streamed = spark.table("mlp_stream_parity")
+        .select(col("vec_id"), posexplode(col("embedding")))
+      val batch = m.predict(rows.toDF("vec_id", "embedding"))
+        .drop("batch_rows")
+        .select(col("vec_id"), posexplode(col("embedding")))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming inference diverges from batch predict")
+    } finally q.stop()
+  }
+
   test("SessionRuntime rejects ragged rows and wrong output sizes") {
     val rt = new SessionRuntime(new MlpSession(
       Seq(layer(Array(Array(1.0, 0.0)), Array(0.0)))), 2, 1)
