@@ -50,7 +50,8 @@ object MlpWeights {
         .toArray
       val b = l.path("b").elements().asScala.map(_.asDouble()).toArray
       val act = l.path("activation").asText("identity")
-      require(w.nonEmpty && w.forall(_.length == w(0).length),
+      require(w.nonEmpty && w(0).length > 0 &&
+          w.forall(_.length == w(0).length),
         "graft-mlp: ragged or empty weight matrix")
       require(b.length == w.length,
         s"graft-mlp: bias width ${b.length} != ${w.length} output neurons")

@@ -89,9 +89,13 @@ object StacMlm {
         val probe = new ExternalModel(item, inputIndex, outputIndex)
         val href = item.weightsHref.get
         val itemPath = new org.apache.hadoop.fs.Path(uri)
+        // an href that doesn't parse as a URI (spaces, odd chars) is a
+        // relative path by STAC convention, not an error
+        val isAbsolute = href.startsWith("/") ||
+          (try new java.net.URI(href).isAbsolute
+           catch { case _: java.net.URISyntaxException => false })
         val resolved =
-          if (new java.net.URI(href).isAbsolute ||
-              href.startsWith("/")) href
+          if (isAbsolute) href
           else new org.apache.hadoop.fs.Path(itemPath.getParent, href).toString
         val layers = MlpWeights.load(resolved, probe.featureWidth,
           probe.outputWidth)
