@@ -118,6 +118,28 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** D25: document chunking — split each document into fixed-size token
+    * windows with overlap (the chunk-for-embedding/RAG preprocessing step).
+    * Chunk starts step by `size - overlap`; the final window may be short
+    * but is never empty; documents shorter than one window yield exactly
+    * one chunk. Map-side explode — no shuffle; chunk text is rebuilt with
+    * single spaces (the tokenizer's inverse), deterministic across engines.
+    */
+  def chunk(toks: Column, width: Int, overlap: Int): Column = {
+    require(width > 0 && overlap >= 0 && overlap < width,
+      s"chunk: need 0 <= overlap < width, got width=$width overlap=$overlap")
+    val step = width - overlap
+    // starts 0, step, 2*step, … until a window REACHES the end: the last
+    // start is the smallest k*step with k*step + width >= n, so
+    // n_chunks = ceil(max(n - width, 0) / step) + 1 — no redundant tail
+    // window beyond one that already covers the final token
+    val nChunks = ceil(greatest(size(toks) - width, lit(0)).cast("double")
+      / step).cast("int") + 1
+    transform(sequence(lit(0), nChunks - 1), k =>
+      struct((k * step).as("start"),
+        concat_ws(" ", slice(toks, k * step + 1, lit(width))).as("text")))
+  }
+
   /** D24: sequence packing — assign each document to a fixed token-budget
     * pack within its source (the "pack documents into ~N-token training
     * sequences" step that precedes batching in an LLM data pipeline).

@@ -62,6 +62,16 @@ object TextQueries {
         docs(s, d).select(col("doc_id"), col("source"), col("text")), 2048)
     },
 
+    // D25: document chunking (64-token windows, 16 overlap) — map-side
+    // explode, chunk text round-trips the tokenizer.
+    "text_chunk" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.chunk(
+            tokens(col("text")), 64, 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col.start").as("start"), col("col.text").as("chunk"))
+    },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -166,6 +176,20 @@ object TextQueries {
         |  floor((quantile_cont(n_words, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_words,
         |  floor((quantile_cont(n_words, 0.9)) * 10000 + 0.5) / 10000.0 AS p90_words
         |FROM t GROUP BY 1""".stripMargin,
+
+    // n_chunks = ceil(max(n - width, 0) / step) + 1; start k*step,
+    // window width 64, step 48 — mirrors TextFunctions.chunk
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) + 1
+        |      AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id, k * 48 AS start,
+        |  array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk
+        |FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(k)""".stripMargin,
 
     // window-sum of BIGINT is HUGEINT in DuckDB — CAST keeps the engines'
     // schemas aligned (the events_sessionize lesson)

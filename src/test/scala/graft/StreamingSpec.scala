@@ -260,6 +260,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E9 restart: a NEW streaming query inherits the claim store") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val redelivered = docs.map { case (id, t) => (id + 100000L, t) }
+    val claimsDir = java.nio.file.Files
+      .createTempDirectory("graft_claims_restart_").toString
+    val out1 = java.nio.file.Files
+      .createTempDirectory("graft_dedup_o1_").toString
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_dedup_o2_").toString
+    val ms1 = MemoryStream[(Long, String)](spark)
+    val q1 = graft.streaming.DedupStreams.nearDupStream(
+      ms1.toDF().toDF("doc_id", "text"), claimsDir, out1)
+    try { ms1.addData(docs); q1.processAllAvailable() } finally q1.stop()
+    // a fresh query (new stream, new output) against the SAME claims dir —
+    // the restart/backfill scenario — must drop every redelivered doc
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = graft.streaming.DedupStreams.nearDupStream(
+      ms2.toDF().toDF("doc_id", "text"), claimsDir, out2)
+    try { ms2.addData(redelivered); q2.processAllAvailable() } finally q2.stop()
+    val verdicts = spark.read.parquet(out2)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(redelivered.forall { case (id, _) => verdicts(id) == 0 },
+      "a restarted query failed to drop docs claimed before the restart")
+  }
+
   test("E9 dedupStep: an already-claimed bucket drops later batches' docs") {
     import spark.implicits._
     val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
