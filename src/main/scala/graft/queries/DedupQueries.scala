@@ -76,7 +76,7 @@ object DedupQueries {
   /** Minhash CTE chain over an inlined `corpus` CTE: 4-word shingles → 8
     * band signatures, each band an 8-hex-char slice of md5(s) ‖ md5('x:'‖s)
     * — mirrors Dedup.minhashSignatures exactly. */
-  private def sigOnlySql(corpusSql: String) =
+  private[queries] def sigOnlySql(corpusSql: String) =
     s"""$corpusSql,
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
       |sh AS (SELECT doc_id,

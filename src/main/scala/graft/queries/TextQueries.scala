@@ -62,6 +62,39 @@ object TextQueries {
         docs(s, d).select(col("doc_id"), col("source"), col("text")), 2048)
     },
 
+    // D26: the composed curation pipeline — language filter → quality
+    // filter → first-wins near-dedup on the survivors → sequence packing,
+    // all as ONE declarative DataFrame chain (filters stay map-side; the
+    // only shuffles are the dedup bucket hops and the pack window). Docs
+    // with no signature (too short to shingle) carry no near-dup evidence
+    // and are KEPT.
+    "pipeline_curate" -> { (s, d) =>
+      val t = tokens(col("text"))
+      val nWords = size(t)
+      val stopRatio = stopHits(t, langStopwords.head._2)
+        .cast("double") / nWords
+      val avgWlen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nWords
+      val score =
+        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
+        lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
+      val lscores = langStopwords.map { case (l, w) => l -> stopHits(t, w) }
+      val best = greatest(lscores.map(_._2): _*)
+      val pred = lscores.foldRight(lit("und")) { case ((l, sc), acc) =>
+        when(sc === best && best > 0, l).otherwise(acc)
+      }
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(score >= 0.5 && pred === "en")
+      val verdicts = graft.dedup.Dedup.firstWinsKept(
+        graft.dedup.Dedup.minhashSignatures(base))
+      val kept = base.join(verdicts, Seq("doc_id"), "left")
+        .filter(col("kept").isNull || col("kept") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.functions.TextFunctions.packBySource(kept, 1024)
+    },
+
     // D25: document chunking (64-token windows, 16 overlap) — map-side
     // explode, chunk text round-trips the tokenizer.
     "text_chunk" -> { (s, d) =>
@@ -176,6 +209,63 @@ object TextQueries {
         |  floor((quantile_cont(n_words, 0.5)) * 10000 + 0.5) / 10000.0 AS p50_words,
         |  floor((quantile_cont(n_words, 0.9)) * 10000 + 0.5) / 10000.0 AS p90_words
         |FROM t GROUP BY 1""".stripMargin,
+
+    // the full curation chain, each stage the same SQL its standalone
+    // oracle uses: quality + langid filters → minhash sig chain over the
+    // SURVIVOR corpus → first-wins verdict (left join: no signature =
+    // kept) → per-source pack window
+    "pipeline_curate" -> {
+      val hits = langStopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(string_split(text, ' '), w -> w IN $inList)) AS s_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = langStopwords.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val predExpr = "CASE " + langStopwords.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ") + " ELSE 'und' END"
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN $stop7)) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS avg_word_len,
+         |    $hits
+         |  FROM documents),
+         |b2 AS (SELECT *, $bestExpr AS best FROM base),
+         |f AS (
+         |  SELECT doc_id, source, text FROM b2
+         |  WHERE 0.4 * least(stop_ratio * 5.0, 1.0)
+         |      + 0.3 * least(avg_word_len / 8.0, 1.0)
+         |      + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000
+         |               THEN 1.0 ELSE 0.0 END) >= 0.5
+         |    AND ($predExpr) = 'en'),
+         |${DedupQueries.sigOnlySql("corpus AS (SELECT doc_id, text FROM f)")},
+         |s2 AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
+         |owners AS (
+         |  SELECT band, sig, min(doc_id) AS owner FROM s2 GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT s2.doc_id,
+         |    max(CASE WHEN s2.doc_id <> o.owner THEN 1 ELSE 0 END) AS d
+         |  FROM s2 JOIN owners o ON s2.band = o.band AND s2.sig = o.sig
+         |  GROUP BY s2.doc_id),
+         |k AS (
+         |  SELECT f.doc_id, f.source,
+         |    CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM f LEFT JOIN dup USING (doc_id)
+         |  WHERE dup.d IS NULL OR dup.d = 0),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS before
+         |  FROM k)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(before // 1024 AS BIGINT) AS pack_id
+         |FROM c""".stripMargin
+    },
 
     // n_chunks = ceil(max(n - width, 0) / step) + 1; start k*step,
     // window width 64, step 48 — mirrors TextFunctions.chunk
