@@ -277,6 +277,15 @@ object Dedup {
     * smaller same-component ids), matching the oracle's
     * recursive-reachability minimum exactly.
     */
+  /** 64-bit avalanche mix (splitmix64 finalizer) of one edge — the summand
+    * of the order-independent edge-set checksum in [[components]]. */
+  private def edgeMix(u: Long, v: Long): Long = {
+    var x = (u * 0x9E3779B97F4A7C15L) ^ (v + 0x632BE59BD9B4E019L)
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   private[graft] def components(pairs: DataFrame)
       : org.apache.spark.rdd.RDD[(Long, Long)] = {
     import org.apache.spark.HashPartitioner
@@ -306,22 +315,44 @@ object Dedup {
           (Iterator(u) ++ nbrs.iterator.filter(_ != m)).map(v => (v, m))
         }.distinct(part.numPartitions)
 
+    // Fixpoint probe: both edge sets are already DISTINCT, so set equality
+    // reduces to (count, order-independent checksum) equality — ONE O(edges)
+    // aggregate over the freshly-persisted round result, replacing the two
+    // full cogroup shuffles a `subtract`-based set difference pays per round
+    // (measured ~2× of the total round cost at both bench scales). For equal
+    // counts a false fixpoint needs two distinct sets whose summed 64-bit
+    // avalanche mixes collide (~2⁻⁶⁴); the contraction bound below still
+    // backstops the loop.
+    def sig(e: RDD[(Long, Long)]): (Long, Long) =
+      e.mapPartitions { it =>
+        var n = 0L; var s = 0L
+        it.foreach { case (u, v) => n += 1L; s += edgeMix(u, v) }
+        Iterator.single((n, s))
+      }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+
+    // NOTE: the input may be a multiset (every later iterate is distinct by
+    // construction); a multiplicity-skewed initial sig can only cost one
+    // extra round, never a premature stop, so no distinct pass is spent here.
     var edges = pairs.select(col("doc_a").cast("long"),
         col("doc_b").cast("long")).as[(Long, Long)].rdd
       .filter { case (a, b) => a != b }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var edgeSig = sig(edges)
     var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       rounds += 1
       require(rounds <= 48, "components: did not converge in 48 rounds")
       val next = smallStar(largeStar(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.subtract(edges).count() + edges.subtract(next).count()
+      val nextSig = sig(next) // also forces materialization before unpersist
+      converged = nextSig == edgeSig
       if (sys.env.contains("GRAFT_CC_TRACE"))
-        System.err.println(s"[components] round $rounds: $changed edge changes")
+        System.err.println(s"[components] round $rounds: " +
+          s"${edgeSig._1} -> ${nextSig._1} edges, converged=$converged")
       edges.unpersist(blocking = false)
       edges = next
+      edgeSig = nextSig
     }
     // stars: every non-center points at its center; centers self-map
     val lab = edges.flatMap { case (v, m) => Iterator((v, m), (m, m)) }

@@ -105,6 +105,50 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** dot(a: array<float>, c: array<double>) = Σ double(aᵢ)·cᵢ — the
+  * mixed-width fold the IVF quantizer scores with: data stays float32, the
+  * centroids are exact training doubles (narrowing them to float would
+  * change the very bits the cross-engine oracle reproduces). */
+case class DotProductFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import GraftBridge.{toColumn, toExpression}
   private def f(c: Column): Column = c.cast("array<float>")
@@ -113,4 +157,7 @@ object VectorFunctions {
     toColumn(CosineSimilarity(toExpression(f(a)), toExpression(f(b))))
   def dot(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(f(a)), toExpression(f(b))))
+  def dotFD(a: Column, c: Column): Column =
+    toColumn(DotProductFD(toExpression(f(a)),
+      toExpression(c.cast("array<double>"))))
 }
