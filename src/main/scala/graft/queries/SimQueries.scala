@@ -9,13 +9,16 @@ import graft.sim.Ann
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
   * §2D6–D7). Query set = vectors with vec_id < 20; corpus = full table.
   *
-  * ann_topk and ann_lsh carry full DuckDB oracles (the sequential-double
-  * cosine/dot folds are bit-identical across engines — verified; the LSH
-  * hyperplanes are data-independent md5 literals the oracle generator
-  * recomputes, so the bucket layout and multi-probe set mirror exactly).
-  * ann_ivf stays rows-only: its cells come from MLlib k-means TRAINING,
-  * which no static SQL can reproduce — AnnSpec checks score agreement and
-  * recall against the exact top-k instead.
+  * All three carry full DuckDB oracles (the sequential-double cosine/dot
+  * folds are bit-identical across engines — verified; the LSH hyperplanes
+  * are data-independent md5 literals the oracle generator recomputes, so
+  * the bucket layout and multi-probe set mirror exactly). ann_ivf's
+  * quantizer is [[graft.sim.Ann.seededCentroids]] — deterministic
+  * md5-sampled init + fixed Lloyd iterations with order-pinned folds — so
+  * the oracle REPLAYS THE TRAINING itself as unrolled SQL (one CTE block
+  * per iteration, every fold a list_sum over an i- or id-ordered list,
+  * DuckDB's sequential left fold ≡ the driver loop's accumulation order)
+  * and lands on bit-identical centroids, cells, probe sets and ranking.
   */
 object SimQueries {
 
@@ -70,7 +73,93 @@ object SimQueries {
         s"i -> CAST($c[i] AS DOUBLE) * ($w)[i])) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Mirror of Ann.seededCentroids + ivfTopK as one SQL statement. The
+    * training is data-dependent but DETERMINISTIC, so the oracle replays
+    * it: sample = `sampleN` smallest md5(vec_id) rows; init = first
+    * `nlist` in md5-rank order; each of the `iters` unrolled iteration
+    * blocks scores members (|c|² − 2·e·c, both folds i-ascending), assigns
+    * by (score, cell) rank-1, and re-averages per (cell, dim) with the
+    * member fold pinned to ascending id — `list_sum(list(x ORDER BY id))`
+    * is DuckDB's sequential left fold, the exact accumulation order of the
+    * driver loop. Empty cells COALESCE to their previous centroid. The
+    * final SELECT then mirrors the query plan itself: corpus cells =
+    * rank-1 score, probe sets = rank ≤ nProbe, cosine + (sim DESC, c_id)
+    * ranking identical to ann_topk's verified fold. */
+  private def ivfOracleSql(nlist: Int, sampleN: Int, iters: Int, dims: Int,
+                           k: Int, nProbe: Int): String = {
+    val iterBlocks = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""sc$t AS (
+         |  SELECT sd.id, c.cell,
+         |    list_sum(list(c.cx * c.cx ORDER BY sd.i)) -
+         |    2 * list_sum(list(sd.x * c.cx ORDER BY sd.i)) AS score
+         |  FROM sd JOIN $prev c ON sd.i = c.i
+         |  GROUP BY sd.id, c.cell),
+         |a$t AS (
+         |  SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+         |    FROM sc$t) WHERE r = 1),
+         |u$t AS (
+         |  SELECT cell, i, list_sum(list(x ORDER BY id)) / count(*) AS cx
+         |  FROM sd JOIN a$t USING (id) GROUP BY cell, i),
+         |c$t AS (
+         |  SELECT p.cell, p.i, COALESCE(n.cx, p.cx) AS cx
+         |  FROM $prev p LEFT JOIN u$t n ON p.cell = n.cell AND p.i = n.i)""".stripMargin
+    }.mkString(",\n")
+    val assignScore =
+      s"""list_sum(list_transform(generate_series(1, $dims), i -> c[i] * c[i])) -
+         |    2 * list_sum(list_transform(generate_series(1, $dims),
+         |          i -> CAST(ce[i] AS DOUBLE) * c[i]))""".stripMargin
+    s"""WITH dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
+       |samp AS (
+       |  SELECT id, e, rk FROM (
+       |    SELECT vec_id AS id, embedding AS e,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |        AS rk
+       |    FROM embeddings) WHERE rk <= $sampleN),
+       |sd AS (
+       |  SELECT id, i, CAST(e[i] AS DOUBLE) AS x FROM samp CROSS JOIN dims),
+       |c0 AS (
+       |  SELECT rk - 1 AS cell, i, CAST(e[i] AS DOUBLE) AS cx
+       |  FROM samp CROSS JOIN dims WHERE rk <= $nlist),
+       |$iterBlocks,
+       |cent AS (
+       |  SELECT cell, list(cx ORDER BY i) AS c FROM c$iters GROUP BY cell),
+       |csc AS (
+       |  SELECT e.vec_id AS c_id, e.embedding AS ce, cent.cell,
+       |    $assignScore AS score
+       |  FROM embeddings e CROSS JOIN cent),
+       |corp AS (
+       |  SELECT c_id, ce, cell FROM (
+       |    SELECT c_id, ce, cell,
+       |      row_number() OVER (PARTITION BY c_id ORDER BY score, cell) AS r
+       |    FROM csc) WHERE r = 1),
+       |qp AS (
+       |  SELECT c_id AS q_id, ce AS qe, cell FROM (
+       |    SELECT c_id, ce, cell,
+       |      row_number() OVER (PARTITION BY c_id ORDER BY score, cell) AS r
+       |    FROM csc WHERE c_id < 20) WHERE r <= $nProbe),
+       |cand AS (
+       |  SELECT q_id, qe, c_id, ce
+       |  FROM qp JOIN corp USING (cell) WHERE q_id <> c_id),
+       |sims AS (
+       |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim FROM cand),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+       |      AS rank
+       |  FROM sims)
+       |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // Mirrors Ann.ivfTopK(k=5, nlist=16, nProbe=4) with the seeded
+    // quantizer's defaults (sampleN=256, iters=5) — see ivfOracleSql.
+    "ann_ivf" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
+      dims = 64, k = 5, nProbe = 4),
 
     // Mirrors Ann.lshTopK(k=5, planes=4, tables=8, hammingProbes=1):
     // corpus bucketed once per table; queries probe the base bucket plus

@@ -71,10 +71,11 @@ object Ann {
     * `nProbe` nearest cells and ranks only their members — the standard
     * billion-scale ANN layout (FAISS IVF-Flat shape), here Spark-native:
     *
-    *  - centroids train once with MLlib KMeans (sampled corpus) and become
-    *    PLAN-TIME literals — cell assignment is an argmin over `nlist`
-    *    native dot products inside whole-stage codegen, no model UDF on
-    *    the hot path (argmin of |c|² − 2·e·c ≡ nearest centroid);
+    *  - centroids train once with [[seededCentroids]] (deterministic
+    *    sample-trained k-means) and become PLAN-TIME literals — cell
+    *    assignment is an argmin over `nlist` native dot products inside
+    *    whole-stage codegen, no model UDF on the hot path (argmin of
+    *    |c|² − 2·e·c ≡ nearest centroid);
     *  - the corpus is assigned once (reusable partitioning — at lake scale
     *    this is the table's physical partition key, so a probe reads only
     *    nProbe/nlist of the data);
@@ -82,46 +83,106 @@ object Ann {
     *    O(|Q| · nProbe · cell size), never a corpus scan.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
-              nProbe: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
+              nProbe: Int = 4, idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, seed, embCol)
+    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
     val assigned = corpus.select(col(idCol).as("c_id"),
       col(embCol).as("_c_emb"), cellOf(cents, col(embCol)).as("cell"))
     rankProbed(assigned, queries, cents, k, nProbe, idCol, embCol)
   }
 
-  /** K-means coarse quantizer → centroid arrays (plan-time literals). */
-  private def trainCentroids(corpus: DataFrame, nlist: Int, seed: Long,
-                             embCol: String): Array[Array[Float]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("_fv")
-    km.fit(corpus.select(
-        array_to_vector(col(embCol).cast("array<double>")).as("_fv")))
-      .clusterCenters.map(_.toArray.map(_.toFloat))
+  /** Deterministic sample-trained coarse quantizer: Lloyd's k-means over
+    * the `sampleN` corpus vectors with the smallest `md5(id)` (a
+    * data-independent pseudo-random sample — the LSH-hyperplane playbook
+    * applied to sampling), initialized from the first `nlist` sample rows
+    * in md5-rank order and run for a FIXED `iters` iterations with
+    * order-pinned double accumulation: members fold in ascending id order,
+    * dimensions left-to-right, per-member score = |c|² − 2·e·c with both
+    * folds sequential, ties to the lower cell, and an empty cell keeping
+    * its previous centroid. Every step is reproducible from the table
+    * alone, so the DuckDB oracle replays the identical training and the
+    * centroids — hence the cell layout, probe sets and final ranking —
+    * match bit-for-bit across engines (the MLlib KMeans this replaces
+    * depended on implementation internals no oracle could mirror).
+    *
+    * The collect is O(sampleN) driver metadata — the standard IVF build
+    * shape: quantizer training reads a constant-size sample, never the
+    * corpus (FAISS trains IVF coarse quantizers the same way).
+    */
+  def seededCentroids(corpus: DataFrame, nlist: Int, sampleN: Int = 256,
+                      iters: Int = 5, idCol: String = "vec_id",
+                      embCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<float>").as("e"),
+        md5(col(idCol).cast("string")).as("_r"))
+      .orderBy(col("_r"), col("id"))
+      .limit(sampleN)
+      .select("id", "e")
+      .as[(Long, Array[Float])]
+      .collect()
+    require(sample.nonEmpty, "seededCentroids: empty corpus")
+    val k = math.min(nlist, sample.length)
+    val dims = sample(0)._2.length
+    var cents = sample.take(k).map(_._2.map(_.toDouble))
+    val members = sample.sortBy(_._1) // accumulation order = ascending id
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      members.foreach { case (_, e) =>
+        var best = 0
+        var bestScore = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val c = cents(j)
+          var c2 = 0.0; var dp = 0.0; var i = 0
+          while (i < dims) { c2 += c(i) * c(i); dp += e(i).toDouble * c(i); i += 1 }
+          val s = c2 - 2.0 * dp
+          if (s < bestScore) { best = j; bestScore = s } // tie keeps lower j
+          j += 1
+        }
+        val sb = sums(best)
+        var i = 0
+        while (i < dims) { sb(i) += e(i).toDouble; i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0) cents(j) // empty cell keeps its centroid
+        else Array.tabulate(dims)(i => sums(j)(i) / counts(j))
+      }
+      it += 1
+    }
+    cents
   }
 
-  // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance)
-  private def centScores(cents: Array[Array[Float]],
-                         emb: org.apache.spark.sql.Column) =
+  // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance);
+  // |c|² folds dimension-ascending at plan time — the same sequential
+  // double fold the oracle's list_sum performs over the same centroid
+  def centScores(cents: Array[Array[Double]],
+                 emb: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
     cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x.toDouble * x).sum
-      struct((lit(c2) - lit(2.0) * VectorFunctions.dot(emb, typedlit(c)))
+      var c2 = 0.0
+      var j = 0
+      while (j < c.length) { c2 += c(j) * c(j); j += 1 }
+      struct((lit(c2) - lit(2.0) * VectorFunctions.dotFD(emb, typedlit(c)))
         .as("d"), lit(i).as("i"))
     }
 
-  private def cellOf(cents: Array[Array[Float]],
+  private def cellOf(cents: Array[Array[Double]],
                      emb: org.apache.spark.sql.Column) =
     array_min(array(centScores(cents, emb): _*)).getField("i")
 
-  private def probesOf(cents: Array[Array[Float]],
+  private def probesOf(cents: Array[Array[Double]],
                        emb: org.apache.spark.sql.Column, nProbe: Int) =
     transform(slice(array_sort(array(centScores(cents, emb): _*)), 1, nProbe),
       s => s.getField("i"))
 
   private def rankProbed(assigned: DataFrame, queries: DataFrame,
-                         cents: Array[Array[Float]], k: Int, nProbe: Int,
+                         cents: Array[Array[Double]], k: Int, nProbe: Int,
                          idCol: String, embCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(embCol).as("_q_emb"),
@@ -144,11 +205,11 @@ object Ann {
     * across every future query batch.
     */
   def ivfBuild(corpus: DataFrame, path: String, nlist: Int = 16,
-               seed: Long = 42L, idCol: String = "vec_id",
+               idCol: String = "vec_id",
                embCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, nlist, seed, embCol)
+    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
     corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
         cellOf(cents, col(embCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
@@ -173,18 +234,18 @@ object Ann {
   }
 
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Float]] = {
+                            path: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("centroid").cast("array<float>"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      .select(col("cell"), col("centroid").cast("array<double>"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
   }
 
   /** The pruned corpus scan a probe performs: probed cell ids → IN-filter
     * on the partition column (directory pruning). Public so tests can
     * assert the file-level pruning via `inputFiles`. */
   def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
-                 queries: DataFrame, cents: Array[Array[Float]], nProbe: Int,
+                 queries: DataFrame, cents: Array[Array[Double]], nProbe: Int,
                  idCol: String = "vec_id",
                  embCol: String = "embedding"): DataFrame = {
     import spark.implicits._
