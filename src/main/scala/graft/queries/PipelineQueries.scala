@@ -15,6 +15,67 @@ import graft.sources.StacCatalog
   */
 object PipelineQueries {
 
+  /** D17 with a REAL encoder (the reference's make_embeddings workflow,
+    * examples/make_embeddings.py, on binary columns): media → histogram
+    * features → an actual `graft-mlp` network (16 → 8 relu → 4 identity)
+    * fetched and EXECUTED through load_stac_ml, so the embeddings feeding
+    * the ANN/dedup operators come from real weights, not the stub. The
+    * weight doubles are shared with the oracle generator below — the
+    * neuron-for-neuron playbook of MlQueries.ml_predict_mlp. */
+  val encW1: IndexedSeq[IndexedSeq[Double]] = (0 until 8).map(j =>
+    (0 until 16).map(i => ((i * 11 + j * 7) % 19 - 9) / 18.0))
+  val encB1: IndexedSeq[Double] = (0 until 8).map(j => (j - 3) / 9.0)
+  val encW2: IndexedSeq[IndexedSeq[Double]] = (0 until 4).map(k =>
+    (0 until 8).map(j => ((j * 3 + k * 5) % 11 - 5) / 10.0))
+  val encB2: IndexedSeq[Double] = (0 until 4).map(k => (k - 1) / 7.0)
+
+  lazy val encItemPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlp_enc_")
+    def mat(m: IndexedSeq[IndexedSeq[Double]]): String =
+      m.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val weights =
+      s"""{"layers": [
+         |  {"w": ${mat(encW1)}, "b": ${encB1.mkString("[", ", ", "]")},
+         |   "activation": "relu"},
+         |  {"w": ${mat(encW2)}, "b": ${encB2.mkString("[", ", ", "]")},
+         |   "activation": "identity"}
+         |]}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("weights.json"),
+      weights.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val item =
+      s"""{
+         |  "stac_version": "1.0.0",
+         |  "stac_extensions": [
+         |    "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+         |  "type": "Feature",
+         |  "id": "graft-media-encoder",
+         |  "properties": {
+         |    "mlm:name": "graft-media-encoder",
+         |    "mlm:framework": "graft-mlp",
+         |    "mlm:batch_size_suggestion": 64,
+         |    "mlm:input": [{
+         |      "name": "histogram features",
+         |      "bands": ${(0 until 16).map(i => s""""b$i"""").mkString("[", ", ", "]")},
+         |      "input": {"shape": [-1, 16],
+         |                "dim_order": ["batch", "embedding"],
+         |                "data_type": "float32"}}],
+         |    "mlm:output": [{
+         |      "name": "media embedding",
+         |      "result": {"shape": [-1, 4],
+         |                 "dim_order": ["batch", "embedding"],
+         |                 "data_type": "float32"}}]
+         |  },
+         |  "assets": {"weights": {
+         |    "href": "weights.json",
+         |    "roles": ["mlm:model", "mlm:weights"],
+         |    "mlm:artifact_type": "graft-mlp-json"}}
+         |}""".stripMargin
+    val p = dir.resolve("item.json")
+    java.nio.file.Files.write(p,
+      item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
   /** The flagship demo graph: load → band filter → temporal filter →
     * apply(sqrt) → daily mean. Collapses to one Catalyst plan whose scan
     * carries the temporal + band predicates. */
@@ -250,6 +311,21 @@ object PipelineQueries {
           Exact.rnd4(col("col")).as("value"))
     },
 
+    // D17 with real weights: the same histogram features routed through
+    // the graft-mlp encoder asset (load_stac_ml → batched MlpSession
+    // matmuls) — media → embedding with an ACTUAL model deciding the
+    // output, the make_embeddings workflow end-to-end on binary columns.
+    "multimodal_embed_mlp" -> { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val feats = media.select(col("media_id"),
+        Multimodal.embedStub(decode(col("payload"), "utf-8")).as("_feat"))
+      graft.ml.MlProcesses.loadStacMl(encItemPath)
+        .predict(feats, idCol = "media_id", featuresCol = "_feat")
+        .select(col("media_id"), posexplode(col("embedding")))
+        .select(col("media_id"), col("pos").cast("int").as("pos"),
+          Exact.rnd4(col("col").cast("double")).as("value"))
+    },
+
     "process_graph" -> { (s, d) =>
       new ProcessGraph(s, d).run(demoGraph)
         .select(to_date(col("time")).as("day"), col("band"),
@@ -374,6 +450,50 @@ object PipelineQueries {
         |         / CAST(greatest(len(cs), 1) AS DOUBLE)) * 10000 + 0.5)
         |    / 10000.0 AS value
         |FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bins""".stripMargin,
+
+    // Mirrors embedStub → ExternalModel.predict(MlpSession) neuron-for-
+    // neuron from the same weight literals (the ml_predict_mlp playbook):
+    //   f_i = float32(count_bin_i / max(len, 1))           [histogram]
+    //   h_j = float32(relu(Σ_i double(f_i)·w1_ji + b1_j))  [left-assoc]
+    //   o_k = float32(      Σ_j double(h_j)·w2_kj + b2_k)
+    //   value = rnd4(double(o_k))
+    // Weight literals go through CAST('<scala toString>' AS DOUBLE) so
+    // DuckDB parses the identical doubles Jackson hands Spark.
+    "multimodal_embed_mlp" -> {
+      def wlit(v: Double) = s"CAST('$v' AS DOUBLE)"
+      val hidden = (0 until 8).map { j =>
+        val s = (0 until 16).map(i =>
+          s"CAST(f[${i + 1}] AS DOUBLE) * ${wlit(encW1(j)(i))}")
+          .mkString(" + ")
+        s"CAST(CASE WHEN ($s) + ${wlit(encB1(j))} > 0 " +
+          s"THEN ($s) + ${wlit(encB1(j))} ELSE 0.0 END AS FLOAT) AS h$j"
+      }.mkString(",\n    ")
+      val outs = (0 until 4).map { k =>
+        val s = (0 until 8).map(j =>
+          s"CAST(h$j AS DOUBLE) * ${wlit(encW2(k)(j))}").mkString(" + ")
+        s"WHEN $k THEN CAST(CAST(($s) + ${wlit(encB2(k))} AS FLOAT) AS DOUBLE)"
+      }
+      s"""WITH codes AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(generate_series(1, length(text)),
+         |      i -> ord(substr(text, i, 1))) AS cs
+         |  FROM documents),
+         |feats AS (
+         |  SELECT media_id,
+         |    list_transform(generate_series(0, 15), b ->
+         |      CAST(len(list_filter(cs, c -> c // 16 = b))
+         |           / CAST(greatest(len(cs), 1) AS DOUBLE) AS FLOAT)) AS f
+         |  FROM codes),
+         |h AS (
+         |  SELECT media_id,
+         |    $hidden
+         |  FROM feats)
+         |SELECT media_id, CAST(k AS INT) AS pos,
+         |  floor((CASE k ${outs.mkString("\n    ")}
+         |   END) * 10000 + 0.5) / 10000.0 AS value
+         |FROM h
+         |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks""".stripMargin
+    },
 
     "stac_load" ->
       """SELECT event_id, floor((value) * 10000 + 0.5) / 10000.0 AS value
