@@ -370,6 +370,21 @@ object CubeQueries {
           (0 to 3).map(k => Exact.rnd4(col(s"c$k")).as(s"c$k"))): _*)
     },
 
+    // degree-4 fit through the PIVOTING GAUSSIAN path (fitCurvePoly) —
+    // the driver-gate entry for the degree>3 solve. Both engines build
+    // decimal-exact (bit-identical) moments; the oracle solves the same
+    // 5×5 normal equations by generated Cramer instead of mirroring the
+    // data-dependent pivot order. The two solvers agree to ~1e-12 on
+    // these well-conditioned systems — four orders inside the rnd4 hash
+    // grid — so the coefficients hash identically.
+    "cube_fit_quartic" -> { (s, d) =>
+      val c = DataCube(Tables.events(s, d).select(
+        col("ts").as("time"), col("event_type").as("band"), col("value")))
+      c.fitCurvePoly(Seq("band"), "2024-01-01", degree = 4)
+        .select((col("band") +: (0 to 4).map(k =>
+          Exact.rnd4(element_at(col("coefs"), k + 1)).as(s"c$k"))): _*)
+    },
+
     "cube_apply_polygon" -> { (s, d) =>
       gridCube(s, d).applyPolygon(diamond, v => v * 2 + 1)
         .df.select(col("x"), col("y"), col("band"),
@@ -516,9 +531,43 @@ object CubeQueries {
       |FROM g""".stripMargin
   }
 
+  /** Degree-4 oracle for the Gaussian fitCurvePoly path: same decimal-
+    * exact moments, the solve by generated 5×5 Cramer (an unrolled mirror
+    * of data-dependent partial pivoting is not expressible as static SQL;
+    * the two solvers agree far inside the rnd4 grid — see the query's
+    * comment). */
+  private val fitQuarticSql: String = {
+    import graft.core.Cramer
+    val mat = Vector.tabulate(5, 5)((i, j) => s"s${i + j}")
+    val rhs = Vector.tabulate(5)(i => s"r$i")
+    val coefs = Cramer.solve(mat, rhs, Cramer.sql)
+    def tp(k: Int) = (1 to k).map(_ => "t").foldLeft("1.0")((a, b) => s"$a * $b")
+    val sSums = (0 to 8).map(k =>
+      s"CAST(sum(CAST(${tp(k)} AS DECIMAL(38,10))) AS DOUBLE) AS s$k")
+    val rSums = (0 to 4).map(k =>
+      s"CAST(sum(CAST(${tp(k)} * v AS DECIMAL(38,10))) AS DOUBLE) AS r$k")
+    val sels = coefs.zipWithIndex.map { case (c, k) =>
+      s"floor(($c) * 10000 + 0.5) / 10000.0 AS c$k"
+    }
+    s"""WITH td AS (
+      |  SELECT event_type AS band,
+      |    CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+      |      / 86400000000.0 AS t,
+      |    value AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT band,
+      |    ${(sSums ++ rSums).mkString(",\n    ")}
+      |  FROM td GROUP BY 1)
+      |SELECT band, ${sels.mkString(",\n  ")}
+      |FROM g""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "cube_fit_cubic" -> fitCubicSql,
+
+    "cube_fit_quartic" -> fitQuarticSql,
 
     "cube_apply_unary" ->
       """SELECT event_id,
