@@ -21,12 +21,14 @@ import graft.dedup.Dedup
   * store, which is also what it should be at 100 TB: the claim set (one
   * row per distinct (band, signature) ever seen) is pipeline STATE that
   * must outlive any single job — restart, backfill, and a second ingest
-  * stream all consult the same claims. Here the store is a parquet
-  * directory read per micro-batch; at lake scale it would be the same
-  * layout bucketed by (band, sig) (or a Delta/key-value table with merge),
-  * making the per-batch claim join co-located — batch sizes are minutes of
-  * ingest, claims are the corpus history, so the join must shuffle only
-  * the batch side.
+  * stream all consult the same claims. The store is a parquet directory
+  * read per micro-batch, periodically rewritten by [[compactClaims]] into
+  * a (band, sig)-hash-partitioned layout so the file count (and listing
+  * cost) stays bounded instead of growing one file per batch; at lake
+  * scale the same rewrite is the Delta/Iceberg maintenance compaction,
+  * and the bucketed layout makes the per-batch claim join co-located —
+  * batch sizes are minutes of ingest, claims are the corpus history, so
+  * the join must shuffle only the batch side.
   *
   * Batch equivalence (pinned in StreamingSpec): as long as arrival order
   * respects `doc_id` order, running any split of the corpus through
@@ -81,19 +83,53 @@ object DedupStreams {
     (verdicts, newClaims)
   }
 
+  /** Rewrite the claim store into its compact layout: all claims
+    * hash-partitioned on (band, sig) into `parts` files — the bucketed
+    * shape the per-batch claim join keys on, and the bound that stops the
+    * store's file count (and listing cost) growing O(batches) under the
+    * one-file-per-batch append. The compacted data is fully materialized
+    * into a sibling temp dir BEFORE any old file is deleted, then swapped
+    * in; callers run this between micro-batches (the foreachBatch driver
+    * is the only writer, so the swap cannot race a reader). At lake scale
+    * this is the maintenance compaction every streaming-ingest table
+    * needs (Delta OPTIMIZE / Iceberg rewrite); here it is the same
+    * rewrite expressed directly on the parquet directory.
+    */
+  def compactClaims(spark: SparkSession, claimsDir: String,
+                    parts: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(claimsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(claimsDir + "_compacting")
+    readClaims(spark, claimsDir)
+      .repartition(parts, col("band"), col("sig"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+  }
+
   /** Run the stream: per micro-batch, signature the arriving documents,
     * decide against the claim store, append verdicts to `outDir` and new
     * claims to `claimsDir`. The new-claims frame is materialized BEFORE
     * either write so the claim-store append never races its own read
     * (parquet file listing happens at plan time; persisting pins the
-    * result).
+    * result). `compactEvery` > 0 compacts the claim store every that many
+    * micro-batches ([[compactClaims]]), bounding its file count at
+    * `parts + compactEvery` instead of O(batches).
     */
   def nearDupStream(docs: DataFrame, claimsDir: String, outDir: String,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): StreamingQuery =
+                    textCol: String = "text",
+                    compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val sigs = Dedup.minhashSignatures(batch, idCol = idCol,
           textCol = textCol)
@@ -104,6 +140,8 @@ object DedupStreams {
         verdicts.repartition(1).write.mode("append").parquet(outDir)
         pinned.repartition(1).write.mode("append").parquet(claimsDir)
         pinned.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactClaims(spark, claimsDir)
         ()
       }
       .start()

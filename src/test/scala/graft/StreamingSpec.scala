@@ -260,6 +260,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E9 compaction: verdicts unchanged, file count bounded, restart ok") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+    val variants = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 100000L, w.take(math.max(w.length - 5, 3)).mkString(" "))
+    }
+    val all = docs ++ variants
+    val claimsDir = java.nio.file.Files
+      .createTempDirectory("graft_claims_compact_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_outc_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    // compact every 2 micro-batches: batch 2's decisions read a store that
+    // has already been rewritten once — compaction must be invisible to
+    // the verdict stream
+    val q = graft.streaming.DedupStreams.nearDupStream(
+      ms.toDF().toDF("doc_id", "text"), claimsDir, outDir,
+      compactEvery = 2)
+    try {
+      ms.addData(all.take(40)); q.processAllAvailable()
+      ms.addData(all.slice(40, 70)); q.processAllAvailable()
+      ms.addData(all.slice(70, 90)); q.processAllAvailable()
+      ms.addData(all.drop(90)); q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+      val batch = graft.dedup.Dedup.firstWinsKept(
+        graft.dedup.Dedup.minhashSignatures(all.toDF("doc_id", "text")))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "compaction changed the verdict stream vs batch firstWins")
+      // 4 batches with compactEvery=2: without compaction 4 claim files;
+      // after the batch-4 compaction exactly the `parts` rewrite output
+      val claimFiles = new java.io.File(claimsDir)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(claimFiles <= 8,
+        s"claim store not compacted: $claimFiles files")
+      // claims survive the rewrite byte-for-byte: a fresh query against
+      // the compacted store must drop every redelivered doc
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft_dedup_outc2_").toString
+      val redelivered = docs.map { case (id, t) => (id + 200000L, t) }
+      val ms2 = MemoryStream[(Long, String)](spark)
+      val q2 = graft.streaming.DedupStreams.nearDupStream(
+        ms2.toDF().toDF("doc_id", "text"), claimsDir, out2)
+      try { ms2.addData(redelivered); q2.processAllAvailable() }
+      finally q2.stop()
+      val verdicts = spark.read.parquet(out2)
+        .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+      assert(redelivered.forall { case (id, _) => verdicts(id) == 0 },
+        "restart after compaction failed to drop previously-claimed docs")
+    } finally q.stop()
+  }
+
   test("E9 restart: a NEW streaming query inherits the claim store") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
