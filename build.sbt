@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Optional ONNX Runtime adapter: a container that ships the onnxruntime
+// jar (drop it in unmanagedBase) compiles the real OrtTensorSession with
+// zero code changes — set GRAFT_WITH_ORT=1. Off by default because this
+// zero-egress image has no onnxruntime; the adapter's TensorSession
+// contract is unit-tested against the in-container fake either way.
+Compile / unmanagedSourceDirectories ++= {
+  if (sys.env.contains("GRAFT_WITH_ORT"))
+    Seq(baseDirectory.value / "src" / "ort" / "scala")
+  else Seq.empty
+}
 Test / fork := true
 run / fork := true
 // Stream the forked JVM's stdout/stderr through unprefixed: the driver

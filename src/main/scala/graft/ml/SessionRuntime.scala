@@ -3,24 +3,13 @@ package graft.ml
 /** The tensor-session seam a REAL inference runtime plugs into. The method
   * shape mirrors ONNX Runtime's `OrtSession.run` contract — one named
   * input tensor (row-major flat buffer + shape) in, one named output
-  * tensor out — without depending on the (absent) onnxruntime jar, so the
-  * adapter below compiles and is unit-tested against this container while
-  * a production build only has to wrap `OrtSession` in ~5 lines:
-  *
-  * {{{
-  * class OrtTensorSession(env: OrtEnvironment, session: OrtSession)
-  *     extends TensorSession {
-  *   def run(inputName: String, flat: Array[Float], shape: Array[Long],
-  *           outputName: String): Array[Float] = {
-  *     val t = OnnxTensor.createTensor(env,
-  *       java.nio.FloatBuffer.wrap(flat), shape)
-  *     try session.run(java.util.Map.of(inputName, t))
-  *       .get(outputName).get().getValue
-  *       .asInstanceOf[Array[Array[Float]]].flatten
-  *     finally t.close()
-  *   }
-  * }
-  * }}}
+  * tensor out — without depending on the (absent) onnxruntime jar. The
+  * real adapter EXISTS as the optional `ort` source set
+  * (src/ort/scala/graft/ml/OrtTensorSession.scala, enabled by
+  * GRAFT_WITH_ORT=1 in build.sbt once a build ships the jar); the exact
+  * call contract it must satisfy — one run per batch, row-major packing,
+  * [rows, inWidth] shape, name passthrough — is pinned by MlpSpec's
+  * TensorSession contract test against the in-container fake.
   *
   * Implementations ship to executors once and are reused across batches
   * (same lifecycle as the reference's per-worker session,

@@ -46,6 +46,34 @@ class MlpSpec extends SparkSpec {
     assert(out.toSeq == Seq(3f, 7f, 11f))
   }
 
+  test("TensorSession contract: row-major pack, [n, inWidth] shape, names") {
+    // Pins the exact call SessionRuntime makes on ANY TensorSession — the
+    // contract the optional OrtTensorSession adapter (src/ort) must
+    // satisfy — via a recording fake: one run() per batch, names passed
+    // through, shape = [rows, inWidth], features packed row-major.
+    val seen = collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Float], Seq[Long], String)]
+    val recorder = new graft.ml.TensorSession {
+      override def run(inputName: String, flat: Array[Float],
+                       shape: Array[Long], outputName: String): Array[Float] = {
+        seen += ((inputName, flat.toSeq, shape.toSeq, outputName))
+        val n = shape(0).toInt
+        val w = shape(1).toInt
+        // row sums as a 1-wide output — checks unpack ordering too
+        Array.tabulate(n)(r => (0 until w).map(i => flat(r * w + i)).sum)
+      }
+    }
+    val rt = new SessionRuntime(recorder, inWidth = 3, outWidth = 1,
+      inputName = "pixel_values", outputName = "logits")
+    val out = rt.score(Array(Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
+    assert(seen.length == 1, "one session run per batch")
+    val (inName, flat, shape, outName) = seen.head
+    assert(inName == "pixel_values" && outName == "logits")
+    assert(shape == Seq(2L, 3L))
+    assert(flat == Seq(1f, 2f, 3f, 4f, 5f, 6f), "row-major flat layout")
+    assert(out.map(_.toSeq).toSeq == Seq(Seq(6f), Seq(15f)))
+  }
+
   test("weights JSON parses and validates dimensions") {
     val good = """{"layers": [
       {"w": [[1, 2], [3, 4]], "b": [0, 0], "activation": "relu"},
