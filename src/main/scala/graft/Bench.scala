@@ -39,6 +39,7 @@ object Bench {
     try {
       graft.queries.PipelineQueries.stacFixture(spark, sfDir)
       graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
+      graft.queries.SimQueries.ivfIndex(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")
     }

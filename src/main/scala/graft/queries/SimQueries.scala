@@ -25,6 +25,20 @@ object SimQueries {
   private def qset(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 20)
 
+  /** The on-disk IVF index for `ann_ivf_probe`, built once per (JVM, sf
+    * dir) — index construction is the reusable build step of the layout
+    * (SURVEY §2D7c), not per-query work; Bench pre-builds it outside the
+    * timed region exactly like the STAC fixtures. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfIndex(s: SparkSession, d: String): String =
+    ivfIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx_").toString
+      Ann.ivfBuild(Tables.embeddings(s, d), path, nlist = 16)
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_topk" -> { (s, d) =>
@@ -41,6 +55,16 @@ object SimQueries {
     "ann_ivf" -> { (s, d) =>
       Ann.ivfTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
         nlist = 16, nProbe = 4)
+    },
+
+    // D7c through the gate: the PHYSICAL index path — corpus written
+    // partitionBy(cell), probe = partition IN-filter reading only the
+    // probed directories — must produce the identical ranking to the
+    // in-memory plan; with the deterministic quantizer both share the
+    // SAME oracle, so the layout round-trip is hash-gated, not just
+    // spec-asserted.
+    "ann_ivf_probe" -> { (s, d) =>
+      Ann.ivfProbe(s, ivfIndex(s, d), qset(s, d), k = 5, nProbe = 4)
     }
   )
 
@@ -159,6 +183,11 @@ object SimQueries {
     // Mirrors Ann.ivfTopK(k=5, nlist=16, nProbe=4) with the seeded
     // quantizer's defaults (sampleN=256, iters=5) — see ivfOracleSql.
     "ann_ivf" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
+      dims = 64, k = 5, nProbe = 4),
+
+    // The physical-index probe ranks the same candidates with the same
+    // centroids — one oracle serves both plans.
+    "ann_ivf_probe" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
       dims = 64, k = 5, nProbe = 4),
 
     // Mirrors Ann.lshTopK(k=5, planes=4, tables=8, hammingProbes=1):
