@@ -276,6 +276,17 @@ object Dedup {
     * the component minima (the contraction only ever re-targets nodes at
     * smaller same-component ids), matching the oracle's
     * recursive-reachability minimum exactly.
+    *
+    * HYBRID FINISH: once the (geometrically shrinking) edge set fits the
+    * same driver-metadata budget every other bounded collect in this repo
+    * uses, the remainder is solved exactly with a min-label union-find on
+    * the driver — the small-graph finisher Kiveris et al. themselves
+    * recommend. Each distributed round costs a fixed number of jobs
+    * regardless of data volume, so paying O(log n) near-empty rounds on a
+    * vanishing edge set is pure scheduling overhead (measured 8 s for
+    * 3k edges on local[32]); both star operations preserve the node set,
+    * so the local solve sees every node and emits the identical
+    * (node → component-min) labels.
     */
   /** 64-bit avalanche mix (splitmix64 finalizer) of one edge — the summand
     * of the order-independent edge-set checksum in [[components]]. */
@@ -330,6 +341,12 @@ object Dedup {
         Iterator.single((n, s))
       }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
 
+    // ≤ this many edges → finish on the driver (≈16 MB of long pairs, the
+    // repo's standard bounded-collect budget); contraction rounds above it
+    // shrink the set geometrically, so the bound is reached in O(log n)
+    // rounds however large the input graph
+    val localThreshold = 500000L
+
     // NOTE: the input may be a multiset (every later iterate is distinct by
     // construction); a multiplicity-skewed initial sig can only cost one
     // extra round, never a premature stop, so no distinct pass is spent here.
@@ -340,7 +357,7 @@ object Dedup {
     var edgeSig = sig(edges)
     var rounds = 0
     var converged = false
-    while (!converged) {
+    while (!converged && edgeSig._1 > localThreshold) {
       rounds += 1
       require(rounds <= 48, "components: did not converge in 48 rounds")
       val next = smallStar(largeStar(edges))
@@ -354,10 +371,44 @@ object Dedup {
       edges = next
       edgeSig = nextSig
     }
-    // stars: every non-center points at its center; centers self-map
-    val lab = edges.flatMap { case (v, m) => Iterator((v, m), (m, m)) }
-      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-    lab
+    if (converged) {
+      // stars: every non-center points at its center; centers self-map
+      edges.flatMap { case (v, m) => Iterator((v, m), (m, m)) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+    } else {
+      // driver finish: exact min-label union-find over the contracted set
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[components] local finish at ${edgeSig._1} edges" +
+          s" after $rounds rounds")
+      val arr = edges.collect()
+      edges.unpersist(blocking = false)
+      spark.sparkContext.parallelize(localComponents(arr),
+        math.max(1, math.min(part.numPartitions, arr.length / 65536 + 1)))
+    }
+  }
+
+  /** Exact connected components of a driver-resident edge list: union-find
+    * where every union points the LARGER root at the smaller, so each
+    * set's root is its minimum id and the emitted labels are identical to
+    * the distributed fixpoint's (node → component-min) stars. */
+  private def localComponents(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (a, b) => labels(a) = find(a); labels(b) = find(b) }
+    labels.iterator.map { case (n, r) => (n, r) }.toSeq
   }
 
   // ---- D3: SimHash --------------------------------------------------------
