@@ -115,6 +115,28 @@ class PlanSpec extends SparkSpec {
       s"queries must broadcast against the corpus scan:\n$p")
   }
 
+  test("ivf: corpus never sorts; queries broadcast; sample is a top-K") {
+    // cell assignment + ranking join: the corpus side must hash-join
+    // against the BROADCAST query/probe side — a sort-merge join would
+    // pay a corpus sort per query batch
+    val p = plan(SparkEntry.queries("ann_ivf")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus sort-merge in the ivf plan:\n$p")
+    // quantizer sampling: orderBy(md5).limit must lower to a distributed
+    // top-K (TakeOrderedAndProject), NEVER a global sort of the corpus —
+    // this is what makes seededCentroids O(sampleN) driver work at any
+    // corpus size
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = emb
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("_r"))
+      .orderBy(col("_r"), col("vec_id")).limit(256)
+    val sp = plan(sample)
+    assert(sp.contains("TakeOrderedAndProject"),
+      s"sample must be a top-K, not a global sort:\n$sp")
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import graft.core.Tables
     import graft.sources.Sinks
