@@ -205,6 +205,44 @@ object Dedup {
       .select(col(idCol), (lit(1) - col("_dup")).as("kept"))
   }
 
+  // ---- D27: exact substring-duplication spans -----------------------------
+
+  /** Per-document exact substring duplication (the span-level dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): how many of a document's `w`-token windows occur VERBATIM
+    * in some other document, and what fraction of its windows that is —
+    * the metric used to decide span-removal or document down-weighting.
+    *
+    * Scale shape: grams hash map-side to a fixed-width 16-hex key (the
+    * raw w-token strings never shuffle; md5 prefix collisions are ~2⁻⁶⁴
+    * and identical in the oracle, which mirrors the same hash), then ONE
+    * corpus pass feeds a (doc, gram) partial-agg shuffle; cross-doc
+    * occurrence is a gram-keyed aggregate (count of carrying docs — no
+    * pair explode anywhere, so no bucket cap needed), joined back
+    * shuffle_hash on the same gram hash partitioning. Work is O(tokens)
+    * map-side + O(distinct doc-grams) shuffle — the intrinsic cost of
+    * span-level exactness; there is no candidate pruning to hide behind
+    * because every window is a candidate.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol), explode(transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w),
+        s => substring(md5(s), 1, 16))).as("gram"))
+    val perDocGram = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_k"))
+    val owners = perDocGram.groupBy("gram")
+      .agg(count(lit(1)).as("_docs"))
+    perDocGram.join(owners.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_k")).as("n_grams"),
+        sum(when(col("_docs") > 1, col("_k")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .select(col(idCol), col("n_grams"), col("n_dup_spans"),
+        Exact.rnd4(col("n_dup_spans").cast("double") /
+          col("n_grams").cast("double")).as("dup_ratio"))
+  }
+
   // ---- D19: benchmark decontamination -------------------------------------
 
   /** Training-data decontamination: flag corpus documents that share any

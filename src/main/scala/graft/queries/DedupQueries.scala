@@ -162,6 +162,11 @@ object DedupQueries {
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
 
+    // D27: span-level exact duplication — the truncated variants share
+    // their whole prefix with their originals, so their 8-token windows
+    // are flagged nearly wall-to-wall.
+    "dedup_spans" -> { (s, d) => Dedup.dupSpans(nearCorpus(s, d), w = 8) },
+
     "dedup_clusters" -> { (s, d) =>
       Dedup.resolveClusters(
         Dedup.minhashCandidates(Dedup.minhashSignatures(clusterCorpus(s, d)))
@@ -246,6 +251,32 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
+
+    // Mirrors Dedup.dupSpans(w=8): the same md5-prefix gram hash, per
+    // (doc, gram) multiplicities, cross-doc carrier counts, and the
+    // integer-exact dup-token tally. Integer counts hash exactly; the
+    // ratio is one double division on both sides.
+    "dedup_spans" ->
+      s"""WITH $nearCorpusSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, substr(md5(g), 1, 16) AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS g
+        |    FROM toks)),
+        |pdg AS (
+        |  SELECT doc_id, gram, count(*) AS k FROM grams GROUP BY 1, 2),
+        |own AS (SELECT gram, count(*) AS docs FROM pdg GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(sum(k) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN docs > 1 THEN k ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  floor((CAST(sum(CASE WHEN docs > 1 THEN k ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(k) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+        |    AS dup_ratio
+        |FROM pdg JOIN own USING (gram)
+        |GROUP BY 1""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (1 to 32).map { i =>
