@@ -335,7 +335,8 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  private[graft] def components(pairs: DataFrame)
+  private[graft] def components(pairs: DataFrame,
+      localThreshold: Long = 500000L)
       : org.apache.spark.rdd.RDD[(Long, Long)] = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
@@ -379,11 +380,11 @@ object Dedup {
         Iterator.single((n, s))
       }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
 
-    // ≤ this many edges → finish on the driver (≈16 MB of long pairs, the
-    // repo's standard bounded-collect budget); contraction rounds above it
-    // shrink the set geometrically, so the bound is reached in O(log n)
-    // rounds however large the input graph
-    val localThreshold = 500000L
+    // localThreshold: ≤ this many edges → finish on the driver (the default
+    // ≈16 MB of long pairs, the repo's standard bounded-collect budget);
+    // contraction rounds above it shrink the set geometrically, so the
+    // bound is reached in O(log n) rounds however large the input graph.
+    // Injectable so tests can force the all-distributed path.
 
     // NOTE: the input may be a multiset (every later iterate is distinct by
     // construction); a multiplicity-skewed initial sig can only cost one

@@ -29,6 +29,39 @@ class DedupSpec extends SparkSpec {
     assert(flood > 10000L, s"expected boilerplate flood, got $flood")
   }
 
+  test("components: distributed fixpoint equals driver union-find (random graphs)") {
+    // The hybrid finish means production runs take ONE of two exact
+    // algorithms depending on edge volume. Pin them against each other on
+    // randomized graphs: threshold 0 forces the all-distributed
+    // star-contraction path, the default takes the local union-find path —
+    // identical (node -> component-min) labels required, plus a chain
+    // graph whose diameter punishes anything label-propagation-shaped.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val cases = Seq(
+      // sparse random: many small components
+      (0 until 400).map(_ => (rng.nextInt(300).toLong, rng.nextInt(300).toLong)),
+      // one long chain (diameter = n)
+      (0 until 200).map(i => (i.toLong, (i + 1).toLong)),
+      // two dense blobs joined by one bridge edge
+      (0 until 300).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong)) ++
+        (0 until 300).map(_ => (100L + rng.nextInt(50), 100L + rng.nextInt(50))) ++
+        Seq((49L, 100L)))
+    cases.zipWithIndex.foreach { case (edges, ci) =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val dist = Dedup.components(pairs, localThreshold = 0L)
+        .collect().toMap
+      val local = Dedup.components(pairs, localThreshold = Long.MaxValue)
+        .collect().toMap
+      assert(dist == local,
+        s"case $ci: distributed and local labels diverge " +
+          s"(${dist.size} vs ${local.size} nodes)")
+      // labels are component minima: every label labels itself
+      assert(local.forall { case (_, m) => local(m) == m },
+        s"case $ci: a label is not its own component minimum")
+    }
+  }
+
   test("jaccardDense matches jaccard (broadcast vs semi-join regime)") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sfDir)
