@@ -87,14 +87,24 @@ object SimQueries {
   }
 
   /** 4-bit sign-LSH bucket string for table `t` over column `c` —
-    * same fold as the native DotProduct (verified bit-identical). */
+    * same fold as the native DotProduct (verified bit-identical).
+    *
+    * Emitted as an UNROLLED ± scalar chain, not a
+    * `list_transform`-over-literal-list form: with ±1.0 weights every
+    * product is an exact IEEE negation/identity and SQL's
+    * left-associative `+`/`-` chain IS `list_sum`'s sequential fold, so
+    * the value is bit-identical while DuckDB evaluates pure scalar
+    * arithmetic — no per-row list materialization. (The literal-list
+    * form made this the one oracle that could exhaust DuckDB's memory
+    * when replayed late in a long single-connection battery.) */
   private def lshBucketExpr(t: Int, c: String): String =
     (0 until 4).map { p =>
-      val w = (0 until 64)
-        .map(i => if (lshSign(s"$t/", p, i) > 0) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), " +
-        s"i -> CAST($c[i] AS DOUBLE) * ($w)[i])) > 0 THEN '1' ELSE '0' END)"
+      val chain = (0 until 64).map { i =>
+        val term = s"CAST($c[${i + 1}] AS DOUBLE)"
+        if (i == 0) { if (lshSign(s"$t/", p, 0) > 0) term else s"-$term" }
+        else { if (lshSign(s"$t/", p, i) > 0) s" + $term" else s" - $term" }
+      }.mkString
+      s"(CASE WHEN ($chain) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
   /** Mirror of Ann.seededCentroids + ivfTopK as one SQL statement. The

@@ -25,13 +25,21 @@ else:
         sys.exit("Verify failed")
 
 import duckdb
-con = duckdb.connect()
-for t in TABLES:
-    # a table may be a single file (driver layout) or a sharded directory
-    # (make_sf1 layout) — glob the parts in the directory case
-    path = f"{SFDIR}/{t}.parquet"
-    src = f"{path}/*.parquet" if os.path.isdir(path) else path
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+def fresh_con():
+    # one connection per oracle: a single long-lived connection accumulates
+    # enough buffer/temp state across ~100 replays that the heaviest oracle
+    # can hit a DuckDB allocation failure late in the battery
+    c = duckdb.connect()
+    for t in TABLES:
+        # a table may be a single file (driver layout) or a sharded directory
+        # (make_sf1 layout) — glob the parts in the directory case
+        path = f"{SFDIR}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
@@ -54,6 +62,7 @@ for name in sorted(oracle):
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         fails.append((name, "spark result missing")); continue
+    con.close(); con = fresh_con()
     s = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
     scols = [d[0] for d in s.description]; srows = s.fetchall()
     try:
