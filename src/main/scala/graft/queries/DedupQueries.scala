@@ -105,14 +105,14 @@ object DedupQueries {
   /** embeddings ∪ 1.5×-scaled copy (cosine-invariant scaling → near-dups
     * with similarity ≈ 1). Float multiply is single-rounding in both
     * engines, so the variant vectors are bit-identical. */
-  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     e.unionByName(e.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
   }
 
-  private val embCorpusSql =
+  private[queries] val embCorpusSql =
     """corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL

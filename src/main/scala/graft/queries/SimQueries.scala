@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sim.Ann
+import graft.sim.{Ann, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
   * §2D6–D7). Query set = vectors with vec_id < 20; corpus = full table.
@@ -65,6 +65,15 @@ object SimQueries {
     // spec-asserted.
     "ann_ivf_probe" -> { (s, d) =>
       Ann.ivfProbe(s, ivfIndex(s, d), qset(s, d), k = 5, nProbe = 4)
+    },
+
+    // D28: SemDeDup over the planted-near-dup corpus (embeddings ∪
+    // cosine-invariant 1.5×-scaled copies — the dedup_embedding fixture):
+    // every scaled copy is a semantic duplicate of its original, so the
+    // sweep must drop exactly one of each pair, deterministically.
+    "dedup_semantic" -> { (s, d) =>
+      SemDedup.semanticDedup(DedupQueries.embCorpus(s, d),
+        nlist = 16, tau = 0.97)
     }
   )
 
@@ -119,8 +128,20 @@ object SimQueries {
     * final SELECT then mirrors the query plan itself: corpus cells =
     * rank-1 score, probe sets = rank ≤ nProbe, cosine + (sim DESC, c_id)
     * ranking identical to ann_topk's verified fold. */
-  private def ivfOracleSql(nlist: Int, sampleN: Int, iters: Int, dims: Int,
-                           k: Int, nProbe: Int): String = {
+  /** The k-means-replay CTE chain, generalized over its corpus: `ncSql`
+    * must define a CTE `nc(id, e)` (id BIGINT, e a float list). Emits
+    * every CTE from the md5-ranked sample through `cent(cell, c)` — the
+    * trained centroids as DOUBLE lists — so both the IVF oracles (raw
+    * embeddings) and the SemDeDup oracle (unit-normalized union corpus)
+    * replay the identical [[graft.sim.Ann.seededCentroids]] training.
+    *
+    * Callers rewrite every `AS (` to `AS MATERIALIZED (`: DuckDB inlines
+    * CTEs by default, and in this chain `sd`/`nc` are referenced from
+    * every unrolled iteration block — inlined, the replay re-runs the
+    * upstream chain per reference (35 s, or an allocator OOM with the
+    * normalization lambdas); materialized it is linear (~1 s). */
+  private def kmeansSql(ncSql: String, nlist: Int, sampleN: Int, iters: Int,
+                        dims: Int): String = {
     val iterBlocks = (1 to iters).map { t =>
       val prev = s"c${t - 1}"
       s"""sc$t AS (
@@ -141,17 +162,13 @@ object SimQueries {
          |  SELECT p.cell, p.i, COALESCE(n.cx, p.cx) AS cx
          |  FROM $prev p LEFT JOIN u$t n ON p.cell = n.cell AND p.i = n.i)""".stripMargin
     }.mkString(",\n")
-    val assignScore =
-      s"""list_sum(list_transform(generate_series(1, $dims), i -> c[i] * c[i])) -
-         |    2 * list_sum(list_transform(generate_series(1, $dims),
-         |          i -> CAST(ce[i] AS DOUBLE) * c[i]))""".stripMargin
-    s"""WITH dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
+    s"""dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
+       |$ncSql,
        |samp AS (
        |  SELECT id, e, rk FROM (
-       |    SELECT vec_id AS id, embedding AS e,
-       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-       |        AS rk
-       |    FROM embeddings) WHERE rk <= $sampleN),
+       |    SELECT id, e,
+       |      row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+       |    FROM nc) WHERE rk <= $sampleN),
        |sd AS (
        |  SELECT id, i, CAST(e[i] AS DOUBLE) AS x FROM samp CROSS JOIN dims),
        |c0 AS (
@@ -159,11 +176,25 @@ object SimQueries {
        |  FROM samp CROSS JOIN dims WHERE rk <= $nlist),
        |$iterBlocks,
        |cent AS (
-       |  SELECT cell, list(cx ORDER BY i) AS c FROM c$iters GROUP BY cell),
+       |  SELECT cell, list(cx ORDER BY i) AS c FROM c$iters GROUP BY cell)""".stripMargin
+  }
+
+  /** Assignment score vs a `cent` row: |c|² − 2·e·c, both folds
+    * i-ascending — the exact fold of Ann.centScores. */
+  private def assignScoreSql(e: String, dims: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $dims), i -> c[i] * c[i])) -
+       |    2 * list_sum(list_transform(generate_series(1, $dims),
+       |          i -> CAST($e[i] AS DOUBLE) * c[i]))""".stripMargin
+
+  private def ivfOracleSql(nlist: Int, sampleN: Int, iters: Int, dims: Int,
+                           k: Int, nProbe: Int): String = {
+    s"""WITH ${kmeansSql(
+         "nc AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+         nlist, sampleN, iters, dims)},
        |csc AS (
-       |  SELECT e.vec_id AS c_id, e.embedding AS ce, cent.cell,
-       |    $assignScore AS score
-       |  FROM embeddings e CROSS JOIN cent),
+       |  SELECT nc.id AS c_id, nc.e AS ce, cent.cell,
+       |    ${assignScoreSql("nc.e", dims)} AS score
+       |  FROM nc CROSS JOIN cent),
        |corp AS (
        |  SELECT c_id, ce, cell FROM (
        |    SELECT c_id, ce, cell,
@@ -186,9 +217,58 @@ object SimQueries {
        |  FROM sims)
        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
        |FROM ranked WHERE rank <= $k""".stripMargin
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
+  /** Mirror of SemDedup.semanticDedup over the embCorpus fixture: the
+    * corpus is unit-normalized (CAST-to-float single rounding), the
+    * k-means replay trains on the normalized vectors, and the sweep is
+    * the same priority self-join — every float step order-pinned, so
+    * cells, scores and verdicts match bit-for-bit. */
+  private def semanticOracleSql(nlist: Int, sampleN: Int, iters: Int,
+                                dims: Int, tau: Double): String = {
+    val nc =
+      s"""${DedupQueries.embCorpusSql},
+         |nrm AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nv
+         |  FROM corpus),
+         |nc AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(CAST(x AS DOUBLE) / nv AS FLOAT)) AS e
+         |  FROM nrm)""".stripMargin
+    val dot =
+      s"""list_sum(list_transform(generate_series(1, $dims),
+         |      i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))""".stripMargin
+    s"""WITH ${kmeansSql(nc, nlist, sampleN, iters, dims)},
+       |csc AS (
+       |  SELECT nc.id, nc.e, cent.cell,
+       |    ${assignScoreSql("nc.e", dims)} AS score
+       |  FROM nc CROSS JOIN cent),
+       |asn AS (
+       |  SELECT id, e, cell, score FROM (
+       |    SELECT id, e, cell, score,
+       |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+       |    FROM csc) WHERE r = 1),
+       |drp AS (
+       |  SELECT DISTINCT a.id FROM asn a JOIN asn b ON a.cell = b.cell
+       |    AND (b.score < a.score OR (b.score = a.score AND b.id < a.id))
+       |    AND $dot >= CAST('$tau' AS DOUBLE))
+       |SELECT asn.id AS vec_id, asn.cell,
+       |  floor((asn.score) * 10000 + 0.5) / 10000.0 AS cdist,
+       |  (drp.id IS NULL) AS kept
+       |FROM asn LEFT JOIN drp ON asn.id = drp.id""".stripMargin
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
   val oracle: Map[String, String] = Map(
+
+    // Mirrors SemDedup.semanticDedup(nlist=16, tau=0.97) with the seeded
+    // quantizer's defaults — see semanticOracleSql.
+    "dedup_semantic" -> semanticOracleSql(nlist = 16, sampleN = 256,
+      iters = 5, dims = 64, tau = 0.97),
 
     // Mirrors Ann.ivfTopK(k=5, nlist=16, nProbe=4) with the seeded
     // quantizer's defaults (sampleN=256, iters=5) — see ivfOracleSql.
