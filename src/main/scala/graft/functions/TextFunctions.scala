@@ -140,6 +140,59 @@ object TextFunctions {
         concat_ws(" ", slice(toks, k * step + 1, lit(width))).as("text")))
   }
 
+  /** Gopher's document-quality stop-word list (Rae et al. 2021, A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** D29: the full Gopher quality-rule battery (Rae et al. 2021,
+    * Appendix A1.1) as one struct of per-document signals plus the
+    * combined verdict — the standard pre-training heuristic filter set:
+    *
+    *  - word count in [50, 100 000]
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio ('#' or '…'-as-'...') ≤ 0.1
+    *  - ≤ 90 % of lines start with a bullet, ≤ 30 % end with an ellipsis
+    *  - ≥ 80 % of words contain an alphabetic character
+    *  - ≥ 2 distinct Gopher stop words present
+    *
+    * Map-only higher-order column math (scan → project, no shuffle, no
+    * UDF). Every ratio is a single double division of integer-exact
+    * counts, so the signals — and therefore the boolean verdict — are
+    * bit-identical cross-engine; occurrence counts use non-regex
+    * `replace` length deltas (leftmost non-overlapping in both engines).
+    */
+  def gopherSignals(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val meanWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEll = (length(text) - length(replace(text, lit("..."), lit(""))))
+      .cast("double") / 3.0
+    val symbolRatio = (nHash + nEll) / nWords
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isin(gopherStopwords.map(lit(_)): _*)))
+    struct(
+      nWords.as("n_words"),
+      meanWlen.as("mean_wlen"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords.between(50, 100000) && meanWlen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("pass"))
+  }
+
   /** D24: sequence packing — assign each document to a fixed token-budget
     * pack within its source (the "pack documents into ~N-token training
     * sequences" step that precedes batching in an LLM data pipeline).

@@ -105,6 +105,21 @@ object TextQueries {
           col("col.start").as("start"), col("col.text").as("chunk"))
     },
 
+    // D29: the full Gopher heuristic filter battery — every signal plus
+    // the combined verdict per document, map-only.
+    "text_gopher_rules" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"), gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          Exact.rnd4(col("g.mean_wlen")).as("mean_wlen"),
+          Exact.rnd4(col("g.symbol_ratio")).as("symbol_ratio"),
+          Exact.rnd4(col("g.bullet_frac")).as("bullet_frac"),
+          Exact.rnd4(col("g.ellipsis_frac")).as("ellipsis_frac"),
+          Exact.rnd4(col("g.alpha_frac")).as("alpha_frac"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.pass").as("pass"))
+    },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -317,6 +332,46 @@ object TextQueries {
         |         / len(grams)
         |    ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS top_bigram_frac
         |FROM g""".stripMargin,
+
+    // Mirror of TextFunctions.gopherSignals: integer-exact counts, one
+    // double division per ratio, verdict on the unrounded values.
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+        |      AS mean_wlen,
+        |    ((length(text) - length(replace(text, '#', ''))) +
+        |     CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+        |       / 3.0) / len(toks) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+        |        OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+        |      / len(lines) AS bullet_frac,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |      / len(lines) AS ellipsis_frac,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |        AS DOUBLE) / len(toks) AS alpha_frac,
+        |    len(list_filter(list_distinct(toks), w -> w IN
+        |      ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+        |      AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  floor((mean_wlen) * 10000 + 0.5) / 10000.0 AS mean_wlen,
+        |  floor((symbol_ratio) * 10000 + 0.5) / 10000.0 AS symbol_ratio,
+        |  floor((bullet_frac) * 10000 + 0.5) / 10000.0 AS bullet_frac,
+        |  floor((ellipsis_frac) * 10000 + 0.5) / 10000.0 AS ellipsis_frac,
+        |  floor((alpha_frac) * 10000 + 0.5) / 10000.0 AS alpha_frac,
+        |  stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |   AND stop_hits >= 2) AS pass
+        |FROM s""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (

@@ -47,4 +47,44 @@ class TextSpec extends SparkSpec {
       TextFunctions.packBySource(
         spark.range(1).toDF("doc_id"), budget = 0))
   }
+
+  private def gopher(text: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(TextFunctions.gopherSignals(col("text")).as("g"))
+      .select("g.*").head()
+  }
+
+  // a clean 60-word English-ish doc that satisfies every Gopher rule
+  private val goodDoc =
+    (("the cat sat with the dog and that was fine to see " * 6).trim)
+
+  test("gopher battery: a clean document passes every rule") {
+    val g = gopher(goodDoc)
+    assert(g.getAs[Boolean]("pass"))
+    assert(g.getAs[Int]("n_words") == 72 && g.getAs[Int]("stop_hits") >= 2)
+    assert(g.getAs[Double]("alpha_frac") == 1.0)
+  }
+
+  test("gopher battery: each rule fails independently") {
+    // too short
+    assert(!gopher("the cat sat with a hat").getAs[Boolean]("pass"))
+    // symbol ratio: a '#' per word blows the 0.1 cap
+    val hashy = goodDoc.split(" ").map(_ + " #").mkString(" ")
+    assert(gopher(hashy).getAs[Double]("symbol_ratio") > 0.1)
+    // bullet lines: every line bulleted > 90 %
+    val bullets = (1 to 4).map(i => s"- item $i").mkString("\n")
+    assert(gopher(bullets).getAs[Double]("bullet_frac") == 1.0)
+    // ellipsis line endings
+    val ell = "the start...\nthe middle...\nthe end"
+    assert(math.abs(gopher(ell).getAs[Double]("ellipsis_frac") - 2.0 / 3) < 1e-9)
+    // alphabetic-word fraction: all-numeric words
+    val nums = (1 to 60).map(_.toString).mkString(" ")
+    val gn = gopher(nums)
+    assert(gn.getAs[Double]("alpha_frac") == 0.0 && !gn.getAs[Boolean]("pass"))
+    // stop words: long alpha doc with none of the Gopher list
+    val noStop = ("lorem ipsum dolor sit amet " * 12).trim
+    val gs = gopher(noStop)
+    assert(gs.getAs[Int]("stop_hits") < 2 && !gs.getAs[Boolean]("pass"))
+  }
 }
