@@ -221,4 +221,45 @@ object TextFunctions {
       .select(col(idCol), col(srcCol), col("n_tokens"),
         (col("_before") / budget).cast("long").as("pack_id"))
   }
+
+  /** D30: unigram language-model fluency score — the KenLM-perplexity
+    * quality filter of CCNet-style curation pipelines, reduced to the
+    * model that needs no external artifact: the corpus's own unigram
+    * distribution. Two passes:
+    *
+    *  1. train: one token count aggregate (partial-agg shuffle keyed on
+    *     token, O(vocab) result); tokens below `minCount` fall out of the
+    *     vocabulary. The corpus token total is the only driver scalar.
+    *  2. score: tokens re-join the vocabulary BROADCAST (map-side; the
+    *     vocabulary is the bounded artifact, the corpus never reshuffles
+    *     for the lookup), p(tok) = cnt/total with out-of-vocabulary
+    *     tokens at 1/total, and each document aggregates
+    *     mean(−ln p) + OOV rate in ONE groupBy(doc).
+    *
+    * The per-document mean uses the Exact decimal-sum playbook, so it is
+    * order-independent — no positional sort is needed and the DuckDB
+    * mirror is a plain aggregate. High scores = improbable token streams
+    * (boilerplate, noise, wrong language); the threshold consumers cut on.
+    */
+  def unigramLmScore(docs: org.apache.spark.sql.DataFrame, minCount: Long = 2,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"unigramLmScore: minCount must be >= 1")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counted = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // total spans the WHOLE corpus (vocab + OOV occurrences): the sum of
+    // per-token counts before the minCount cut — one O(1) driver scalar
+    val total = counted.agg(sum("cnt")).head().getLong(0)
+    val vocab = counted.filter(col("cnt") >= minCount)
+    val p = coalesce(col("cnt"), lit(1L)).cast("double") / lit(total.toDouble)
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col(idCol), (-log(p)).as("_lp"), col("cnt").isNull.as("_oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.core.Exact.rnd4(
+          sum(col("_oov").cast("int")).cast("double") / count(lit(1)))
+          .as("oov_rate"),
+        graft.core.Exact.rnd4(graft.core.Exact.eavg(col("_lp")))
+          .as("lm_score"))
+  }
 }

@@ -120,6 +120,10 @@ object TextQueries {
           col("g.pass").as("pass"))
     },
 
+    // D30: unigram-LM fluency score (the KenLM-perplexity-filter analog):
+    // corpus-trained unigram counts broadcast back over the corpus.
+    "text_lm_score" -> { (s, d) => unigramLmScore(docs(s, d)) },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -372,6 +376,30 @@ object TextQueries {
         |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
         |   AND stop_hits >= 2) AS pass
         |FROM s""".stripMargin,
+
+    // Mirror of TextFunctions.unigramLmScore(minCount=2): same unigram
+    // training, OOV floor at 1/total, decimal-exact order-independent mean.
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, toks[k] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(toks))) AS g(k)),
+        |counted AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM counted),
+        |vocab AS (SELECT tok, cnt FROM counted WHERE cnt >= 2),
+        |lp AS (
+        |  SELECT doc_id,
+        |    -ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / CAST(total AS DOUBLE))
+        |      AS lp,
+        |    v.cnt IS NULL AS oov
+        |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((CAST(sum(CAST(oov AS INT)) AS DOUBLE) / count(*))
+        |    * 10000 + 0.5) / 10000.0 AS oov_rate,
+        |  floor((CAST(sum(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+        |    * 10000 + 0.5) / 10000.0 AS lm_score
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (

@@ -87,4 +87,20 @@ class TextSpec extends SparkSpec {
     val gs = gopher(noStop)
     assert(gs.getAs[Int]("stop_hits") < 2 && !gs.getAs[Boolean]("pass"))
   }
+
+  test("unigram lm score: hand-computed probabilities and oov handling") {
+    import spark.implicits._
+    // tokens: a×3, b×1, c×1 → total 5; vocab(minCount=2) = {a: 3};
+    // b and c are OOV and score at p = 1/total
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = TextFunctions.unigramLmScore(docs, minCount = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val lpA = -math.log(3.0 / 5.0); val lpOov = -math.log(1.0 / 5.0)
+    assert(r(0L).getAs[Double]("lm_score") == rnd4((2 * lpA + lpOov) / 3))
+    assert(r(0L).getAs[Double]("oov_rate") == rnd4(1.0 / 3))
+    assert(r(1L).getAs[Double]("lm_score") == rnd4((lpA + lpOov) / 2))
+    // the doc leaning on the common token is the more "fluent" one
+    assert(r(0L).getAs[Double]("lm_score") < r(1L).getAs[Double]("lm_score"))
+  }
 }
