@@ -222,6 +222,48 @@ object TextFunctions {
         (col("_before") / budget).cast("long").as("pack_id"))
   }
 
+  /** D31: corpus mixing to a token budget — the "data mixture" step of
+    * LLM training (The Pile / DoReMi-style source weights): each source
+    * gets `floor(weight × totalBudget)` tokens, filled greedily by
+    * documents in a deterministic pseudo-random epoch order (md5 of the
+    * id — the [[hashSampleKeep]] trick applied to ordering, so the mix
+    * is reproducible across engines, runs and cluster sizes, and a
+    * budget increase only APPENDS documents, never reshuffles the
+    * prefix). A document that straddles its source's boundary is kept
+    * (overflow fill, like [[packBySource]]); a zero-weight source is
+    * excluded entirely.
+    *
+    * Scale shape: ONE window partitioned by source (hash shuffle +
+    * per-source sort) — sources are independent, so the mix of a 100 TB
+    * corpus parallelizes across sources and skewed sources can be
+    * salted upstream. Per-source budgets are plan-time literals.
+    */
+  def mixToBudget(docs: org.apache.spark.sql.DataFrame,
+                  weights: Seq[(String, Double)], defaultWeight: Double,
+                  totalBudget: Long, srcCol: String = "source",
+                  idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(totalBudget > 0, s"mixToBudget: budget must be positive")
+    require((weights.map(_._2) :+ defaultWeight).forall(_ >= 0.0),
+      "mixToBudget: weights must be non-negative")
+    val budget = weights.foldRight(
+      lit(math.floor(defaultWeight * totalBudget).toLong)) {
+      case ((s, w), acc) => when(col(srcCol) === s,
+        lit(math.floor(w * totalBudget).toLong)).otherwise(acc)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(srcCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("tokens_before"))
+  }
+
   /** D30: unigram language-model fluency score — the KenLM-perplexity
     * quality filter of CCNet-style curation pipelines, reduced to the
     * model that needs no external artifact: the corpus's own unigram

@@ -16,6 +16,15 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** D31 mix fixture: an up-weighted source, a lightly-weighted one, an
+    * excluded one, everything else on the default weight. Budgets are
+    * floor(w × total) LONG literals computed HERE so the oracle CASE
+    * inlines the identical numbers. */
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.30, "src1" -> 0.15, "src2" -> 0.05, "src3" -> 0.0)
+  private val mixDefaultWeight = 0.025
+  private val mixBudget = 8000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D10: whitespace + BPE-ish token counting, chars/4 estimator.
@@ -123,6 +132,12 @@ object TextQueries {
     // D30: unigram-LM fluency score (the KenLM-perplexity-filter analog):
     // corpus-trained unigram counts broadcast back over the corpus.
     "text_lm_score" -> { (s, d) => unigramLmScore(docs(s, d)) },
+
+    // D31: source mixing to a token budget — up-weighted, down-weighted,
+    // defaulted and excluded sources in one mix.
+    "text_mix" -> { (s, d) =>
+      mixToBudget(docs(s, d), mixWeights, mixDefaultWeight, mixBudget)
+    },
 
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
@@ -376,6 +391,29 @@ object TextQueries {
         |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
         |   AND stop_hits >= 2) AS pass
         |FROM s""".stripMargin,
+
+    // Mirror of TextFunctions.mixToBudget over the mixWeights fixture:
+    // identical floor(w×total) budget literals, identical md5 epoch
+    // order, window-sum CAST to BIGINT (the HUGEINT lesson).
+    "text_mix" -> {
+      val cases = mixWeights.map { case (s, w) =>
+        s"WHEN '$s' THEN ${math.floor(w * mixBudget).toLong}"
+      }.mkString(" ")
+      val dflt = math.floor(mixDefaultWeight * mixBudget).toLong
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tokens_before FROM c
+        |WHERE tokens_before < (CASE source $cases ELSE $dflt END)""".stripMargin
+    },
 
     // Mirror of TextFunctions.unigramLmScore(minCount=2): same unigram
     // training, OOV floor at 1/total, decimal-exact order-independent mean.

@@ -88,6 +88,29 @@ class TextSpec extends SparkSpec {
     assert(gs.getAs[Int]("stop_hits") < 2 && !gs.getAs[Boolean]("pass"))
   }
 
+  test("mix to budget: overflow fill, exclusion, and append-only growth") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"src${i % 3}", ("w " * 10).trim) // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    val mix = TextFunctions.mixToBudget(docs,
+      Seq("src0" -> 0.5, "src2" -> 0.0), defaultWeight = 0.25,
+      totalBudget = 50)
+    val by = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0: budget 25 → docs at before 0, 10, 20 (overflow) = 3 docs
+    assert(by.get("src0").contains(3L))
+    // default: budget 12 → before 0, 10 = 2 docs; excluded: absent
+    assert(by.get("src1").contains(2L) && !by.contains("src2"))
+    // growing the budget only appends: the smaller mix is a subset
+    val bigger = TextFunctions.mixToBudget(docs,
+      Seq("src0" -> 0.5, "src2" -> 0.0), defaultWeight = 0.25,
+      totalBudget = 90)
+    assert(mix.join(bigger, Seq("doc_id"), "left_anti").count() == 0)
+    intercept[IllegalArgumentException](
+      TextFunctions.mixToBudget(docs, Nil, -0.1, 10))
+  }
+
   test("unigram lm score: hand-computed probabilities and oov handling") {
     import spark.implicits._
     // tokens: a×3, b×1, c×1 → total 5; vocab(minCount=2) = {a: 3};
