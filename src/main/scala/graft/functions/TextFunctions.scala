@@ -264,6 +264,41 @@ object TextFunctions {
       .select(col(idCol), col(srcCol), col("n_tokens"), col("tokens_before"))
   }
 
+  /** D32: tf-idf keyword extraction — the top-k most characteristic
+    * terms per document (smoothed idf, sklearn-style
+    * `ln((N+1)/(df+1)) + 1`), the classic retrieval/tagging primitive a
+    * curation pipeline uses for topic tagging and near-topic grouping.
+    *
+    * Shape: per-doc term counts in one (doc, term) partial-agg shuffle;
+    * document frequencies aggregate FROM that result (O(vocab), never a
+    * second corpus pass) and come back as a BROADCAST; the only other
+    * shuffle is the per-doc top-k window. Ties rank by term ascending,
+    * so the output is deterministic cross-engine.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, "tfidfTopTerms: k must be positive")
+    val nDocs = docs.count()
+    val tc = docs
+      .select(col(idCol), size(tokens(col(textCol))).as("n"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("n"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(nDocs.toDouble + 1.0) /
+      (col("df").cast("double") + 1.0)) + 1.0
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tc.join(broadcast(df), Seq("term"))
+      .select(col(idCol), col("term"),
+        ((col("cnt").cast("double") / col("n")) * idf).as("score"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        graft.core.Exact.rnd4(col("score")).as("score"))
+  }
+
   /** D30: unigram language-model fluency score — the KenLM-perplexity
     * quality filter of CCNet-style curation pipelines, reduced to the
     * model that needs no external artifact: the corpus's own unigram

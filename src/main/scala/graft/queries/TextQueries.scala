@@ -139,6 +139,9 @@ object TextQueries {
       mixToBudget(docs(s, d), mixWeights, mixDefaultWeight, mixBudget)
     },
 
+    // D32: tf-idf top-3 characteristic terms per document.
+    "text_tfidf" -> { (s, d) => tfidfTopTerms(docs(s, d), k = 3) },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -414,6 +417,33 @@ object TextQueries {
         |SELECT doc_id, source, n_tokens, tokens_before FROM c
         |WHERE tokens_before < (CASE source $cases ELSE $dflt END)""".stripMargin
     },
+
+    // Mirror of TextFunctions.tfidfTopTerms(k=3): identical smoothed-idf
+    // arithmetic order, (score DESC, term ASC) tie-break.
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tok AS (
+        |  SELECT doc_id, len(toks) AS n, toks[k] AS term
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS g(k)),
+        |tc AS (
+        |  SELECT doc_id, n, term, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    (CAST(cnt AS DOUBLE) / n) *
+        |    (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |     + 1.0) AS score
+        |  FROM tc JOIN df USING (term) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term,
+        |  floor((score) * 10000 + 0.5) / 10000.0 AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // Mirror of TextFunctions.unigramLmScore(minCount=2): same unigram
     // training, OOV floor at 1/total, decimal-exact order-independent mean.

@@ -111,6 +111,22 @@ class TextSpec extends SparkSpec {
       TextFunctions.mixToBudget(docs, Nil, -0.1, 10))
   }
 
+  test("tf-idf: hand-computed scores and rank order") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = TextFunctions.tfidfTopTerms(docs, k = 2).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("rank")) ->
+        (x.getAs[String]("term"), x.getAs[Double]("score"))).toMap
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val idfRare = math.log(3.0 / 2.0) + 1.0 // df=1, N=2
+    // d0: a scores 2/3·1 (idf of a is ln(3/3)+1 = 1); b scores 1/3·idfRare
+    assert(r((0L, 1)) == ("a", rnd4(2.0 / 3)))
+    assert(r((0L, 2)) == ("b", rnd4(1.0 / 3 * idfRare)))
+    // d1: the rare term outranks the common one
+    assert(r((1L, 1)) == ("c", rnd4(0.5 * idfRare)))
+    assert(r((1L, 2)) == ("a", rnd4(0.5)))
+  }
+
   test("unigram lm score: hand-computed probabilities and oov handling") {
     import spark.implicits._
     // tokens: a×3, b×1, c×1 → total 5; vocab(minCount=2) = {a: 3};
