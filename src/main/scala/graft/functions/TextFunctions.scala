@@ -270,10 +270,12 @@ object TextFunctions {
     * curation pipeline uses for topic tagging and near-topic grouping.
     *
     * Shape: per-doc term counts in one (doc, term) partial-agg shuffle;
-    * document frequencies aggregate FROM that result (O(vocab), never a
-    * second corpus pass) and come back as a BROADCAST; the only other
-    * shuffle is the per-doc top-k window. Ties rank by term ascending,
-    * so the output is deterministic cross-engine.
+    * document frequency is a window count over THOSE aggregated rows
+    * (an O(doc-terms) shuffle on term — the corpus is scanned and
+    * tokenized exactly once; a separate df table would re-derive the
+    * whole aggregate for its build side); the only other shuffle is the
+    * per-doc top-k window. Ties rank by term ascending, so the output
+    * is deterministic cross-engine.
     */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text")
@@ -285,12 +287,12 @@ object TextFunctions {
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("n"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val idf = log(lit(nDocs.toDouble + 1.0) /
       (col("df").cast("double") + 1.0)) + 1.0
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
-    tc.join(broadcast(df), Seq("term"))
+    tc.withColumn("df", count(lit(1)).over(dfWin))
       .select(col(idCol), col("term"),
         ((col("cnt").cast("double") / col("n")) * idf).as("score"))
       .withColumn("rank", row_number().over(win))
