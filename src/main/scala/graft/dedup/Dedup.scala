@@ -243,6 +243,47 @@ object Dedup {
           col("n_grams").cast("double")).as("dup_ratio"))
   }
 
+  /** D33: exact duplicated-span REMOVAL — the remediation step of Lee et
+    * al.: rewrite each document with every token that lies inside a
+    * cross-document duplicated `w`-token window dropped (token t is
+    * covered iff some duplicated window starts in [t−w+1, t]). The
+    * detection pipeline is [[dupSpans]]'s (map-side 16-hex gram hashing,
+    * one corpus pass, gram-keyed carrier counts, no pair explode);
+    * removal adds one per-doc aggregate of duplicated START positions
+    * and a map-side array rebuild — coverage is evaluated with
+    * higher-order functions over the document's own token array
+    * (O(tokens · dup-starts) per document, document-bounded like every
+    * per-doc array op here, zero extra shuffle).
+    *
+    * Output keeps the evidence a pipeline wants: original token count,
+    * removed-token count, and the cleaned text (kept tokens re-joined —
+    * the tokenizer's inverse, so an undamaged doc round-trips).
+    */
+  def removeDupSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = docs.select(col(idCol), posexplode(transform(
+        TextFunctions.shingles(toks, w),
+        s => substring(md5(s), 1, 16))))
+      .select(col(idCol), (col("pos") + 1).as("s"), col("col").as("gram"))
+    // carriers = DISTINCT docs per gram (a window repeated only WITHIN
+    // one doc is not a cross-document duplicate — dupSpans' semantics)
+    val carriers = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("_carriers"))
+    val dupStarts = grams.join(carriers.hint("shuffle_hash"), Seq("gram"))
+      .filter(col("_carriers") > 1)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("s"))).as("_starts"))
+    val ds = coalesce(col("_starts"), array().cast("array<int>"))
+    val keptIdx = filter(sequence(lit(1), size(toks)),
+      i => !exists(ds, s => s <= i && i <= s + lit(w - 1)))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), size(toks).as("n_tokens"),
+        (size(toks) - size(keptIdx)).as("n_removed"),
+        concat_ws(" ", transform(keptIdx, i => element_at(toks, i)))
+          .as("clean_text"))
+  }
+
   // ---- D19: benchmark decontamination -------------------------------------
 
   /** Training-data decontamination: flag corpus documents that share any

@@ -167,6 +167,11 @@ object DedupQueries {
     // are flagged nearly wall-to-wall.
     "dedup_spans" -> { (s, d) => Dedup.dupSpans(nearCorpus(s, d), w = 8) },
 
+    // D33: the remediation — duplicated spans cut out of the text itself.
+    "dedup_span_removal" -> { (s, d) =>
+      Dedup.removeDupSpans(nearCorpus(s, d), w = 8)
+    },
+
     "dedup_clusters" -> { (s, d) =>
       Dedup.resolveClusters(
         Dedup.minhashCandidates(Dedup.minhashSignatures(clusterCorpus(s, d)))
@@ -277,6 +282,35 @@ object DedupQueries {
         |    AS dup_ratio
         |FROM pdg JOIN own USING (gram)
         |GROUP BY 1""".stripMargin,
+
+    // Mirror of Dedup.removeDupSpans(w=8): same gram hashing, distinct
+    // carrier counts, and the coverage rebuild over kept token indices.
+    "dedup_span_removal" ->
+      s"""WITH $nearCorpusSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, k AS s,
+        |    substr(md5(array_to_string(t[k:k+7], ' ')), 1, 16) AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(k)),
+        |car AS (
+        |  SELECT gram, count(*) AS carriers
+        |  FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1),
+        |ds AS (
+        |  SELECT g.doc_id, list(g.s ORDER BY g.s) AS starts
+        |  FROM grams g JOIN car USING (gram) WHERE carriers > 1
+        |  GROUP BY 1),
+        |cov AS (
+        |  SELECT toks.doc_id, t,
+        |    list_filter(generate_series(1, len(t)), i ->
+        |      len(list_filter(COALESCE(starts, CAST([] AS BIGINT[])),
+        |        s -> s <= i AND i <= s + 7)) = 0) AS kept
+        |  FROM toks LEFT JOIN ds USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(len(t) - len(kept) AS INT) AS n_removed,
+        |  COALESCE(array_to_string(list_transform(kept, i -> t[i]), ' '), '')
+        |    AS clean_text
+        |FROM cov""".stripMargin,
 
     "dedup_simhash" -> {
       val bitSums = (1 to 32).map { i =>

@@ -88,4 +88,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingNearDups(embs, maxBucket = 50).count() == 0)
     assert(Dedup.embeddingNearDups(embs, maxBucket = 1024).count() > 0)
   }
+
+  test("span removal cuts exactly the shared window, nothing else") {
+    import spark.implicits._
+    // docs 0 and 1 share one 4-token window ("c d e f") mid-text;
+    // doc 2 shares nothing; doc 3 repeats a window only WITHIN itself
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y c d e f z w"),
+      (2L, "p q r s t u v"),
+      (3L, "m n o k m n o k m n o k")).toDF("doc_id", "text")
+    val r = Dedup.removeDupSpans(docs, w = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_removed"), x.getAs[String]("clean_text"))).toMap
+    // the window covers tokens 3..6 (start 3, width 4) in both carriers
+    assert(r(0L) == (4, "a b g h"))
+    assert(r(1L) == (4, "x y z w"))
+    // untouched doc round-trips verbatim
+    assert(r(2L) == (0, "p q r s t u v"))
+    // within-doc repetition is not a CROSS-document duplicate
+    assert(r(3L)._1 == 0)
+  }
+
+  test("span removal: overlapping dup windows merge their coverage") {
+    import spark.implicits._
+    // both docs share two OVERLAPPING 4-windows ("b c d e", "c d e f"):
+    // coverage is their union (tokens 2..7), not double-counted
+    val docs = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "z b c d e f y")).toDF("doc_id", "text")
+    val r = Dedup.removeDupSpans(docs, w = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_removed"), x.getAs[String]("clean_text"))).toMap
+    assert(r(0L) == (5, "a g"))
+    assert(r(1L) == (5, "z y"))
+  }
 }
