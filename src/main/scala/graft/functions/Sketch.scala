@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.util.{TreeSet => JTreeSet}
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bottom-k distinct-string aggregate — the KMV (k-minimum-values)
+  * distinct-count sketch (Bar-Yossef et al. 2002; the bottom-k variant of
+  * Beyer et al. 2007) as a native Catalyst aggregate.
+  *
+  * State is a bounded sorted set of the k lexicographically smallest
+  * DISTINCT input strings — O(k) per group regardless of cardinality,
+  * partial-aggregated map-side and MERGEABLE by construction (union two
+  * sketches, keep the k smallest): the property that lets a 100 TB lake
+  * keep per-partition/per-day sketches and answer "distinct across any
+  * combination" without rescanning. Fed md5(value) hex strings, the
+  * k-th smallest hash estimates cardinality as (k−1)/unit(h_k) — and
+  * because md5 is the shared cross-engine primitive, the ENTIRE sketch
+  * (not just the estimate) is deterministic and DuckDB-replayable,
+  * unlike HLL-style register sketches whose hash is engine-internal.
+  */
+case class BottomKSketch(child: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[JTreeSet[String]] {
+
+  require(k > 0, s"bottomK: k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bottomK expects a string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): JTreeSet[String] =
+    new JTreeSet[String]()
+
+  private def add(buf: JTreeSet[String], s: String): Unit = {
+    if (buf.size < k) { buf.add(s); () }
+    else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.pollLast(); () }
+  }
+
+  override def update(buf: JTreeSet[String],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : JTreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: JTreeSet[String],
+                     other: JTreeSet[String]): JTreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: JTreeSet[String]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out) // ascending — TreeSet iteration order
+  }
+
+  override def serialize(buf: JTreeSet[String]): Array[Byte] = {
+    val sb = new StringBuilder
+    val it = buf.iterator()
+    while (it.hasNext) { sb.append(it.next()); sb.append('\n') }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  override def deserialize(bytes: Array[Byte]): JTreeSet[String] = {
+    val buf = new JTreeSet[String]()
+    new String(bytes, "UTF-8").split("\n").foreach { s =>
+      if (s.nonEmpty) buf.add(s)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "bottom_k"
+}
+
+object Sketch {
+  import GraftBridge.{toColumn, toExpression}
+
+  /** The k lexicographically smallest distinct values of a string column,
+    * ascending — O(k) state, map-side partials, mergeable. */
+  def bottomK(c: Column, k: Int): Column =
+    toColumn(BottomKSketch(toExpression(c), k).toAggregateExpression())
+
+  /** KMV cardinality estimate from a [[bottomK]] sketch of md5-hex
+    * values: fewer than k hashes means the sketch IS the distinct set
+    * (exact count); otherwise (k−1) / unit(h_k) with unit = the first 8
+    * hex chars of the k-th smallest hash over 16⁸ — integer-exact
+    * numerators and ONE double division, so the estimate is
+    * bit-reproducible cross-engine. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+        conv(substring(element_at(sketch, k), 1, 8), 16, 10).cast("double"))
+}

@@ -142,6 +142,26 @@ object TextQueries {
     // D32: tf-idf top-3 characteristic terms per document.
     "text_tfidf" -> { (s, d) => tfidfTopTerms(docs(s, d), k = 3) },
 
+    // D34: KMV distinct sketch — per-source distinct 4-gram cardinality
+    // via the bottom-64 native aggregate (O(k) state, mergeable), with
+    // the exact count alongside so the estimate's accuracy is visible
+    // in the artifact itself.
+    "text_distinct_sketch" -> { (s, d) =>
+      val k = 64
+      docs(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingles(
+            tokens(col("text")), 4)).as("g"))
+        .groupBy("source")
+        .agg(graft.functions.Sketch.bottomK(md5(col("g")), k).as("_sk"),
+          countDistinct(col("g")).as("true_distinct"))
+        .select(col("source"), col("true_distinct"),
+          when(size(col("_sk")) >= k, element_at(col("_sk"), k))
+            .as("kth_hash"),
+          Exact.rnd4(graft.functions.Sketch.kmvEstimate(col("_sk"), k))
+            .as("est_distinct"))
+    },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -417,6 +437,37 @@ object TextQueries {
         |SELECT doc_id, source, n_tokens, tokens_before FROM c
         |WHERE tokens_before < (CASE source $cases ELSE $dflt END)""".stripMargin
     },
+
+    // Mirror of the bottom-64 KMV sketch: the k smallest distinct md5
+    // hashes per source are a DETERMINISTIC set, so the k-th hash and
+    // the (k−1)/unit estimate replay exactly (hex value via digit fold —
+    // integer-exact in doubles, one division).
+    "text_distinct_sketch" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(tk) - 3),
+        |    i -> array_to_string(tk[i:i+3], ' '))) AS g
+        |  FROM t WHERE len(tk) >= 4),
+        |d AS (SELECT DISTINCT source, md5(g) AS h FROM g),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM d),
+        |agg AS (
+        |  SELECT source, count(*) AS true_distinct,
+        |    max(CASE WHEN rk = 64 THEN h END) AS kth_hash
+        |  FROM r GROUP BY 1)
+        |SELECT source, true_distinct, kth_hash,
+        |  floor((CASE WHEN true_distinct < 64
+        |    THEN CAST(true_distinct AS DOUBLE)
+        |    ELSE (63.0 * 4294967296.0) / list_sum(list_transform(
+        |      generate_series(1, 8), i ->
+        |        (strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1)
+        |        * power(16.0, 8 - i)))
+        |    END) * 10000 + 0.5) / 10000.0 AS est_distinct
+        |FROM agg""".stripMargin,
 
     // Mirror of TextFunctions.tfidfTopTerms(k=3): identical smoothed-idf
     // arithmetic order, (score DESC, term ASC) tie-break.
