@@ -341,4 +341,58 @@ object TextFunctions {
         graft.core.Exact.rnd4(graft.core.Exact.eavg(col("_lp")))
           .as("lm_score"))
   }
+
+  /** D35: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"), reduced
+    * to the unigram feature space: score each document by how much more
+    * likely its tokens are under a TARGET-domain language model than
+    * under the whole-corpus model,
+    *
+    *   score(d) = Σ_tok ln p_t(tok)/p_c(tok)
+    *            = Σ_tok ln (cnt_t+1)/(cnt_c+1)  +  |d|·ln (N_c+V)/(N_t+V)
+    *
+    * with add-one smoothing over the joint vocabulary (V = corpus
+    * distinct tokens; the corpus model covers every token by
+    * construction, so only the target side needs the zero-count floor).
+    *
+    * Shape: two token-count aggregates (one corpus-wide, one filtered to
+    * the target slice — both O(vocab) results off a single tokenize
+    * pass), the merged vocabulary re-joins the corpus BROADCAST
+    * (map-side lookup, the corpus never reshuffles), per-doc decimal-sum
+    * so the score is order-independent, then ONE per-source window for
+    * the stratified top-k selection — sources are independent, so the
+    * selection is embarrassingly parallel at lake scale (no global
+    * sort). The smoothing constants are driver scalars, O(1).
+    */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame,
+                targetSource: String = "src0", perSourceK: Int = 5,
+                idCol: String = "doc_id", textCol: String = "text",
+                srcCol: String = "source")
+      : org.apache.spark.sql.DataFrame = {
+    require(perSourceK > 0, "dsirScore: perSourceK must be positive")
+    val tok = docs.select(col(idCol), col(srcCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val corpusCnt = tok.groupBy("tok").agg(count(lit(1)).as("c_cnt"))
+    val targetCnt = tok.filter(col(srcCol) === targetSource)
+      .groupBy("tok").agg(count(lit(1)).as("t_cnt"))
+    val head = corpusCnt.agg(count(lit(1)), sum("c_cnt")).head()
+    val (v, cTot) = (head.getLong(0), head.getLong(1))
+    val tTot = targetCnt.agg(coalesce(sum("t_cnt"), lit(0L))).head().getLong(0)
+    val lnK = math.log((cTot + v).toDouble / (tTot + v).toDouble)
+    val vocab = corpusCnt.join(targetCnt, Seq("tok"), "left")
+    val lp = log((coalesce(col("t_cnt"), lit(0L)) + 1L).cast("double") /
+      (col("c_cnt") + 1L).cast("double"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(col("score").desc, col(idCol).asc)
+    tok.join(broadcast(vocab), Seq("tok"))
+      .select(col(idCol), col(srcCol), lp.as("_lp"))
+      .groupBy(col(srcCol), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.core.Exact.esum(col("_lp")).as("_raw"))
+      .withColumn("score", col("_raw") + col("n_tokens") * lit(lnK))
+      .withColumn("rk", row_number().over(win))
+      .select(col(srcCol), col(idCol), col("n_tokens"),
+        graft.core.Exact.rnd4(col("score")).as("dsir_score"),
+        col("rk"), (col("rk") <= perSourceK).as("selected"))
+  }
 }

@@ -162,6 +162,10 @@ object TextQueries {
             .as("est_distinct"))
     },
 
+    // D35: DSIR importance weighting vs the src0 target domain, with
+    // per-source stratified top-5 selection.
+    "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -468,6 +472,42 @@ object TextQueries {
         |        * power(16.0, 8 - i)))
         |    END) * 10000 + 0.5) / 10000.0 AS est_distinct
         |FROM agg""".stripMargin,
+
+    // Mirror of TextFunctions.dsirScore(target='src0', k=5): identical
+    // add-one smoothing over the joint vocabulary, decimal-exact
+    // order-independent per-doc sum, (score DESC, doc_id ASC) tie-break.
+    "text_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, toks[k] AS tok
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(toks))) AS g(k)),
+        |cc AS (SELECT tok, count(*) AS c_cnt FROM tok GROUP BY tok),
+        |tc AS (SELECT tok, count(*) AS t_cnt FROM tok
+        |       WHERE source = 'src0' GROUP BY tok),
+        |sc AS (SELECT count(*) AS v, sum(c_cnt) AS c_tot FROM cc),
+        |st AS (SELECT COALESCE(sum(t_cnt), 0) AS t_tot FROM tc),
+        |lp AS (
+        |  SELECT doc_id, source,
+        |    ln(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+        |       / CAST(c.c_cnt + 1 AS DOUBLE)) AS lp
+        |  FROM tok JOIN cc c USING (tok) LEFT JOIN tc t USING (tok)),
+        |doc AS (
+        |  SELECT doc_id, source, count(*) AS n_tokens,
+        |    CAST(sum(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) AS raw
+        |  FROM lp GROUP BY 1, 2),
+        |sco AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    raw + n_tokens * ln(CAST(c_tot + v AS DOUBLE)
+        |                        / CAST(t_tot + v AS DOUBLE)) AS score
+        |  FROM doc CROSS JOIN sc CROSS JOIN st),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id ASC) AS rk FROM sco)
+        |SELECT source, doc_id, n_tokens,
+        |  floor((score) * 10000 + 0.5) / 10000.0 AS dsir_score,
+        |  rk, rk <= 5 AS selected
+        |FROM r""".stripMargin,
 
     // Mirror of TextFunctions.tfidfTopTerms(k=3): identical smoothed-idf
     // arithmetic order, (score DESC, term ASC) tie-break.

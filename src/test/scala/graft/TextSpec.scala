@@ -142,4 +142,28 @@ class TextSpec extends SparkSpec {
     // the doc leaning on the common token is the more "fluent" one
     assert(r(0L).getAs[Double]("lm_score") < r(1L).getAs[Double]("lm_score"))
   }
+
+  test("dsir: hand-computed importance scores and stratified selection") {
+    import spark.implicits._
+    // target = src0 = {a a b}; other = src1 = {a c, c c}
+    // corpus counts: a×3, b×1, c×3 → V=3, N_c=7; target: a×2, b×1, N_t=3
+    val docs = Seq((0L, "src0", "a a b"), (1L, "src1", "a c"),
+      (2L, "src1", "c c")).toDF("doc_id", "source", "text")
+    val r = TextFunctions.dsirScore(docs, targetSource = "src0",
+      perSourceK = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val lnK = math.log(10.0 / 6.0) // (N_c+V)/(N_t+V)
+    val lpA = math.log(3.0 / 4.0) // (2+1)/(3+1)
+    val lpB = math.log(2.0 / 2.0)
+    val lpC = math.log(1.0 / 4.0) // target-absent token
+    assert(r(0L).getAs[Double]("dsir_score") == rnd4(2 * lpA + lpB + 3 * lnK))
+    assert(r(1L).getAs[Double]("dsir_score") == rnd4(lpA + lpC + 2 * lnK))
+    assert(r(2L).getAs[Double]("dsir_score") == rnd4(2 * lpC + 2 * lnK))
+    // target-like doc outranks the target-absent one within src1
+    assert(r(1L).getAs[Int]("rk") == 1 && r(1L).getAs[Boolean]("selected"))
+    assert(r(2L).getAs[Int]("rk") == 2 && !r(2L).getAs[Boolean]("selected"))
+    intercept[IllegalArgumentException](
+      TextFunctions.dsirScore(docs, perSourceK = 0))
+  }
 }
