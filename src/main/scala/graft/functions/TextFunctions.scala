@@ -395,4 +395,41 @@ object TextFunctions {
         graft.core.Exact.rnd4(col("score")).as("dsir_score"),
         col("rk"), (col("rk") <= perSourceK).as("selected"))
   }
+
+  /** D36: hashed-feature linear text scorer — the fastText / DCLM-classifier
+    * SHAPE (Joulin et al. 2016; the model-based quality filter of
+    * DCLM/fineweb-edu pipelines): unigram + bigram features hashed into a
+    * fixed 16-bit bucket space (the hashing trick — collisions and all),
+    * one weight per bucket, score = mean feature weight, probability
+    * through a sigmoid. Entirely map-only higher-order column math: at
+    * 100 TB this is scan → project, zero shuffle, linear in executors.
+    *
+    * The weight vector is the same artifact convention as the LSH
+    * hyperplanes (Dedup.scala): data-independent md5-seeded values
+    * (`w(b) = fold32(md5("w:" + b))/2³² − ½`) that a trained artifact
+    * would replace 1:1 — the pipeline (hash → lookup → fold → sigmoid
+    * → threshold) is the real, tested part, and because md5 is the
+    * shared cross-engine primitive the WHOLE model replays in DuckDB.
+    * The per-doc fold is a strict left fold in feature order (tokens
+    * then bigrams) in both engines, so `feat_score` is bit-identical and
+    * the label threshold needs no rounding guard.
+    */
+  def hashedLinearScore(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val feats = concat(toks, shingles(toks, 2))
+    def bucket(f: Column): Column =
+      conv(substring(md5(f), 1, 4), 16, 10).cast("long")
+    def weight(b: Column): Column =
+      conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0) - lit(0.5)
+    val ws = transform(feats, f => weight(bucket(f)))
+    val m = aggregate(ws, lit(0.0), (acc, x) => acc + x) / size(ws)
+    docs.select(col(idCol), size(feats).as("n_feats"),
+      graft.core.Exact.rnd4(m).as("feat_score"),
+      graft.core.Exact.rnd4(
+        lit(1.0) / (lit(1.0) + exp(lit(-20.0) * m))).as("quality_prob"),
+      (m > 0.0).as("label"))
+  }
 }

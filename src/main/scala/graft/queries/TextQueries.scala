@@ -166,6 +166,9 @@ object TextQueries {
     // per-source stratified top-5 selection.
     "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
 
+    // D36: hashed-feature linear scorer (fastText-shape hashing trick).
+    "text_hashed_score" -> { (s, d) => hashedLinearScore(docs(s, d)) },
+
     // D9: quality scoring from length/stopword/word-length signals.
     "text_quality" -> { (s, d) =>
       val t = tokens(col("text"))
@@ -472,6 +475,41 @@ object TextQueries {
         |        * power(16.0, 8 - i)))
         |    END) * 10000 + 0.5) / 10000.0 AS est_distinct
         |FROM agg""".stripMargin,
+
+    // Mirror of TextFunctions.hashedLinearScore: same feature order
+    // (tokens then bigrams), same integer hex folds for bucket and
+    // weight, same strict left-fold sum (DuckDB list_sum ≡ Spark
+    // aggregate), so feat_score is bit-identical and the label threshold
+    // is exact.
+    "text_hashed_score" -> {
+      def fold(expr: String, n: Int): String =
+        (0 until n).map { i =>
+          val p = Seq.fill(n - 1 - i)(16L).product
+          s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * $p"
+        }.mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |f AS (
+        |  SELECT doc_id, list_concat(tk, list_transform(
+        |    generate_series(1, len(tk) - 1),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS feats
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, len(feats) AS n_feats,
+        |    list_sum(list_transform(
+        |      list_transform(
+        |        list_transform(feats, f -> md5(f)),
+        |        h -> md5('w:' || CAST(${fold("h", 4)} AS VARCHAR))),
+        |      g -> CAST(${fold("g", 8)} AS DOUBLE)
+        |        / 4294967296.0 - 0.5)) / len(feats) AS m
+        |  FROM f)
+        |SELECT doc_id, n_feats,
+        |  floor((m) * 10000 + 0.5) / 10000.0 AS feat_score,
+        |  floor((1.0 / (1.0 + exp(-20.0 * m))) * 10000 + 0.5) / 10000.0
+        |    AS quality_prob,
+        |  m > 0.0 AS label
+        |FROM w""".stripMargin
+    },
 
     // Mirror of TextFunctions.dsirScore(target='src0', k=5): identical
     // add-one smoothing over the joint vocabulary, decimal-exact

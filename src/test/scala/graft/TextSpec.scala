@@ -166,4 +166,33 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextFunctions.dsirScore(docs, perSourceK = 0))
   }
+
+  test("hashed linear score: hand-computed feature weights and label") {
+    import spark.implicits._
+    // independent JVM replay of the hash→bucket→weight pipeline
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def weightOf(feat: String): Double = {
+      val b = java.lang.Long.parseLong(md5hex(feat).take(4), 16)
+      java.lang.Long.parseLong(md5hex("w:" + b).take(8), 16) /
+        4294967296.0 - 0.5
+    }
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha")).toDF("doc_id", "text")
+    val r = TextFunctions.hashedLinearScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // 3 tokens + 2 bigrams; features fold in (tokens, then bigrams) order
+    val feats0 = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+    val m0 = feats0.map(weightOf).foldLeft(0.0)(_ + _) / feats0.size
+    assert(r(0L).getAs[Int]("n_feats") == 5)
+    assert(r(0L).getAs[Double]("feat_score") == rnd4(m0))
+    assert(r(0L).getAs[Double]("quality_prob") ==
+      rnd4(1.0 / (1.0 + math.exp(-20.0 * m0))))
+    assert(r(0L).getAs[Boolean]("label") == (m0 > 0.0))
+    // single token: no bigram features
+    val m1 = weightOf("alpha")
+    assert(r(1L).getAs[Int]("n_feats") == 1)
+    assert(r(1L).getAs[Double]("feat_score") == rnd4(m1))
+  }
 }
