@@ -57,6 +57,15 @@ object SimQueries {
         nlist = 16, nProbe = 4)
     },
 
+    // D37: product-quantization ADC scan — 4 subspace codebooks of 16
+    // codes (64 dims → 4 byte codes/vector, 64× compression), ranking
+    // from codes + per-query distance tables only. Every codebook is
+    // seeded-k-means, so the oracle replays all four trainings.
+    "ann_pq" -> { (s, d) =>
+      Ann.pqTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        m = 4, ksub = 16, dims = 64)
+    },
+
     // D7c through the gate: the PHYSICAL index path — corpus written
     // partitionBy(cell), probe = partition IN-filter reading only the
     // probed directories — must produce the identical ranking to the
@@ -141,42 +150,44 @@ object SimQueries {
     * upstream chain per reference (35 s, or an allocator OOM with the
     * normalization lambdas); materialized it is linear (~1 s). */
   private def kmeansSql(ncSql: String, nlist: Int, sampleN: Int, iters: Int,
-                        dims: Int): String = {
+                        dims: Int, sfx: String = ""): String = {
     val iterBlocks = (1 to iters).map { t =>
-      val prev = s"c${t - 1}"
-      s"""sc$t AS (
-         |  SELECT sd.id, c.cell,
-         |    list_sum(list(c.cx * c.cx ORDER BY sd.i)) -
-         |    2 * list_sum(list(sd.x * c.cx ORDER BY sd.i)) AS score
-         |  FROM sd JOIN $prev c ON sd.i = c.i
-         |  GROUP BY sd.id, c.cell),
-         |a$t AS (
+      val prev = s"c${t - 1}$sfx"
+      s"""sc$t$sfx AS (
+         |  SELECT sd$sfx.id, c.cell,
+         |    list_sum(list(c.cx * c.cx ORDER BY sd$sfx.i)) -
+         |    2 * list_sum(list(sd$sfx.x * c.cx ORDER BY sd$sfx.i)) AS score
+         |  FROM sd$sfx JOIN $prev c ON sd$sfx.i = c.i
+         |  GROUP BY sd$sfx.id, c.cell),
+         |a$t$sfx AS (
          |  SELECT id, cell FROM (
          |    SELECT id, cell,
          |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
-         |    FROM sc$t) WHERE r = 1),
-         |u$t AS (
+         |    FROM sc$t$sfx) WHERE r = 1),
+         |u$t$sfx AS (
          |  SELECT cell, i, list_sum(list(x ORDER BY id)) / count(*) AS cx
-         |  FROM sd JOIN a$t USING (id) GROUP BY cell, i),
-         |c$t AS (
+         |  FROM sd$sfx JOIN a$t$sfx USING (id) GROUP BY cell, i),
+         |c$t$sfx AS (
          |  SELECT p.cell, p.i, COALESCE(n.cx, p.cx) AS cx
-         |  FROM $prev p LEFT JOIN u$t n ON p.cell = n.cell AND p.i = n.i)""".stripMargin
+         |  FROM $prev p LEFT JOIN u$t$sfx n ON p.cell = n.cell AND p.i = n.i)""".stripMargin
     }.mkString(",\n")
-    s"""dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
+    s"""dims$sfx AS (SELECT unnest(generate_series(1, $dims)) AS i),
        |$ncSql,
-       |samp AS (
+       |samp$sfx AS (
        |  SELECT id, e, rk FROM (
        |    SELECT id, e,
        |      row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
-       |    FROM nc) WHERE rk <= $sampleN),
-       |sd AS (
-       |  SELECT id, i, CAST(e[i] AS DOUBLE) AS x FROM samp CROSS JOIN dims),
-       |c0 AS (
+       |    FROM nc$sfx) WHERE rk <= $sampleN),
+       |sd$sfx AS (
+       |  SELECT id, i, CAST(e[i] AS DOUBLE) AS x
+       |  FROM samp$sfx CROSS JOIN dims$sfx),
+       |c0$sfx AS (
        |  SELECT rk - 1 AS cell, i, CAST(e[i] AS DOUBLE) AS cx
-       |  FROM samp CROSS JOIN dims WHERE rk <= $nlist),
+       |  FROM samp$sfx CROSS JOIN dims$sfx WHERE rk <= $nlist),
        |$iterBlocks,
-       |cent AS (
-       |  SELECT cell, list(cx ORDER BY i) AS c FROM c$iters GROUP BY cell)""".stripMargin
+       |cent$sfx AS (
+       |  SELECT cell, list(cx ORDER BY i) AS c
+       |  FROM c$iters$sfx GROUP BY cell)""".stripMargin
   }
 
   /** Assignment score vs a `cent` row: |c|² − 2·e·c, both folds
@@ -217,6 +228,90 @@ object SimQueries {
        |  FROM sims)
        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
        |FROM ranked WHERE rank <= $k""".stripMargin
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
+  /** Mirror of Ann.pqCodebooks + pqEncode + pqTopK: one suffixed k-means
+    * replay chain per subspace (training on the j-th 16-dim slice of the
+    * same md5-ranked sample), corpus codes = per-subspace rank-1
+    * assignment, and the ADC similarity recomputed per pair from the
+    * replayed centroids — Σ_j (q_subj·c_j[code_j]) is the same value the
+    * Spark plan reads from its per-query distance table, every fold
+    * i-ascending and every cross-subspace sum a left-associative chain,
+    * so sims match bit-for-bit. */
+  private def pqOracleSql(m: Int, ksub: Int, dims: Int, sampleN: Int,
+                          iters: Int, k: Int, rerank: Int): String = {
+    val dsub = dims / m
+    val subspaces = (0 until m).map { j =>
+      val nc = s"""nc_p$j AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(generate_series(1, $dsub),
+        |      i -> embedding[${j * dsub} + i]) AS e
+        |  FROM embeddings)""".stripMargin
+      kmeansSql(nc, ksub, sampleN, iters, dsub, s"_p$j")
+    }.mkString(",\n")
+    val perBook = (0 until m).map { j =>
+      s"""cn$j AS (
+         |  SELECT cell, list_sum(list_transform(generate_series(1, $dsub),
+         |    i -> c[i] * c[i])) AS n2
+         |  FROM cent_p$j),
+         |as$j AS (
+         |  SELECT nc_p$j.id, cent_p$j.cell,
+         |    ${assignScoreSql(s"nc_p$j.e", dsub)} AS score
+         |  FROM nc_p$j CROSS JOIN cent_p$j),
+         |k$j AS (
+         |  SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+         |    FROM as$j) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val kJoins = (0 until m).map(j =>
+      s"JOIN k$j ON k$j.id = e.vec_id JOIN cn$j ON cn$j.cell = k$j.cell")
+      .mkString("\n  ")
+    val rn2 = (0 until m).map(j => s"cn$j.n2").reduceLeft((a, b) => s"($a + $b)")
+    val kCols = (0 until m).map(j => s"k$j.cell AS k${j}c").mkString(", ")
+    val centJoins = (0 until m).map(j =>
+      s"JOIN cent_p$j c$j ON c$j.cell = corp.k${j}c").mkString("\n  ")
+    val adot = (0 until m).map { j =>
+      s"""list_sum(list_transform(generate_series(1, $dsub),
+         |      i -> CAST(qe[${j * dsub} + i] AS DOUBLE) * c$j.c[i]))""".stripMargin
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH $subspaces,
+       |$perBook,
+       |corp AS (
+       |  SELECT e.vec_id AS c_id, $kCols, $rn2 AS rn2
+       |  FROM embeddings e
+       |  $kJoins),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe,
+       |    list_sum(list_transform(generate_series(1, $dims),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS qn2
+       |  FROM embeddings WHERE vec_id < 20),
+       |sims AS (
+       |  SELECT q.q_id, corp.c_id,
+       |    $adot / (sqrt(q.qn2) * sqrt(corp.rn2)) AS sim
+       |  FROM q CROSS JOIN corp
+       |  $centJoins
+       |  WHERE q.q_id <> corp.c_id),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+       |        AS rank
+       |    FROM sims) WHERE rank <= $rerank),
+       |rr AS (
+       |  SELECT s.q_id, s.c_id, ${cosSql("q.qe", "e2.embedding")} AS sim
+       |  FROM short s
+       |  JOIN q ON q.q_id = s.q_id
+       |  JOIN embeddings e2 ON e2.vec_id = s.c_id),
+       |reranked AS (
+       |  SELECT q_id, c_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+       |      AS rank
+       |  FROM rr)
+       |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+       |FROM reranked WHERE rank <= $k""".stripMargin
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
@@ -274,6 +369,11 @@ object SimQueries {
     // quantizer's defaults (sampleN=256, iters=5) — see ivfOracleSql.
     "ann_ivf" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
       dims = 64, k = 5, nProbe = 4),
+
+    // Mirrors Ann.pqTopK(k=5, m=4, ksub=16, dims=64, rerank=64) — see
+    // pqOracleSql.
+    "ann_pq" -> pqOracleSql(m = 4, ksub = 16, dims = 64, sampleN = 256,
+      iters = 5, k = 5, rerank = 64),
 
     // The physical-index probe ranks the same candidates with the same
     // centroids — one oracle serves both plans.

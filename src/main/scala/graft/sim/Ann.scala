@@ -41,29 +41,9 @@ object Ann {
       .select(col("q_id"), col("c_id"),
         VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
       .as[Scored]
-    // Per-partition prune in global order (sim desc, c_id asc): the global
-    // top-k is a subset of the union of per-partition top-k under the same
-    // total order, so correctness is preserved while the shuffle shrinks
-    // from |corpus|·|Q| to ≤ partitions·|Q|·k rows.
-    val pruned: Dataset[Scored] = sims.mapPartitions { it =>
-      val heaps = scala.collection.mutable.Map.empty[Long,
-        scala.collection.mutable.PriorityQueue[Scored]]
-      // min-heap on the global order so the worst survivor is on top
-      val ord = Ordering.by[Scored, (Double, Long)](s => (-s.sim, s.c_id))
-      it.foreach { s =>
-        val h = heaps.getOrElseUpdate(s.q_id,
-          new scala.collection.mutable.PriorityQueue[Scored]()(ord))
-        if (h.size < k) h.enqueue(s)
-        else if (ord.lt(s, h.head)) { h.dequeue(); h.enqueue(s) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
-    pruned.toDF()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"),
-        Exact.rnd4(col("sim")).as("sim"))
+    // Per-partition prune in global order (sim desc, c_id asc) shrinks the
+    // shuffle from |corpus|·|Q| to ≤ partitions·|Q|·k rows — see rankPruned.
+    rankPruned(sims, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -260,6 +240,141 @@ object Ann {
   def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, nProbe: Int): DataFrame =
     probedScan(spark, path, queries, loadCentroids(spark, path), nProbe)
+
+  /** Product-quantization codebooks: one deterministic seeded-k-means
+    * codebook per contiguous `dsub`-dim subspace (m = dims / dsub books of
+    * `ksub` centroids each) — the FAISS PQ training shape (Jégou et al.
+    * 2011, "Product quantization for nearest neighbor search") on the
+    * [[seededCentroids]] playbook, so every codebook is reproducible from
+    * the table alone and the DuckDB oracle replays all m trainings
+    * bit-for-bit (one suffixed k-means CTE chain per subspace).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dims: Int,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"pq: dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    Array.tabulate(m) { j =>
+      seededCentroids(
+        corpus.select(col(idCol),
+          slice(col(embCol), j * dsub + 1, dsub).as(embCol)),
+        nlist = ksub, idCol = idCol, embCol = embCol)
+    }
+  }
+
+  /** PQ-encode map-side: code_j = nearest codebook-j centroid of the j-th
+    * subvector (argmin |c|² − 2·e·c, ties to the lower code — the exact
+    * [[cellOf]] rule per subspace). Emits the m byte-sized codes plus the
+    * reconstruction norm² Σ_j |c_j[code_j]|² (needed by the ADC cosine
+    * denominator); both are plan-time-literal lookups inside one map-only
+    * projection — at 100 TB this is the compression pass that shrinks each
+    * vector to m codes (here 4 bytes vs 256 raw — 64×) and it never
+    * shuffles.
+    */
+  def pqEncode(corpus: DataFrame, cbs: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    // |c|² per (book, code): exact sequential double fold, dims ascending —
+    // the same fold the oracle's list_sum over the replayed centroid runs
+    val norms: Array[Array[Double]] = cbs.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    val codeCols = (0 until m).map { j =>
+      cellOf(cbs(j), slice(col(embCol), j * dsub + 1, dsub)).as(s"_code$j")
+    }
+    val coded = corpus.select(col(idCol).as("c_id") +: codeCols: _*)
+    // Σ_j lookup: left-associative + chain — mirrored verbatim in the oracle
+    val rn2 = (0 until m).map { j =>
+      element_at(typedlit(norms(j)), col(s"_code$j") + 1)
+    }.reduceLeft(_ + _)
+    coded.withColumn("_rn2", rn2)
+  }
+
+  /** PQ asymmetric-distance top-k with exact refine (the FAISS
+    * IVFPQ+refine shape): every query builds its m×ksub distance table
+    * map-side (subvector·centroid dot products — broadcast with the
+    * query), the WHOLE corpus is ranked from codes alone — per pair =
+    * m table lookups + one divide, never a D-dim fold; approximate
+    * cosine = Σ_j dt_j[code_j] / (‖q‖·‖recon‖) — and the ADC top
+    * `rerank` shortlist is then re-scored with exact cosine on the raw
+    * vectors (an O(|Q|·rerank) broadcast-semi-join fetch, never a second
+    * corpus scan) before the final top-k. This is the compressed-domain
+    * layout that matters at 100 TB: the scan reads m-byte codes (here
+    * 4 bytes vs 256 raw — 64×), exact math touches only the shortlist,
+    * and the per-partition heap prune keeps both shuffles at
+    * O(partitions·|Q|·topN) exactly like [[bruteForceTopK]]. At lake
+    * scale the codes live alongside the IVF cell key in the same
+    * partitioned layout (encode once, scan compressed, probe pruned).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+             ksub: Int = 16, dims: Int = 64, rerank: Int = 64,
+             idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dims / m
+    val cbs = pqCodebooks(corpus, m, ksub, dims, idCol, embCol)
+    val coded = pqEncode(corpus, cbs, idCol, embCol)
+    // query-side distance tables: dt_j[r] = q_subj · c_{j,r} (dotFD fold)
+    val dtCols = (0 until m).map { j =>
+      array((0 until cbs(j).length).map { r =>
+        VectorFunctions.dotFD(slice(col(embCol), j * dsub + 1, dsub),
+          typedlit(cbs(j)(r)))
+      }: _*).as(s"_dt$j")
+    }
+    val qn2 = VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2")
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id") +: (dtCols :+ qn2): _*))
+    val adot = (0 until m).map { j =>
+      element_at(col(s"_dt$j"), col(s"_code$j") + 1)
+    }.reduceLeft(_ + _)
+    val adc = coded.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))).as("sim"))
+      .as[Scored]
+    // exact refine: fetch raw vectors for the shortlist only (broadcast
+    // semi-join against the corpus — the corpus never reshuffles)
+    val shortlist = rankPruned(adc, rerank).select("q_id", "c_id")
+    val qRaw = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb")))
+    val exact = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"))
+      .join(broadcast(shortlist), Seq("c_id"))
+      .join(qRaw, Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .as[Scored]
+    rankPruned(exact, k)
+  }
+
+  /** Per-partition top-k prune + global rank (shared by the exact and the
+    * PQ scans): the global top-k under (sim DESC, c_id ASC) is a subset of
+    * the union of per-partition top-k under the same total order. */
+  private[sim] def rankPruned(sims: Dataset[Scored], k: Int): DataFrame = {
+    val spark = sims.sparkSession
+    import spark.implicits._
+    val pruned: Dataset[Scored] = sims.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.PriorityQueue[Scored]]
+      val ord = Ordering.by[Scored, (Double, Long)](s => (-s.sim, s.c_id))
+      it.foreach { s =>
+        val h = heaps.getOrElseUpdate(s.q_id,
+          new scala.collection.mutable.PriorityQueue[Scored]()(ord))
+        if (h.size < k) h.enqueue(s)
+        else if (ord.lt(s, h.head)) { h.dequeue(); h.enqueue(s) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    pruned.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        Exact.rnd4(col("sim")).as("sim"))
+  }
 
   /** LSH-bucketed approximate top-k with OR-amplification: `tables`
     * independent hash tables of `planes` sign-LSH bits each

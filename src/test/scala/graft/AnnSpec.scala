@@ -105,4 +105,74 @@ class AnnSpec extends SparkSpec {
         s"($cells cells)")
     info(s"probe read $readFiles/$allFiles files across $cells cells")
   }
+
+  test("pq encode: codes in range, plan codes equal a driver re-encode") {
+    val cbs = Ann.pqCodebooks(emb, m = 4, ksub = 16, dims = 64)
+    assert(cbs.length == 4 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 16)))
+    val coded = Ann.pqEncode(emb, cbs).cache()
+    (0 until 4).foreach { j =>
+      val rng = coded.agg(min(s"_code$j"), max(s"_code$j")).head()
+      assert(rng.getInt(0) >= 0 && rng.getInt(1) < 16,
+        s"subspace $j codes out of [0,16): $rng")
+    }
+    // independent re-encode of a sample in plain Scala: same argmin rule
+    // (|c|²−2·e·c, sequential folds, tie to the lower code)
+    val sample = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val planCodes = coded.filter(col("c_id") % 97 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 4).map(j => r.getAs[Int](s"_code$j"))).toMap
+    sample.foreach { case (id, e) =>
+      val expect = (0 until 4).map { j =>
+        var best = 0; var bestScore = Double.MaxValue
+        (0 until 16).foreach { r =>
+          val c = cbs(j)(r)
+          var c2 = 0.0; var dp = 0.0
+          var i = 0
+          while (i < 16) {
+            c2 += c(i) * c(i)
+            dp += e(j * 16 + i).toDouble * c(i)
+            i += 1
+          }
+          val s = c2 - 2.0 * dp
+          if (s < bestScore) { best = r; bestScore = s }
+        }
+        best
+      }
+      assert(planCodes(id) == expect, s"codes diverge for vec $id")
+    }
+    // reconstruction norm² column equals the Σ_j |c_j[code_j]|² lookup
+    val normErr = coded.limit(50).collect().count { r =>
+      val manual = (0 until 4).map { j =>
+        val c = cbs(j)(r.getAs[Int](s"_code$j"))
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s
+      }.reduceLeft(_ + _)
+      r.getAs[Double]("_rn2") != manual
+    }
+    assert(normErr == 0, "reconstruction norm lookup mismatch")
+  }
+
+  test("pq adc + exact refine: agrees with brute force on shared pairs") {
+    val pq = Ann.pqTopK(qs, emb, k = 5).cache()
+    val perQ = pq.groupBy("q_id").agg(count(lit(1)).as("n")).collect()
+    assert(perQ.length == 20 && perQ.forall(_.getAs[Long]("n") == 5))
+    // the refine stage re-scores with the SAME exact cosine fold as the
+    // brute-force scan, so any pair both paths return must score equal
+    val joined = pq.select(col("q_id"), col("c_id"), col("sim").as("psim"))
+      .join(bf.select(col("q_id"), col("c_id"), col("sim").as("bsim")),
+        Seq("q_id", "c_id"))
+    val disagree = joined.filter(col("psim") =!= col("bsim")).count()
+    assert(disagree == 0, "refined pair must score identically to exact")
+    // recall@5 = share of true top-5 surviving the ADC shortlist: the
+    // coarse 4×16-code ADC only has to get neighbors into the top-64
+    // shortlist, the refine does the rest
+    val recall = joined.count().toDouble / bf.count()
+    assert(recall > 0.35, f"pq+refine recall@5 too low: $recall%.2f")
+    info(f"pq recall@5 = $recall%.2f (adc shortlist 64 → exact rerank)")
+  }
 }
