@@ -97,8 +97,101 @@ case class BottomKSketch(child: Expression, k: Int,
   override def prettyName: String = "bottom_k"
 }
 
+/** Count-min sketch aggregate (Cormode & Muthukrishnan 2005) — approximate
+  * per-key frequencies in O(depth·width) state no matter how many distinct
+  * keys stream through: `depth` hash rows of `width` counters; each input
+  * increments one counter per row; a key's estimate is the MIN of its
+  * `depth` counters — never an under-count, over by collision mass only.
+  *
+  * Map-side partials and elementwise-sum merge make it the lake-scale
+  * frequency primitive: per-partition/per-day sketches combine by addition
+  * and answer "how often does key x appear across any slice" without
+  * rescanning or holding the key universe. Row hashes are
+  * `md5("r:" + value)` first-8-hex mod width — md5 is the shared
+  * cross-engine primitive, so the whole sketch (not just the estimate)
+  * replays in the DuckDB oracle. Counters are Longs; estimates are
+  * integer-exact, no float drift anywhere.
+  */
+case class CountMinSketch(child: Expression, depth: Int, width: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && width > 0,
+    s"countMin: depth/width must be positive, got $depth×$width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"countMin expects a string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var r = 0
+      while (r < depth) {
+        buf(r * width + Sketch.cmsBucket(r, s, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "count_min"
+}
+
 object Sketch {
   import GraftBridge.{toColumn, toExpression}
+
+  /** Row-r bucket of a value: first 8 hex chars of md5("r:" + value) as a
+    * 32-bit integer, mod width — the same computation the SQL estimate
+    * side and the DuckDB oracle run from md5 strings. */
+  private[functions] def cmsBucket(r: Int, s: String, width: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$s".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
 
   /** The k lexicographically smallest distinct values of a string column,
     * ascending — O(k) state, map-side partials, mergeable. */
@@ -115,4 +208,23 @@ object Sketch {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble * 4294967296.0) /
         conv(substring(element_at(sketch, k), 1, 8), 16, 10).cast("double"))
+
+  /** Count-min sketch of a string column: flat array<long> of depth·width
+    * counters — map-side partials, merge = elementwise add. */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    toColumn(CountMinSketch(toExpression(c), depth, width)
+      .toAggregateExpression())
+
+  /** Frequency estimate of `key` from a [[countMin]] sketch: min over the
+    * depth rows of the key's counter — column-only math (the bucket is the
+    * same md5 fold the aggregate's update runs), integer-exact. */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int,
+                  width: Int): Column = {
+    val cells = (0 until depth).map { r =>
+      val bucket = conv(substring(md5(concat(lit(s"$r:"), key)), 1, 8),
+        16, 10).cast("long") % width
+      element_at(sketch, (lit(r * width) + bucket + 1).cast("int"))
+    }
+    least(cells: _*)
+  }
 }

@@ -162,6 +162,24 @@ object TextQueries {
             .as("est_distinct"))
     },
 
+    // D38: count-min heavy hitters — ONE O(depth·width) sketch of the
+    // whole token stream (never the key universe), estimates for the
+    // exact top-20 alongside their true counts so the driver artifact
+    // shows the over-count mass; the exact groupBy is the verification
+    // twin the sketch replaces when the universe outgrows memory.
+    "text_heavy_hitters" -> { (s, d) =>
+      val (depth, width) = (4, 1024)
+      val tok = docs(s, d).select(explode(tokens(col("text"))).as("t"))
+      val sketch = tok.agg(graft.functions.Sketch
+        .countMin(col("t"), depth, width).as("_cms"))
+      tok.groupBy("t").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("t").asc).limit(20)
+        .crossJoin(broadcast(sketch))
+        .select(col("t").as("token"), col("true_cnt"),
+          graft.functions.Sketch
+            .cmsEstimate(col("_cms"), col("t"), depth, width).as("est_cnt"))
+    },
+
     // D35: DSIR importance weighting vs the src0 target domain, with
     // per-source stratified top-5 selection.
     "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
@@ -651,6 +669,34 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |SELECT ngram, count(*) AS cnt FROM sh GROUP BY 1
         |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // Mirror of Sketch.countMin/cmsEstimate: per-row bucket = first-8-hex
+    // of md5('r:'||token) mod width (integer-exact via the digit fold —
+    // the double holds ≤ 2³² exactly); the sketch cells are sums of true
+    // token counts per (row, bucket) — identical to streaming increments —
+    // and the estimate is the min cell across rows. All integers.
+    "text_heavy_hitters" -> {
+      def hexFold(expr: String): String =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8), i ->
+           |    (strpos('0123456789abcdef', substr(md5($expr), i, 1)) - 1)
+           |    * power(16.0, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |hb AS (
+         |  SELECT cnt.t, cnt.c, rs.r,
+         |    ${hexFold("CAST(rs.r AS VARCHAR) || ':' || cnt.t")} % 1024 AS b
+         |  FROM cnt CROSS JOIN rs),
+         |cms AS (
+         |  SELECT r, b, CAST(sum(c) AS BIGINT) AS cell FROM hb GROUP BY r, b),
+         |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 20)
+         |SELECT top.t AS token, top.c AS true_cnt,
+         |  CAST(min(cms.cell) AS BIGINT) AS est_cnt
+         |FROM top JOIN hb ON hb.t = top.t
+         |JOIN cms ON cms.r = hb.r AND cms.b = hb.b
+         |GROUP BY top.t, top.c""".stripMargin
+    },
 
     "text_redact" ->
       """WITH p AS (

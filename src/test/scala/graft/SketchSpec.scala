@@ -52,4 +52,65 @@ class SketchSpec extends SparkSpec {
     // KMV stderr ~ 1/sqrt(k-2) ≈ 12.7% at k=64; 30% is a 2.4-sigma bound.
     assert(math.abs(est - n) / n < 0.30, s"estimate $est vs true $n")
   }
+
+  // ---- count-min ----
+
+  private def cms(values: Seq[String], depth: Int, width: Int,
+                  parts: Int = 8): Seq[Long] = {
+    import spark.implicits._
+    values.toDF("v").repartition(parts)
+      .agg(Sketch.countMin(col("v"), depth, width).as("sk"))
+      .as[Seq[Long]].head()
+  }
+
+  test("countMin: total mass per row equals the input count") {
+    val vs = (1 to 300).map(i => s"k${i % 37}")
+    val sk = cms(vs, depth = 4, width = 64)
+    assert(sk.length == 4 * 64)
+    (0 until 4).foreach { r =>
+      assert(sk.slice(r * 64, (r + 1) * 64).sum == 300L,
+        s"row $r mass must equal the stream length")
+    }
+  }
+
+  test("countMin: partition-split merge equals single-partition sketch") {
+    val vs = (1 to 500).map(i => s"v${i % 91}")
+    assert(cms(vs, 4, 128, parts = 16) == cms(vs, 4, 128, parts = 1))
+  }
+
+  test("cmsEstimate: never under-counts, exact when collision-free") {
+    import spark.implicits._
+    val vs = Seq.fill(40)("hot") ++ (1 to 60).map(i => s"cold$i")
+    val df = vs.toDF("v")
+    val sk = df.agg(Sketch.countMin(col("v"), 4, 1024).as("sk"))
+    val ests = df.distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("v"),
+        Sketch.cmsEstimate(col("sk"), col("v"), 4, 1024).as("est"))
+      .as[(String, Long)].collect().toMap
+    val truth = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, t) =>
+      assert(ests(k) >= t, s"$k: est ${ests(k)} under true $t")
+    }
+    // 61 keys in 4 rows of 1024 buckets: collisions are overwhelmingly
+    // unlikely to hit the SAME key in all 4 rows, so min = exact
+    assert(ests("hot") == 40L)
+  }
+
+  test("cmsEstimate: error bounded by collision mass (eps·N at 2/width)") {
+    import spark.implicits._
+    val n = 5000
+    val vs = (1 to n).map(i => s"t${i % 700}")
+    val df = vs.toDF("v")
+    val sk = df.agg(Sketch.countMin(col("v"), 4, 256).as("sk"))
+    val worst = df.groupBy("v").agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(sk))
+      .select((Sketch.cmsEstimate(col("sk"), col("v"), 4, 256) - col("t"))
+        .as("err"))
+      .agg(max("err")).as[Long].head()
+    // CM guarantee: err ≤ e·N/width w.p. 1−e^-depth; 2·N/width is looser
+    // than the Markov bound and deterministic data keeps it comfortably
+    assert(worst >= 0 && worst <= 2L * n / 256,
+      s"max over-count $worst exceeds 2N/w = ${2L * n / 256}")
+  }
 }
