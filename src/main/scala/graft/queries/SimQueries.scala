@@ -66,6 +66,13 @@ object SimQueries {
         m = 4, ksub = 16, dims = 64)
     },
 
+    // D39: the composed FAISS-IVFPQ query shape — coarse cells prune the
+    // scan, PQ codes rank the probed cells, exact refine on the shortlist.
+    "ann_ivfpq" -> { (s, d) =>
+      Ann.ivfPqTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        nlist = 16, nProbe = 4, m = 4, ksub = 16, dims = 64)
+    },
+
     // D7c through the gate: the PHYSICAL index path — corpus written
     // partitionBy(cell), probe = partition IN-filter reading only the
     // probed directories — must produce the identical ranking to the
@@ -240,7 +247,8 @@ object SimQueries {
     * i-ascending and every cross-subspace sum a left-associative chain,
     * so sims match bit-for-bit. */
   private def pqOracleSql(m: Int, ksub: Int, dims: Int, sampleN: Int,
-                          iters: Int, k: Int, rerank: Int): String = {
+                          iters: Int, k: Int, rerank: Int,
+                          ivf: Option[(Int, Int)] = None): String = {
     val dsub = dims / m
     val subspaces = (0 until m).map { j =>
       val nc = s"""nc_p$j AS (
@@ -276,6 +284,38 @@ object SimQueries {
       s"""list_sum(list_transform(generate_series(1, $dsub),
          |      i -> CAST(qe[${j * dsub} + i] AS DOUBLE) * c$j.c[i]))""".stripMargin
     }.reduceLeft((a, b) => s"($a + $b)")
+    // candidate pairs: full cross product (flat PQ) or, with the IVF
+    // stage, only members of the query's nProbe coarse cells — the coarse
+    // training replays with its own "_c" CTE suffix alongside the m books
+    val (coarseCtes, candSql) = ivf match {
+      case None =>
+        ("", """cand AS (
+           |  SELECT q.q_id, corp.c_id FROM q CROSS JOIN corp
+           |  WHERE q.q_id <> corp.c_id)""".stripMargin)
+      case Some((nlist, nProbe)) =>
+        val chain = kmeansSql(
+          "nc_c AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+          nlist, sampleN, iters, dims, "_c")
+        (s"""$chain,
+           |csc_c AS (
+           |  SELECT nc_c.id, cent_c.cell,
+           |    ${assignScoreSql("nc_c.e", dims)} AS score
+           |  FROM nc_c CROSS JOIN cent_c),
+           |cc AS (
+           |  SELECT id, cell FROM (
+           |    SELECT id, cell,
+           |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+           |    FROM csc_c) WHERE r = 1),
+           |qpr AS (
+           |  SELECT id AS q_id, cell FROM (
+           |    SELECT id, cell,
+           |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+           |    FROM csc_c WHERE id < 20) WHERE r <= $nProbe),
+           |""".stripMargin,
+         """cand AS (
+           |  SELECT qpr.q_id, cc.id AS c_id
+           |  FROM qpr JOIN cc USING (cell) WHERE qpr.q_id <> cc.id)""".stripMargin)
+    }
     s"""WITH $subspaces,
        |$perBook,
        |corp AS (
@@ -288,12 +328,14 @@ object SimQueries {
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
        |      AS qn2
        |  FROM embeddings WHERE vec_id < 20),
+       |$coarseCtes$candSql,
        |sims AS (
-       |  SELECT q.q_id, corp.c_id,
+       |  SELECT cand.q_id, cand.c_id,
        |    $adot / (sqrt(q.qn2) * sqrt(corp.rn2)) AS sim
-       |  FROM q CROSS JOIN corp
-       |  $centJoins
-       |  WHERE q.q_id <> corp.c_id),
+       |  FROM cand
+       |  JOIN q ON q.q_id = cand.q_id
+       |  JOIN corp ON corp.c_id = cand.c_id
+       |  $centJoins),
        |short AS (
        |  SELECT q_id, c_id FROM (
        |    SELECT q_id, c_id,
@@ -374,6 +416,11 @@ object SimQueries {
     // pqOracleSql.
     "ann_pq" -> pqOracleSql(m = 4, ksub = 16, dims = 64, sampleN = 256,
       iters = 5, k = 5, rerank = 64),
+
+    // Mirrors Ann.ivfPqTopK(k=5, nlist=16, nProbe=4, m=4, ksub=16,
+    // rerank=64): same PQ replay restricted to the coarse-cell candidates.
+    "ann_ivfpq" -> pqOracleSql(m = 4, ksub = 16, dims = 64, sampleN = 256,
+      iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
 
     // The physical-index probe ranks the same candidates with the same
     // centroids — one oracle serves both plans.

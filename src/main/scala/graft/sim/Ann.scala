@@ -152,11 +152,11 @@ object Ann {
         .as("d"), lit(i).as("i"))
     }
 
-  private def cellOf(cents: Array[Array[Double]],
+  private[sim] def cellOf(cents: Array[Array[Double]],
                      emb: org.apache.spark.sql.Column) =
     array_min(array(centScores(cents, emb): _*)).getField("i")
 
-  private def probesOf(cents: Array[Array[Double]],
+  private[sim] def probesOf(cents: Array[Array[Double]],
                        emb: org.apache.spark.sql.Column, nProbe: Int) =
     transform(slice(array_sort(array(centScores(cents, emb): _*)), 1, nProbe),
       s => s.getField("i"))
@@ -274,24 +274,36 @@ object Ann {
   def pqEncode(corpus: DataFrame, cbs: Array[Array[Array[Double]]],
                idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
-    val m = cbs.length
+    val codeCols = pqCodeCols(cbs, embCol)
+    corpus.select(col(idCol).as("c_id") +: codeCols: _*)
+      .withColumn("_rn2", pqReconNorm2(cbs))
+  }
+
+  /** The m PQ code columns `_code0.._codeM-1` for `embCol` — per book an
+    * argmin over ksub plan-time centroid scores on the sliced subvector
+    * (ties to the lower code, the [[cellOf]] rule per subspace). */
+  private def pqCodeCols(cbs: Array[Array[Array[Double]]],
+                         embCol: String): Seq[org.apache.spark.sql.Column] = {
     val dsub = cbs(0)(0).length
-    // |c|² per (book, code): exact sequential double fold, dims ascending —
-    // the same fold the oracle's list_sum over the replayed centroid runs
+    cbs.indices.map { j =>
+      cellOf(cbs(j), slice(col(embCol), j * dsub + 1, dsub)).as(s"_code$j")
+    }
+  }
+
+  /** Σ_j |c_j[code_j]|² from the `_code*` columns: |c|² per (book, code)
+    * is an exact sequential plan-time double fold (dims ascending — the
+    * same fold the oracle's list_sum over the replayed centroid runs);
+    * the Σ_j is a left-associative + chain mirrored verbatim in SQL. */
+  private def pqReconNorm2(cbs: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.Column = {
     val norms: Array[Array[Double]] = cbs.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
-    val codeCols = (0 until m).map { j =>
-      cellOf(cbs(j), slice(col(embCol), j * dsub + 1, dsub)).as(s"_code$j")
-    }
-    val coded = corpus.select(col(idCol).as("c_id") +: codeCols: _*)
-    // Σ_j lookup: left-associative + chain — mirrored verbatim in the oracle
-    val rn2 = (0 until m).map { j =>
+    norms.indices.map { j =>
       element_at(typedlit(norms(j)), col(s"_code$j") + 1)
     }.reduceLeft(_ + _)
-    coded.withColumn("_rn2", rn2)
   }
 
   /** PQ asymmetric-distance top-k with exact refine (the FAISS
@@ -316,33 +328,87 @@ object Ann {
              embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dsub = dims / m
     val cbs = pqCodebooks(corpus, m, ksub, dims, idCol, embCol)
     val coded = pqEncode(corpus, cbs, idCol, embCol)
-    // query-side distance tables: dt_j[r] = q_subj · c_{j,r} (dotFD fold)
-    val dtCols = (0 until m).map { j =>
-      array((0 until cbs(j).length).map { r =>
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id") +: (pqDtCols(cbs, embCol) :+
+        VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2")): _*))
+    val adc = coded.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), pqAdcSim(cbs.length).as("sim"))
+      .as[Scored]
+    refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
+  }
+
+  /** IVF × PQ × refine — the full FAISS-IVFPQ query shape, Spark-native:
+    * the coarse quantizer prunes to `nProbe`/`nlist` of the corpus (at
+    * lake scale: partition directories, see [[ivfBuild]]), the PQ codes
+    * rank the probed cells compressed-domain (m lookups per pair), and
+    * only the ADC top-`rerank` shortlist is re-scored exactly. Both
+    * quantizers are the deterministic seeded trainer, so one SQL oracle
+    * replays coarse + all m sub-trainings and lands on identical cells,
+    * codes, shortlists and final ranks. (FAISS encodes RESIDUALS e−cent
+    * into the PQ codes for tighter quantization; codes here are raw-space
+    * so one code table serves every probe list — the residual variant is
+    * the same plan with a recentered [[pqCodebooks]] input.)
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 16,
+                dims: Int = 64, rerank: Int = 64, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
+    val cbs = pqCodebooks(corpus, m, ksub, dims, idCol, embCol)
+    val coded = corpus.select(col(idCol).as("c_id") +:
+        (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
+      .withColumn("_rn2", pqReconNorm2(cbs))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id") +:
+        (explode(probesOf(cents, col(embCol), nProbe)).as("cell") +:
+          (pqDtCols(cbs, embCol) :+
+            VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2"))): _*))
+    val adc = coded.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), pqAdcSim(cbs.length).as("sim"))
+      .as[Scored]
+    refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
+  }
+
+  /** Query-side ADC distance tables `_dt0.._dtM-1`: dt_j[r] = q_subj ·
+    * c_{j,r}, the dotFD fold — m·ksub dots computed once per query,
+    * broadcast with it. */
+  private def pqDtCols(cbs: Array[Array[Array[Double]]],
+                       embCol: String): Seq[org.apache.spark.sql.Column] = {
+    val dsub = cbs(0)(0).length
+    cbs.indices.map { j =>
+      array(cbs(j).indices.map { r =>
         VectorFunctions.dotFD(slice(col(embCol), j * dsub + 1, dsub),
           typedlit(cbs(j)(r)))
       }: _*).as(s"_dt$j")
     }
-    val qn2 = VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2")
-    val q = broadcast(queries.select(
-      col(idCol).as("q_id") +: (dtCols :+ qn2): _*))
+  }
+
+  /** ADC cosine from the joined code/table columns:
+    * Σ_j dt_j[code_j] / (‖q‖·‖recon‖), sums left-associative. */
+  private def pqAdcSim(m: Int): org.apache.spark.sql.Column = {
     val adot = (0 until m).map { j =>
       element_at(col(s"_dt$j"), col(s"_code$j") + 1)
     }.reduceLeft(_ + _)
-    val adc = coded.join(q, col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))).as("sim"))
-      .as[Scored]
-    // exact refine: fetch raw vectors for the shortlist only (broadcast
-    // semi-join against the corpus — the corpus never reshuffles)
-    val shortlist = rankPruned(adc, rerank).select("q_id", "c_id")
+    adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))
+  }
+
+  /** Exact-cosine re-scoring of a (q_id, c_id) shortlist: raw vectors are
+    * fetched via a broadcast semi-join (the corpus never reshuffles) and
+    * only O(|Q|·shortlist) exact folds run. */
+  private def refineExact(queries: DataFrame, corpus: DataFrame,
+                          shortlist: DataFrame, k: Int, idCol: String,
+                          embCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val qRaw = broadcast(queries.select(col(idCol).as("q_id"),
       col(embCol).as("_q_emb")))
     val exact = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"))
-      .join(broadcast(shortlist), Seq("c_id"))
+      .join(broadcast(shortlist.select("q_id", "c_id")), Seq("c_id"))
       .join(qRaw, Seq("q_id"))
       .select(col("q_id"), col("c_id"),
         VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))

@@ -175,4 +175,29 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.35, f"pq+refine recall@5 too low: $recall%.2f")
     info(f"pq recall@5 = $recall%.2f (adc shortlist 64 → exact rerank)")
   }
+
+  test("ivfpq: candidates confined to probed cells, exact sims, recall") {
+    val ivfpq = Ann.ivfPqTopK(qs, emb, k = 5, nlist = 16, nProbe = 4).cache()
+    // refine scores with the exact fold → shared pairs agree with bf
+    val joined = ivfpq.select(col("q_id"), col("c_id"), col("sim").as("isim"))
+      .join(bf.select(col("q_id"), col("c_id"), col("sim").as("bsim")),
+        Seq("q_id", "c_id"))
+    assert(joined.filter(col("isim") =!= col("bsim")).count() == 0)
+    // every returned candidate must live in one of its query's probed
+    // cells (the compressed scan never left the IVF pruning)
+    val cents = Ann.seededCentroids(emb, nlist = 16)
+    val cells = emb.select(col("vec_id").as("c_id"),
+      graft.sim.AnnTestAccess.cellOf(cents, col("embedding")).as("ccell"))
+    val probes = qs.select(col("vec_id").as("q_id"),
+      explode(graft.sim.AnnTestAccess.probesOf(cents, col("embedding"), 4))
+        .as("ccell"))
+    val escaped = ivfpq.join(cells, Seq("c_id"))
+      .join(probes, Seq("q_id", "ccell"), "left_anti").count()
+    assert(escaped == 0, "a result escaped the probed cells")
+    // double pruning (cells ∩ ADC shortlist) still recalls well above the
+    // probe share
+    val recall = joined.count().toDouble / bf.count()
+    assert(recall > 0.3, f"ivfpq recall@5 too low: $recall%.2f")
+    info(f"ivfpq recall@5 = $recall%.2f (4/16 cells → adc 64 → rerank)")
+  }
 }
