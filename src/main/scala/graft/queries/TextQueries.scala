@@ -180,6 +180,39 @@ object TextQueries {
             .cmsEstimate(col("_cms"), col("t"), depth, width).as("est_cnt"))
     },
 
+    // D40: coordinated uniform row sample as a mergeable sketch + sample
+    // quantiles. The sample = the k docs with the smallest md5(doc_id)
+    // per source — BottomKSketch over "md5(id):value" keys (the 32-hex
+    // prefix dominates the ordering, so membership depends on the id hash
+    // ONLY: samples drawn for different value columns pick the SAME docs —
+    // coordinated sampling, the property that makes cross-metric and
+    // cross-day samples joinable at lake scale). O(k) state, map-side
+    // partials, merge = keep k smallest: one pass, no shuffle of the
+    // corpus, deterministic and DuckDB-replayable. Quantile estimates are
+    // order statistics of the sample at ceil(q·n) rank — integer-exact;
+    // the collect_list truth twin is the verification the sketch replaces
+    // when a source outgrows memory.
+    "text_sampled_quantiles" -> { (s, d) =>
+      val k = 64
+      val key = concat(md5(col("doc_id").cast("string")), lit(":"),
+        col("n_chars").cast("string"))
+      def at(sorted: org.apache.spark.sql.Column, q: Double) =
+        element_at(sorted, ceil(lit(q) * size(sorted)).cast("int"))
+      docs(s, d).groupBy("source")
+        .agg(graft.functions.Sketch.bottomK(key, k).as("_sk"),
+          sort_array(collect_list(col("n_chars"))).as("_all"))
+        .select(col("source"),
+          size(col("_sk")).cast("long").as("sample_n"),
+          sort_array(transform(col("_sk"),
+            x => split(x, ":").getItem(1).cast("long"))).as("_vals"),
+          col("_all"))
+        .select(col("source"), col("sample_n"),
+          at(col("_vals"), 0.5).as("est_p50"),
+          at(col("_vals"), 0.9).as("est_p90"),
+          at(col("_all"), 0.5).as("true_p50"),
+          at(col("_all"), 0.9).as("true_p90"))
+    },
+
     // D35: DSIR importance weighting vs the src0 target domain, with
     // per-source stratified top-5 selection.
     "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
@@ -669,6 +702,33 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |SELECT ngram, count(*) AS cnt FROM sh GROUP BY 1
         |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // Mirror of the bottom-k coordinated sample: same "md5(id):value"
+    // keys, same binary string order (ASCII ≡ UTF-16 code units for hex),
+    // same ceil-rank order statistics — all integers.
+    "text_sampled_quantiles" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) || ':' || CAST(n_chars AS VARCHAR)
+        |      AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, key,
+        |    row_number() OVER (PARTITION BY source ORDER BY key) AS rk
+        |  FROM d),
+        |sv AS (
+        |  SELECT source, list_sort(list_transform(list(key),
+        |    s -> CAST(string_split(s, ':')[2] AS BIGINT))) AS vals
+        |  FROM r WHERE rk <= 64 GROUP BY source),
+        |tv AS (
+        |  SELECT source, list(n_chars ORDER BY n_chars) AS allv
+        |  FROM d GROUP BY source)
+        |SELECT sv.source, CAST(len(vals) AS BIGINT) AS sample_n,
+        |  vals[CAST(ceil(0.5 * len(vals)) AS INT)] AS est_p50,
+        |  vals[CAST(ceil(0.9 * len(vals)) AS INT)] AS est_p90,
+        |  allv[CAST(ceil(0.5 * len(allv)) AS INT)] AS true_p50,
+        |  allv[CAST(ceil(0.9 * len(allv)) AS INT)] AS true_p90
+        |FROM sv JOIN tv USING (source)""".stripMargin,
 
     // Mirror of Sketch.countMin/cmsEstimate: per-row bucket = first-8-hex
     // of md5('r:'||token) mod width (integer-exact via the digit fold —

@@ -113,4 +113,19 @@ class SketchSpec extends SparkSpec {
     assert(worst >= 0 && worst <= 2L * n / 256,
       s"max over-count $worst exceeds 2N/w = ${2L * n / 256}")
   }
+
+  test("bottomK md5(id):value keys = a COORDINATED sample: membership " +
+    "depends on the id hash only") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i * 3L, s"s${i % 7}"))
+      .toDF("id", "metric", "tag")
+    def sampleIds(valueCol: String): Set[String] =
+      df.agg(Sketch.bottomK(concat_ws(":",
+          md5(col("id").cast("string")), col(valueCol).cast("string")), 50)
+          .as("sk"))
+        .as[Seq[String]].head()
+        .map(_.split(":")(0)).toSet
+    // two different payload columns, same 50 sampled rows
+    assert(sampleIds("metric") == sampleIds("tag"))
+  }
 }
