@@ -45,6 +45,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E10 sketches ARE streaming state: CMS + KMV over micro-batches " +
+    "equal the batch sketch") {
+    import spark.implicits._
+    // the mergeable aggregates double as streaming state with no extra
+    // machinery: Spark partial-aggregates each micro-batch map-side and
+    // MERGES into the state store — the same merge() the batch plan runs,
+    // so the complete-mode result is bit-identical to one batch pass.
+    // This is the 100 TB ingest shape: per-day/per-batch sketches combine
+    // by merge, never by rescan.
+    val vals = (1 to 900).map(i => s"k${i % 113}")
+    val ms = MemoryStream[String](spark)
+    val q = ms.toDF().toDF("v")
+      .agg(graft.functions.Sketch.countMin(col("v"), 4, 128).as("cms"),
+        graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"))
+      .writeStream.format("memory").queryName("sk_parity")
+      .outputMode("complete").start()
+    try {
+      vals.grouped(300).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("sk_parity")
+      val batch = vals.toDF("v")
+        .agg(graft.functions.Sketch.countMin(col("v"), 4, 128).as("cms"),
+          graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streamed sketches diverge from the batch sketches")
+    } finally q.stop()
+  }
+
   test("E2 sessionize: flatMapGroupsWithState equals batch window semantics") {
     import spark.implicits._
     val events = realEvents(20)
