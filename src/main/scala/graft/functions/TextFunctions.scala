@@ -264,6 +264,50 @@ object TextFunctions {
       .select(col(idCol), col(srcCol), col("n_tokens"), col("tokens_before"))
   }
 
+  /** D41: temperature-based source rebalancing (the multilingual
+    * pretraining sampler of Conneau & Lample 2019 / mT5): per-source
+    * selection quota ∝ n_s^τ — τ=1 keeps natural proportions, τ→0
+    * flattens toward uniform, upsampling rare sources relative to their
+    * share. τ is fixed at 0.5 so the weight is an IEEE `sqrt` (identical
+    * bit-for-bit in every engine, unlike pow whose libm varies); the
+    * normalizer Σ_s √n_s folds over sources in ascending source order (a
+    * 5-element plan-side fold — order-pinned so the DuckDB oracle lands
+    * on the same double); quota_s = max(1, ⌊budget·√n_s / Σ⌋) with the
+    * multiply-then-divide association fixed left-to-right. Selection is
+    * the coordinated md5(id) rank (the same order [[mixToBudget]] and the
+    * bottom-k sample use), so a budget increase only appends rows and
+    * samples for different budgets stay nested.
+    *
+    * Scale shape: the quota table is O(sources) driver-free broadcast;
+    * the corpus pays ONE source-partitioned window — embarrassingly
+    * parallel across sources, same as mixToBudget.
+    */
+  def temperatureSample(docs: org.apache.spark.sql.DataFrame, budget: Long,
+                        srcCol: String = "source", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "temperatureSample: budget must be positive")
+    val w = docs.groupBy(srcCol)
+      .agg(count(lit(1)).as("n"))
+      .select(col(srcCol), sqrt(col("n").cast("double")).as("_w"))
+    val tot = w.agg(aggregate(
+      sort_array(collect_list(struct(col(srcCol), col("_w")))),
+      lit(0.0), (acc, x) => acc + x.getField("_w")).as("_tot"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(col(srcCol),
+        greatest(lit(1L),
+          floor(lit(budget.toDouble) * col("_w") / col("_tot")).cast("long"))
+          .as("quota"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .select(col(idCol), col(srcCol))
+      .withColumn("samp_rank", row_number().over(win).cast("long"))
+      .join(broadcast(quotas), Seq(srcCol))
+      .filter(col("samp_rank") <= col("quota"))
+      .select(col(idCol), col(srcCol), col("samp_rank"), col("quota"))
+  }
+
   /** D32: tf-idf keyword extraction — the top-k most characteristic
     * terms per document (smoothed idf, sklearn-style
     * `ln((N+1)/(df+1)) + 1`), the classic retrieval/tagging primitive a

@@ -139,6 +139,12 @@ object TextQueries {
       mixToBudget(docs(s, d), mixWeights, mixDefaultWeight, mixBudget)
     },
 
+    // D41: temperature-based source rebalancing — quota ∝ √n_s (τ=0.5),
+    // selection by the coordinated md5 rank.
+    "text_temperature_mix" -> { (s, d) =>
+      temperatureSample(docs(s, d), budget = 200L)
+    },
+
     // D32: tf-idf top-3 characteristic terms per document.
     "text_tfidf" -> { (s, d) => tfidfTopTerms(docs(s, d), k = 3) },
 
@@ -702,6 +708,27 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
         |SELECT ngram, count(*) AS cnt FROM sh GROUP BY 1
         |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // Mirror of temperatureSample(budget=200): sqrt weights (IEEE ≡),
+    // source-ordered normalizer fold, left-assoc multiply-then-divide,
+    // coordinated md5 selection rank.
+    "text_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        |t AS (SELECT list_sum(list(w ORDER BY source)) AS tot FROM w),
+        |q AS (
+        |  SELECT w.source,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(floor(200.0 * w.w / t.tot) AS BIGINT)) AS quota
+        |  FROM w CROSS JOIN t),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS samp_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.samp_rank, q.quota
+        |FROM r JOIN q USING (source) WHERE r.samp_rank <= q.quota""".stripMargin,
 
     // Mirror of the bottom-k coordinated sample: same "md5(id):value"
     // keys, same binary string order (ASCII ≡ UTF-16 code units for hex),

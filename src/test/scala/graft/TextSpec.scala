@@ -111,6 +111,25 @@ class TextSpec extends SparkSpec {
       TextFunctions.mixToBudget(docs, Nil, -0.1, 10))
   }
 
+  test("temperature sample: flattens skew toward rare sources, nested") {
+    import spark.implicits._
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "source")
+    val samp = TextFunctions.temperatureSample(docs, budget = 100)
+    val by = samp.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // √900=30, √100=10, Σ=40 → quotas 75/25: the rare source's share
+    // rises from its natural 10% to 25% — the τ=0.5 flattening
+    assert(by("big") == 75L && by("rare") == 25L, by.toString)
+    // a bigger budget only appends (coordinated md5 rank order)
+    val bigger = TextFunctions.temperatureSample(docs, budget = 200)
+    assert(samp.join(bigger, Seq("doc_id"), "left_anti").count() == 0)
+    // every source keeps at least one doc even when the floor hits zero
+    val tiny = TextFunctions.temperatureSample(docs, budget = 2)
+    assert(tiny.groupBy("source").count().count() == 2)
+  }
+
   test("tf-idf: hand-computed scores and rank order") {
     import spark.implicits._
     val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
