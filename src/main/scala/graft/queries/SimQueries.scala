@@ -45,6 +45,14 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // D42: contrastive hard-negative mining — per query the top-5
+    // candidates with cosine in [0.15, 0.30): informative negatives below
+    // the near-dup band (the corpus median sim is ~0.005, p99 ~0.29).
+    "ann_hard_negatives" -> { (s, d) =>
+      Ann.hardNegatives(qset(s, d), Tables.embeddings(s, d), n = 5,
+        lo = 0.15, hi = 0.30)
+    },
+
     "ann_lsh" -> { (s, d) =>
       // multi-probe: each query also checks one-bit-flipped buckets —
       // higher recall for query-side-only extra lookups (AnnSpec measures)
@@ -466,6 +474,23 @@ object SimQueries {
          |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    // Mirror of Ann.hardNegatives(n=5, lo=0.15, hi=0.30): the band filter
+    // runs on the same bit-identical exact cosine, so membership matches.
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |sims AS (
+        |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |banded AS (SELECT * FROM sims WHERE sim >= 0.15 AND sim < 0.30),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM banded)
+        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -34,16 +34,42 @@ object Ann {
                      embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(embCol).as("_q_emb")))
-    val sims = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"))
-      .join(q, col("q_id") =!= col("c_id")) // broadcast nested loop, map-side
-      .select(col("q_id"), col("c_id"),
-        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
-      .as[Scored]
     // Per-partition prune in global order (sim desc, c_id asc) shrinks the
     // shuffle from |corpus|·|Q| to ≤ partitions·|Q|·k rows — see rankPruned.
-    rankPruned(sims, k)
+    rankPruned(exactSims(queries, corpus, idCol, embCol).as[Scored], k)
+  }
+
+  /** D42: hard-negative mining for contrastive training — per query the
+    * top `n` corpus vectors whose exact cosine falls in [lo, hi): related
+    * enough to be informative negatives, below the near-duplicate band
+    * that would poison the loss with false negatives (the in-batch /
+    * mined-negatives recipe of DPR, Karpukhin et al. 2020). Same
+    * broadcast-scan + heap-prune plan as [[bruteForceTopK]] — the band
+    * filter runs map-side inside the scan, so candidates outside it never
+    * reach the shuffle; at lake scale the same band composes with the
+    * IVF/PQ pruned scans. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, n: Int,
+                    lo: Double = 0.15, hi: Double = 0.30,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(lo < hi, s"hardNegatives: empty band [$lo, $hi)")
+    val banded = exactSims(queries, corpus, idCol, embCol)
+      .where(col("sim") >= lo && col("sim") < hi)
+    rankPruned(banded.as[Scored], n)
+  }
+
+  /** Exact cosine for every (query, candidate) pair: broadcast nested
+    * loop, map-side — the corpus never shuffles. */
+  private def exactSims(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, embCol: String): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb")))
+    corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"))
+      .join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
