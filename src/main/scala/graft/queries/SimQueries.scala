@@ -91,6 +91,13 @@ object SimQueries {
       Ann.ivfProbe(s, ivfIndex(s, d), qset(s, d), k = 5, nProbe = 4)
     },
 
+    // D43: semantic decontamination — corpus vs the vec_id<20 benchmark
+    // set, max-cosine verdict at τ=0.30, map-only (benchmark = literals).
+    "dedup_semantic_decontam" -> { (s, d) =>
+      SemDedup.semanticDecontaminate(
+        Tables.embeddings(s, d), qset(s, d), tau = 0.30)
+    },
+
     // D28: SemDeDup over the planted-near-dup corpus (embeddings ∪
     // cosine-invariant 1.5×-scaled copies — the dedup_embedding fixture):
     // every scaled copy is a semantic duplicate of its original, so the
@@ -474,6 +481,20 @@ object SimQueries {
          |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    // Mirror of SemDedup.semanticDecontaminate(tau=0.30): max over the
+    // same bit-identical cosine folds — max is order-free and exact.
+    "dedup_semantic_decontam" ->
+      s"""WITH b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings
+        |           WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding AS ce FROM embeddings
+        |      WHERE vec_id >= 20),
+        |s AS (
+        |  SELECT vec_id, max(${cosSql("ce", "be")}) AS mx
+        |  FROM c CROSS JOIN b GROUP BY vec_id)
+        |SELECT vec_id, floor((mx) * 10000 + 0.5) / 10000.0 AS max_bench_sim,
+        |  mx < 0.30 AS kept
+        |FROM s""".stripMargin,
 
     // Mirror of Ann.hardNegatives(n=5, lo=0.15, hi=0.30): the band filter
     // runs on the same bit-identical exact cosine, so membership matches.

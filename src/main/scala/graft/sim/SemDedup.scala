@@ -89,4 +89,35 @@ object SemDedup {
         Exact.rnd4(col("cdist")).as("cdist"),
         coalesce(col("kept"), lit(true)).as("kept"))
   }
+
+  /** D43: semantic benchmark decontamination — the embedding-space twin
+    * of the n-gram decontaminer (§2D19): a corpus vector is contaminated
+    * when its cosine to ANY benchmark vector reaches `tau` (paraphrased
+    * eval leakage that shares no n-grams still lands next to its source
+    * in embedding space). The benchmark is O(eval-suite) small by
+    * construction, so it collects to plan-time literals and the corpus
+    * pays ONE map-only scan — max-sim = greatest() over codegen cosine
+    * folds, zero shuffle, no join at all; max is exact (order-free), so
+    * the verdict replays in any engine. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            tau: Double = 0.30,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bench = benchmark
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<float>").as("e"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(bench.nonEmpty, "semanticDecontaminate: empty benchmark")
+    val benchIds = bench.map(_._1).toSet
+    val sims = bench.map { case (_, e) =>
+      VectorFunctions.cosine(col(embCol), typedlit(e))
+    }
+    corpus
+      .filter(!col(idCol).isin(benchIds.toSeq: _*))
+      .select(col(idCol), greatest(sims: _*).as("_mx"))
+      .select(col(idCol), Exact.rnd4(col("_mx")).as("max_bench_sim"),
+        (col("_mx") < lit(tau)).as("kept"))
+  }
 }

@@ -51,4 +51,48 @@ class SemDedupSpec extends SparkSpec {
     assert(verdict.exceptAll(again).count() == 0 &&
       again.exceptAll(verdict).count() == 0)
   }
+
+  test("semantic decontamination: map-only plan, benchmark excluded, " +
+    "verdicts match a driver recompute") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val bench = emb.filter(col("vec_id") < 20)
+    val out = SemDedup.semanticDecontaminate(emb, bench, tau = 0.30).cache()
+    // benchmark rows never judge themselves
+    assert(out.filter(col("vec_id") < 20).count() == 0)
+    // map-only: no Exchange anywhere in the executed plan — the benchmark
+    // is plan-time literals, the corpus is scanned once
+    out.collect()
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"decontamination must not shuffle:\n${out.queryExecution.executedPlan}")
+    // spot-check verdicts against an independent driver-side recompute
+    val bvecs = bench.select(col("vec_id"),
+        col("embedding").cast("array<float>"))
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val rows = emb.filter(col("vec_id") % 53 === 21)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val verdicts = out.filter(col("vec_id") % 53 === 21)
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, e) =>
+      val expectKept = bvecs.map(cos(e, _)).max < 0.30
+      assert(verdicts(id) == expectKept, s"verdict diverges for vec $id")
+    }
+    // the threshold bites on this corpus: some rows are contaminated
+    assert(out.filter(!col("kept")).count() > 0)
+  }
 }
