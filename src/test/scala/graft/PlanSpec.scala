@@ -137,6 +137,20 @@ class PlanSpec extends SparkSpec {
       s"sample must be a top-K, not a global sort:\n$sp")
   }
 
+  test("pq scans: codes and tables are map-side, every join broadcasts") {
+    // ann_pq: encode is a projection over the scan; the ADC join and both
+    // refine joins carry a broadcast side — the corpus must never land in
+    // a sort-merge or shuffled-hash join in either stage
+    for (q <- Seq("ann_pq", "ann_ivfpq")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: corpus must only meet broadcast sides:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q: query side must broadcast:\n$p")
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import graft.core.Tables
     import graft.sources.Sinks
