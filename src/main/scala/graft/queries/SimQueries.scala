@@ -39,6 +39,37 @@ object SimQueries {
       path
     })
 
+  /** Shared deterministic quantizers, trained once per (JVM, sf dir) —
+    * the FAISS train/add separation: ann_ivf, ann_pq, ann_ivfpq and the
+    * physical builds all reuse the identical coarse centroids and PQ
+    * codebooks instead of re-deriving them per query. Determinism makes
+    * the cache transparent: the trained arrays are a pure function of
+    * the table. */
+  private val coarseCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def coarse16(s: SparkSession, d: String): Array[Array[Double]] =
+    coarseCache.getOrElseUpdate(d,
+      Ann.seededCentroids(Tables.embeddings(s, d), nlist = 16))
+  private val booksCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def books4x16(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] =
+    booksCache.getOrElseUpdate(d,
+      Ann.pqCodebooks(Tables.embeddings(s, d), m = 4, ksub = 16, dims = 64))
+
+  /** The on-disk IVF-PQ layout for `ann_ivfpq_probe`, built once per
+    * (JVM, sf dir) like [[ivfIndex]]. */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfPqIndex(s: SparkSession, d: String): String =
+    ivfPqIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx_").toString
+      Ann.ivfPqBuild(Tables.embeddings(s, d), path, nlist = 16,
+        m = 4, ksub = 16, dims = 64)
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_topk" -> { (s, d) =>
@@ -62,7 +93,7 @@ object SimQueries {
 
     "ann_ivf" -> { (s, d) =>
       Ann.ivfTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
-        nlist = 16, nProbe = 4)
+        nlist = 16, nProbe = 4, coarse = Some(coarse16(s, d)))
     },
 
     // D37: product-quantization ADC scan — 4 subspace codebooks of 16
@@ -71,14 +102,23 @@ object SimQueries {
     // seeded-k-means, so the oracle replays all four trainings.
     "ann_pq" -> { (s, d) =>
       Ann.pqTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
-        m = 4, ksub = 16, dims = 64)
+        m = 4, ksub = 16, dims = 64, books = Some(books4x16(s, d)))
     },
 
     // D39: the composed FAISS-IVFPQ query shape — coarse cells prune the
     // scan, PQ codes rank the probed cells, exact refine on the shortlist.
     "ann_ivfpq" -> { (s, d) =>
       Ann.ivfPqTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
-        nlist = 16, nProbe = 4, m = 4, ksub = 16, dims = 64)
+        nlist = 16, nProbe = 4, m = 4, ksub = 16, dims = 64,
+        coarse = Some(coarse16(s, d)), books = Some(books4x16(s, d)))
+    },
+
+    // D39b: the PHYSICAL IVF-PQ layout through the gate — codes + raw
+    // vectors partitioned by coarse cell on disk, probe = partition
+    // IN-filter + compressed ranking + in-row refine; identical ranking
+    // to the in-memory plan, so it shares the ann_ivfpq oracle.
+    "ann_ivfpq_probe" -> { (s, d) =>
+      Ann.ivfPqProbe(s, ivfPqIndex(s, d), qset(s, d), k = 5, nProbe = 4)
     },
 
     // D7c through the gate: the PHYSICAL index path — corpus written
@@ -436,6 +476,12 @@ object SimQueries {
     // rerank=64): same PQ replay restricted to the coarse-cell candidates.
     "ann_ivfpq" -> pqOracleSql(m = 4, ksub = 16, dims = 64, sampleN = 256,
       iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
+
+    // The physical layout ranks the same candidates with the same stored
+    // quantizers — one oracle serves both plans (the ann_ivf_probe
+    // precedent).
+    "ann_ivfpq_probe" -> pqOracleSql(m = 4, ksub = 16, dims = 64,
+      sampleN = 256, iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
 
     // The physical-index probe ranks the same candidates with the same
     // centroids — one oracle serves both plans.

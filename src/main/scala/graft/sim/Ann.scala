@@ -90,8 +90,10 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
               nProbe: Int = 4, idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
-    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
+              embCol: String = "embedding",
+              coarse: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
     val assigned = corpus.select(col(idCol).as("c_id"),
       col(embCol).as("_c_emb"), cellOf(cents, col(embCol)).as("cell"))
     rankProbed(assigned, queries, cents, k, nProbe, idCol, embCol)
@@ -224,6 +226,75 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Materialize the full IVF-PQ layout: the corpus written PARTITIONED
+    * BY coarse cell with its PQ codes and reconstruction norm INLINE in
+    * each row (scan compressed, refine from the same row — no second
+    * fetch), plus centroid and codebook sidecars. One assignment+encode
+    * pass; every future query batch pays only the probe. This is the
+    * at-rest form of [[ivfPqTopK]]'s plan — encode once, reuse always. */
+  def ivfPqBuild(corpus: DataFrame, path: String, nlist: Int = 16,
+                 m: Int = 4, ksub: Int = 16, dims: Int = 64,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 coarse: Option[Array[Array[Double]]] = None,
+                 books: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val cbs = books.getOrElse(pqCodebooks(corpus, m, ksub, dims, idCol, embCol))
+    corpus.select(col(idCol).as("c_id") +:
+        col(embCol).cast("array<float>").as("_c_emb") +:
+        (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
+      .withColumn("_rn2", pqReconNorm2(cbs))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, r) => (j, r, c.toSeq) }
+    }.toSeq.toDF("book", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Query a built IVF-PQ layout: probed cells become a partition
+    * IN-filter (directory pruning — nProbe/nlist of the lake read), the
+    * pruned scan ranks from its stored codes, and the refine re-scores
+    * the shortlist from the raw vectors already in the scanned rows.
+    * Identical ranking to [[ivfPqTopK]] (same deterministic quantizers),
+    * so the layout round-trip shares its hash oracle. */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, k: Int, nProbe: Int = 4,
+                 rerank: Int = 64, idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = loadCentroids(spark, path)
+    val cbs = spark.read.parquet(s"$path/codebooks")
+      .select(col("book"), col("code"), col("centroid").cast("array<double>"))
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val scan = probedScan(spark, path, queries, cents, nProbe, idCol, embCol)
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id") +:
+        (explode(probesOf(cents, col(embCol), nProbe)).as("cell") +:
+          (pqDtCols(cbs, embCol) :+
+            VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2"))): _*))
+    val adc = scan.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), pqAdcSim(cbs.length).as("sim"))
+      .as[Scored]
+    val shortlist = rankPruned(adc, rerank).select("q_id", "c_id")
+    val qRaw = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb")))
+    val exact = scan.select(col("c_id"), col("_c_emb"))
+      .join(broadcast(shortlist), Seq("c_id"))
+      .join(qRaw, Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .as[Scored]
+    rankPruned(exact, k)
+  }
+
   /** Probe a built IVF index: the probed cell ids (O(|Q|·nProbe), driver
     * side — queries are the broadcast-small side by construction) become
     * an IN-filter on the PARTITION column, so the scan reads only the
@@ -350,11 +421,13 @@ object Ann {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
              ksub: Int = 16, dims: Int = 64, rerank: Int = 64,
-             idCol: String = "vec_id",
-             embCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", embCol: String = "embedding",
+             books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cbs = pqCodebooks(corpus, m, ksub, dims, idCol, embCol)
+    // train/add separation: a pre-trained codebook set (FAISS's train()
+    // step, or the ivfPqBuild sidecar) skips the in-plan training
+    val cbs = books.getOrElse(pqCodebooks(corpus, m, ksub, dims, idCol, embCol))
     val coded = pqEncode(corpus, cbs, idCol, embCol)
     val q = broadcast(queries.select(
       col(idCol).as("q_id") +: (pqDtCols(cbs, embCol) :+
@@ -380,11 +453,14 @@ object Ann {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nlist: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 16,
                 dims: Int = 64, rerank: Int = 64, idCol: String = "vec_id",
-                embCol: String = "embedding"): DataFrame = {
+                embCol: String = "embedding",
+                coarse: Option[Array[Array[Double]]] = None,
+                books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
-    val cbs = pqCodebooks(corpus, m, ksub, dims, idCol, embCol)
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val cbs = books.getOrElse(pqCodebooks(corpus, m, ksub, dims, idCol, embCol))
     val coded = corpus.select(col(idCol).as("c_id") +:
         (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
       .withColumn("_rn2", pqReconNorm2(cbs))

@@ -201,6 +201,28 @@ class AnnSpec extends SparkSpec {
     info(f"ivfpq recall@5 = $recall%.2f (4/16 cells → adc 64 → rerank)")
   }
 
+  test("ivfpq layout: probe equals in-memory plan and prunes partitions") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_").toString
+    Ann.ivfPqBuild(emb, path, nlist = 16, m = 4, ksub = 16, dims = 64)
+    val probed = Ann.ivfPqProbe(spark, path, qs, k = 5, nProbe = 4)
+    val inMem = Ann.ivfPqTopK(qs, emb, k = 5, nlist = 16, nProbe = 4)
+    assert(probed.exceptAll(inMem).isEmpty && inMem.exceptAll(probed).isEmpty,
+      "stored-code probe must equal the in-memory ivfpq ranking")
+    // a small query batch reads only its probed cell directories
+    val fewQs = emb.filter(col("vec_id") < 3)
+    val cents = Ann.seededCentroids(emb, nlist = 16)
+    val pruned = Ann.probedScan(spark, path, fewQs, cents, nProbe = 4)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"ivfpq probe must prune partitions: $readFiles of $allFiles")
+  }
+
   test("hard negatives: in band, ranked, never the true nearest neighbor") {
     val neg = Ann.hardNegatives(qs, emb, n = 5, lo = 0.15, hi = 0.30).cache()
     assert(neg.filter(col("sim") < 0.15 || col("sim") >= 0.30).count() == 0,
