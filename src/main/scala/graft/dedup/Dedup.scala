@@ -587,4 +587,62 @@ object Dedup {
       .filter(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), Exact.rnd4(col("_cos")).as("cos_sim"))
   }
+
+  /** D44: cross-source corpus overlap — one MinHash signature per SOURCE
+    * (component-wise min over every shingle hash the source emits) and
+    * the pairwise Jaccard estimate J ≈ matching components / P, the
+    * Broder 1997 resemblance estimator lifted from documents to corpora:
+    * the O(P·sources) signature table replaces the shingle-set join a
+    * true overlap matrix needs, which is the only way to diff two 100 TB
+    * corpora (or today's crawl vs yesterday's) without co-shuffling both.
+    *
+    * Scale shape: `min` is order-free and mergeable, so every component
+    * partial-aggregates map-side — the corpus pays ONE tokenize+hash
+    * scan and shuffles 16 eight-hex strings per source, nothing else.
+    * P=16 components are carved from FOUR md5 digests per shingle (the
+    * [[minhashSignatures]] two-digest trick doubled); the exact-Jaccard
+    * truth twin (distinct-shingle join, the thing the estimate replaces)
+    * rides along for the artifact like D34/D38's exact columns.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 4, comps: Int = 16,
+                    srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    require(comps <= 16, s"sourceOverlap: >16 components needs more digests")
+    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)
+    val hashed = docs
+      .select(col(srcCol), explode(sh).as("g"))
+      .select(col(srcCol),
+        concat(md5(col("g")), md5(concat(lit("x:"), col("g"))),
+          md5(concat(lit("y:"), col("g"))), md5(concat(lit("z:"), col("g"))))
+          .as("_hh"))
+    val sig = hashed.groupBy(srcCol)
+      .agg(min(substring(col("_hh"), 1, 8)).as("c0"),
+        (1 until comps).map(j =>
+          min(substring(col("_hh"), j * 8 + 1, 8)).as(s"c$j")): _*)
+    val ds = docs.select(col(srcCol), explode(sh).as("g")).distinct()
+    val sizes = ds.groupBy(srcCol).agg(count(lit(1)).as("n"))
+    val inter = ds.select(col(srcCol).as("src_a"), col("g"))
+      .join(ds.select(col(srcCol).as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("i"))
+    val a = sig.select(col(srcCol).as("src_a") +:
+      (0 until comps).map(j => col(s"c$j").as(s"a$j")): _*)
+    val b = sig.select(col(srcCol).as("src_b") +:
+      (0 until comps).map(j => col(s"c$j").as(s"b$j")): _*)
+    val matches = (0 until comps).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduceLeft(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), matches.as("sig_match"))
+      .join(broadcast(sizes.select(col(srcCol).as("src_a"), col("n").as("_na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col(srcCol).as("src_b"), col("n").as("_nb"))),
+        Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("sig_match"),
+        Exact.rnd4(col("sig_match").cast("double") / comps)
+          .as("est_jaccard"),
+        Exact.rnd4(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("_na") + col("_nb") - coalesce(col("i"), lit(0L))))
+          .as("true_jaccard"))
+  }
 }

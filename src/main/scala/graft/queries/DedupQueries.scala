@@ -146,6 +146,12 @@ object DedupQueries {
       Dedup.minhashCandidates(Dedup.minhashSignatures(nearCorpus(s, d)))
     },
 
+    // D44: cross-source overlap matrix — per-source MinHash signatures
+    // (P=16), Jaccard estimate vs the exact distinct-shingle truth twin.
+    "dedup_source_overlap" -> { (s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))
+    },
+
     "dedup_jaccard" -> { (s, d) =>
       val corpus = nearCorpus(s, d)
       Dedup.jaccard(corpus,
@@ -208,6 +214,47 @@ object DedupQueries {
     "dedup_minhash" ->
       s"""WITH $minhashSigSql
         |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    // Mirror of Dedup.sourceOverlap(w=4, comps=16): same four-digest
+    // hash concat, same component mins (order-free), same exact truth.
+    "dedup_source_overlap" -> {
+      val sigCols = (0 until 16).map(j =>
+        s"min(substr(h, ${j * 8 + 1}, 8)) AS c$j").mkString(", ")
+      val matchSum = (0 until 16).map(j =>
+        s"(CASE WHEN a.c$j = b.c$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g0 AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(tk) - 3),
+        |    i -> array_to_string(tk[i:i+3], ' '))) AS g
+        |  FROM t WHERE len(tk) >= 4),
+        |hh AS (
+        |  SELECT source,
+        |    md5(g) || md5('x:' || g) || md5('y:' || g) || md5('z:' || g) AS h
+        |  FROM g0),
+        |sig AS (SELECT source, $sigCols FROM hh GROUP BY source),
+        |ds AS (SELECT DISTINCT source, g FROM g0),
+        |sizes AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        |  FROM ds a JOIN ds b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST($matchSum AS BIGINT) AS sig_match
+        |  FROM sig a JOIN sig b ON a.source < b.source)
+        |SELECT p.src_a, p.src_b, p.sig_match,
+        |  floor((p.sig_match / 16.0) * 10000 + 0.5) / 10000.0 AS est_jaccard,
+        |  floor((COALESCE(inter.i, 0) /
+        |    CAST(sa.n + sb.n - COALESCE(inter.i, 0) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000.0 AS true_jaccard
+        |FROM p
+        |JOIN sizes sa ON sa.source = p.src_a
+        |JOIN sizes sb ON sb.source = p.src_b
+        |LEFT JOIN inter ON inter.src_a = p.src_a AND inter.src_b = p.src_b"""
+        .stripMargin
+    },
 
     // owner = min doc_id per bucket; kept iff the doc owns every one of
     // its buckets (mirrors Dedup.firstWinsKept; no bucket cap by design —

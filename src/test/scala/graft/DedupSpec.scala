@@ -123,4 +123,22 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) == (5, "a g"))
     assert(r(1L) == (5, "z y"))
   }
+
+  test("source overlap: identical sources estimate J=1, disjoint J=0") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "twinA", text), (2L, "twinB", text), // identical shingle sets
+      (3L, "alien", other)                      // disjoint from both
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // identical sets: every component min matches, truth = 1
+    assert(m(("twinA", "twinB")) == ((16L, 1.0, 1.0)))
+    // disjoint sets: md5 collisions aside, no component matches, truth 0
+    assert(m(("alien", "twinA"))._1 == 0L && m(("alien", "twinA"))._3 == 0.0)
+    assert(m(("alien", "twinB"))._2 == 0.0)
+  }
 }
