@@ -180,6 +180,89 @@ case class CountMinSketch(child: Expression, depth: Int, width: Int,
   override def prettyName: String = "count_min"
 }
 
+/** Bloom filter aggregate (Bloom 1970) — approximate set MEMBERSHIP in
+  * O(bits) state no matter how many keys stream through: `hashes` bit
+  * positions per input (the same md5 bucket family as [[CountMinSketch]],
+  * so the filter replays cross-engine), membership = all positions set.
+  * Never a false negative; false positives carry collision mass only.
+  *
+  * State is `bits/64` Long words; merge is bitwise OR — map-side partials
+  * and order-free union make it the lake-scale membership primitive:
+  * yesterday's crawl compresses to a broadcastable bit array and today's
+  * crawl probes it map-side, where the exact answer would co-shuffle two
+  * corpora. Positions are md5-derived ([[Sketch.cmsBucket]]), so the
+  * ENTIRE filter — every set bit — is deterministic and DuckDB-replayable.
+  */
+case class BloomSketch(child: Expression, bits: Int, hashes: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(bits > 0 && bits % 64 == 0,
+    s"bloom: bits must be a positive multiple of 64, got $bits")
+  require(hashes > 0, s"bloom: hashes must be positive, got $hashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom expects a string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](bits / 64)
+
+  override def update(buf: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < hashes) {
+        val p = Sketch.cmsBucket(i, s, bits)
+        buf(p >>> 6) |= (1L << (p & 63))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "bloom"
+}
+
 object Sketch {
   import GraftBridge.{toColumn, toExpression}
 
@@ -214,6 +297,29 @@ object Sketch {
   def countMin(c: Column, depth: Int, width: Int): Column =
     toColumn(CountMinSketch(toExpression(c), depth, width)
       .toAggregateExpression())
+
+  /** Bloom filter of a string column: array<long> of bits/64 words —
+    * map-side partials, merge = bitwise OR. */
+  def bloom(c: Column, bits: Int, hashes: Int): Column =
+    toColumn(BloomSketch(toExpression(c), bits, hashes)
+      .toAggregateExpression())
+
+  /** Membership probe of `key` against a [[bloom]] filter: every one of
+    * the `hashes` md5 positions set — column-only bit math (the position
+    * is the same md5 fold the aggregate's update runs), integer-exact.
+    * No false negatives by construction. */
+  def bloomContains(filter: Column, key: Column, bits: Int,
+                    hashes: Int): Column = {
+    val checks = (0 until hashes).map { i =>
+      val p = conv(substring(md5(concat(lit(s"$i:"), key)), 1, 8),
+        16, 10).cast("long") % bits
+      val word = element_at(filter,
+        (shiftright(p, 6) + 1).cast("int"))
+      call_function("shiftright", word, p.bitwiseAND(63L).cast("int"))
+        .bitwiseAND(1L) === 1L
+    }
+    checks.reduce(_ && _)
+  }
 
   /** Frequency estimate of `key` from a [[countMin]] sketch: min over the
     * depth rows of the key's counter — column-only math (the bucket is the

@@ -186,6 +186,39 @@ object TextQueries {
             .cmsEstimate(col("_cms"), col("t"), depth, width).as("est_cnt"))
     },
 
+    // D45: Bloom-filter shingle membership — cross-crawl content overlap
+    // without co-shuffling two corpora. "Yesterday's" crawl (even doc_id)
+    // compresses to ONE 2^18-bit filter over its 8-gram shingles (map-side
+    // partials, merge = bitwise OR, 32 KB state no matter the corpus
+    // size); "today's" docs probe it map-side for a per-doc overlap
+    // count. Never a false negative, so bloom_hits ≥ true_hits always —
+    // the exact semi-join twin rides along to make the false-positive
+    // mass visible in the artifact (m is a fixture constant here;
+    // production sizes m to the expected n). At 100 TB the filter is the
+    // only state that crosses days: the probe pays one scan + one 32 KB
+    // broadcast where the exact answer co-shuffles both crawls.
+    "text_bloom_overlap" -> { (s, d) =>
+      val (bits, hashes) = (262144, 3)
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(
+          tokens(col("text")), 8)).as("g"))
+      val ref = sh.filter(col("doc_id") % 2 === 0).select(col("g"))
+      val filt = ref.agg(
+        graft.functions.Sketch.bloom(col("g"), bits, hashes).as("_bf"))
+      val refSet = ref.distinct().withColumnRenamed("g", "rg")
+      sh.filter(col("doc_id") % 2 === 1)
+        .crossJoin(broadcast(filt))
+        .join(refSet, col("g") === col("rg"), "left")
+        .select(col("doc_id"),
+          graft.functions.Sketch.bloomContains(col("_bf"), col("g"),
+            bits, hashes).as("bh"),
+          col("rg").isNotNull.as("th"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bh"), 1L).otherwise(0L)).as("bloom_hits"),
+          sum(when(col("th"), 1L).otherwise(0L)).as("true_hits"))
+    },
+
     // D40: coordinated uniform row sample as a mergeable sketch + sample
     // quantiles. The sample = the k docs with the smallest md5(doc_id)
     // per source — BottomKSketch over "md5(id):value" keys (the 32-hex
@@ -783,6 +816,42 @@ object TextQueries {
          |FROM top JOIN hb ON hb.t = top.t
          |JOIN cms ON cms.r = hb.r AND cms.b = hb.b
          |GROUP BY top.t, top.c""".stripMargin
+    },
+
+    // Mirror of Sketch.bloom/bloomContains: a shingle is a bloom hit when
+    // ALL 3 md5 positions (same first-8-hex fold as the CMS buckets,
+    // mod 2^18) land in the set-bit set of the even-doc_id reference
+    // shingles — replaying positions replays the filter bit-for-bit.
+    // All integers; the exact-membership twin is a plain semi-join.
+    "text_bloom_overlap" -> {
+      def hexFold(expr: String): String =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8), i ->
+           |    (strpos('0123456789abcdef', substr(md5($expr), i, 1)) - 1)
+           |    * power(16.0, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1,
+         |      len(toks) - 7), i -> array_to_string(toks[i:i+7], ' ')))
+         |    AS g
+         |  FROM t WHERE len(toks) >= 8),
+         |ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+         |pos AS (
+         |  SELECT DISTINCT
+         |    ${hexFold("CAST(r AS VARCHAR) || ':' || g")} % 262144 AS p
+         |  FROM ref CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)),
+         |ck AS (
+         |  SELECT doc_id,
+         |    (${hexFold("'0:' || g")} % 262144 IN (SELECT p FROM pos))
+         |    AND (${hexFold("'1:' || g")} % 262144 IN (SELECT p FROM pos))
+         |    AND (${hexFold("'2:' || g")} % 262144 IN (SELECT p FROM pos))
+         |      AS bh,
+         |    g IN (SELECT g FROM ref) AS th
+         |  FROM sh WHERE doc_id % 2 = 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) FILTER (WHERE bh) AS BIGINT) AS bloom_hits,
+         |  CAST(count(*) FILTER (WHERE th) AS BIGINT) AS true_hits
+         |FROM ck GROUP BY doc_id""".stripMargin
     },
 
     "text_redact" ->

@@ -114,6 +114,61 @@ class SketchSpec extends SparkSpec {
       s"max over-count $worst exceeds 2N/w = ${2L * n / 256}")
   }
 
+  // ---- bloom ----
+
+  private def bloomOf(values: Seq[String], bits: Int, hashes: Int,
+                      parts: Int = 8): Seq[Long] = {
+    import spark.implicits._
+    values.toDF("v").repartition(parts)
+      .agg(Sketch.bloom(col("v"), bits, hashes).as("bf"))
+      .as[Seq[Long]].head()
+  }
+
+  private def probeAll(filter: Seq[Long], keys: Seq[String], bits: Int,
+                       hashes: Int): Map[String, Boolean] = {
+    import spark.implicits._
+    keys.toDF("k")
+      .select(col("k"), Sketch.bloomContains(typedlit(filter), col("k"),
+        bits, hashes).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+  }
+
+  test("bloom: no false negatives — every inserted key probes true") {
+    val vs = (1 to 500).map(i => s"key$i")
+    val bf = bloomOf(vs, bits = 65536, hashes = 3)
+    val hits = probeAll(bf, vs, 65536, 3)
+    assert(hits.values.forall(identity), "an inserted key probed false")
+  }
+
+  test("bloom: partition-split merge (bitwise OR) equals single partition") {
+    val vs = (1 to 800).map(i => s"v$i")
+    assert(bloomOf(vs, 4096, 3, parts = 16) == bloomOf(vs, 4096, 3, parts = 1))
+  }
+
+  test("bloom: set bits are exactly the md5 positions a driver recompute derives") {
+    val vs = (1 to 100).map(i => s"x$i")
+    val bf = bloomOf(vs, 4096, 3)
+    val words = new Array[Long](4096 / 64)
+    for (v <- vs; i <- 0 until 3) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$v".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val p = (java.lang.Long.parseLong(hex, 16) % 4096).toInt
+      words(p >>> 6) |= (1L << (p & 63))
+    }
+    assert(bf == words.toSeq)
+  }
+
+  test("bloom: false-positive rate tracks the (1-e^{-kn/m})^k model") {
+    val inserted = (1 to 2000).map(i => s"in$i")
+    val absent = (1 to 2000).map(i => s"out$i")
+    val (bits, hashes) = (16384, 3)
+    val bf = bloomOf(inserted, bits, hashes)
+    val fp = probeAll(bf, absent, bits, hashes).values.count(identity)
+    // load kn/m = 0.366 → p = (1-e^-0.366)^3 ≈ 0.029; 3x headroom
+    assert(fp > 0 && fp < 2000 * 0.09, s"fp=$fp outside (0, 180)")
+  }
+
   test("bottomK md5(id):value keys = a COORDINATED sample: membership " +
     "depends on the id hash only") {
     import spark.implicits._
