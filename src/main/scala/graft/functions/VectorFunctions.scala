@@ -149,6 +149,50 @@ case class DotProductFD(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** dot(a: array<double>, b: array<double>) = Σ aᵢ·bᵢ — the all-double
+  * fold reconstructed (de-quantized) vectors score with: reconstruction
+  * is exact double arithmetic from integer codes, and narrowing it to
+  * float would change the bits the cross-engine oracle reproduces. */
+case class DotProductDD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import GraftBridge.{toColumn, toExpression}
   private def f(c: Column): Column = c.cast("array<float>")
@@ -160,4 +204,7 @@ object VectorFunctions {
   def dotFD(a: Column, c: Column): Column =
     toColumn(DotProductFD(toExpression(f(a)),
       toExpression(c.cast("array<double>"))))
+  def dotDD(a: Column, b: Column): Column =
+    toColumn(DotProductDD(toExpression(a.cast("array<double>")),
+      toExpression(b.cast("array<double>"))))
 }

@@ -70,10 +70,28 @@ object SimQueries {
       path
     })
 
+  /** Per-dim SQ8 stats, trained once per (JVM, sf dir) like [[coarse16]]. */
+  private val sq8Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Double])]
+  private def sq8Stats(s: SparkSession, d: String)
+      : (Array[Double], Array[Double]) =
+    sq8Cache.getOrElseUpdate(d, Ann.sq8Stats(Tables.embeddings(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_topk" -> { (s, d) =>
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
+    },
+
+    // D46: int8 scalar quantization — one byte per dimension on a uniform
+    // per-dim [min, max] grid (4× smaller than float32), ranking on the
+    // dequantized vectors with the same broadcast-scan heap-prune plan as
+    // the exact baseline. Training is just per-dim min/max (order-free,
+    // exact), so the oracle replays stats, codes, reconstructions and
+    // ranks bit-for-bit.
+    "ann_sq8" -> { (s, d) =>
+      Ann.sq8TopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        stats = Some(sq8Stats(s, d)))
     },
 
     // D42: contrastive hard-negative mining — per query the top-5
@@ -566,6 +584,44 @@ object SimQueries {
         |sims AS (
         |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
         |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM sims)
+        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Mirror of Ann.sq8TopK: per-dim min/max (order-free exact aggs),
+    // code = clamped round on the uniform grid, recon = mn + code·sc,
+    // then the same i-ascending double folds as the Spark-native dot
+    // expressions (q·r uses CAST(qe[i]) · re[i] ≡ DotProductFD; r·r is
+    // all-double ≡ DotProductDD) and the pinned dot/(‖q‖·‖r‖) shape.
+    "ann_sq8" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |st AS (
+        |  SELECT i, min(CAST(ce[i] AS DOUBLE)) AS mn,
+        |         max(CAST(ce[i] AS DOUBLE)) AS mx
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY i),
+        |sc AS (SELECT i, mn, (mx - mn) / 255.0 AS s FROM st),
+        |rec AS (
+        |  SELECT c_id, list(mn +
+        |      (CASE WHEN s = 0 THEN 0.0
+        |            ELSE least(greatest(floor(
+        |              (CAST(ce[i] AS DOUBLE) - mn) / s + 0.5), 0.0), 255.0)
+        |       END) * s ORDER BY i) AS re
+        |  FROM c CROSS JOIN sc GROUP BY c_id),
+        |sims AS (
+        |  SELECT q_id, c_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(qe[i] AS DOUBLE) * re[i]))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |         i -> re[i] * re[i])))) AS sim
+        |  FROM q CROSS JOIN rec WHERE q_id <> c_id),
         |ranked AS (
         |  SELECT q_id, c_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank

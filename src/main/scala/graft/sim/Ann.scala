@@ -499,6 +499,70 @@ object Ann {
     adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))
   }
 
+  /** Per-dimension (min, max) of the corpus embeddings — the training
+    * step of the int8 scalar quantizer (FAISS's SQ8): O(dims) metadata
+    * collected once and inlined as plan-time literals, like the IVF
+    * centroids and PQ codebooks. One partial-agg pass over the corpus
+    * (the posexplode is map-side; the shuffle carries `dims` groups).
+    * min/max are order-free and exact, so the oracle replays them. */
+  def sq8Stats(corpus: DataFrame, embCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(embCol).cast("array<double>")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Dequantized corpus vector from per-dim stats: code_j = clamped
+    * round of (x_j − mn_j)/sc_j, recon_j = mn_j + code_j·sc_j. All the
+    * arithmetic is exact double ops in a pinned order, so codes AND
+    * reconstructions replay bit-for-bit cross-engine. */
+  private def sq8ReconCol(mn: Array[Double], sc: Array[Double],
+                          embCol: String): org.apache.spark.sql.Column = {
+    val codeD = zip_with(
+      zip_with(col(embCol).cast("array<double>"), typedlit(mn.toSeq),
+        (a, m) => a - m),
+      typedlit(sc.toSeq),
+      (d, s0) => when(s0 === 0d, 0d)
+        .otherwise(least(greatest(floor(d / s0 + lit(0.5)), lit(0d)),
+          lit(255d))))
+    zip_with(zip_with(codeD, typedlit(sc.toSeq), (c0, s0) => c0 * s0),
+      typedlit(mn.toSeq), (v, m0) => m0 + v)
+  }
+
+  /** D46: int8 scalar-quantized top-k (the FAISS SQ8 storage path): the
+    * corpus is stored as one byte per dimension (4× smaller than float32,
+    * 8× smaller than the training doubles) plus 2·dims doubles of global
+    * stats; ranking runs on the dequantized vectors — map-only encode +
+    * the same broadcast-scan + per-partition heap prune as the exact
+    * baseline, so the corpus never shuffles and the quantized scan reads
+    * a quarter of the bytes. Unlike PQ (codes index learned centroids),
+    * SQ quantizes each dimension independently on a uniform grid — no
+    * training beyond min/max, reconstruction error ≤ sc_j/2 per dim. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              stats: Option[(Array[Double], Array[Double])] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (mn, mx) = stats.getOrElse(sq8Stats(corpus, embCol))
+    val sc = mn.indices.map(j => (mx(j) - mn(j)) / 255.0).toArray
+    val coded = corpus.select(col(idCol).as("c_id"),
+        sq8ReconCol(mn, sc, embCol).as("_recon"))
+      .withColumn("_rn2",
+        VectorFunctions.dotDD(col("_recon"), col("_recon")))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb"),
+      VectorFunctions.dot(col(embCol), col(embCol)).as("_qn2")))
+    val sims = coded.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VectorFunctions.dotFD(col("_q_emb"), col("_recon")) /
+          (sqrt(col("_qn2")) * sqrt(col("_rn2")))).as("sim"))
+      .as[Scored]
+    rankPruned(sims, k)
+  }
+
   /** Exact-cosine re-scoring of a (q_id, c_id) shortlist: raw vectors are
     * fetched via a broadcast semi-join (the corpus never reshuffles) and
     * only O(|Q|·shortlist) exact folds run. */

@@ -223,6 +223,31 @@ class AnnSpec extends SparkSpec {
       s"ivfpq probe must prune partitions: $readFiles of $allFiles")
   }
 
+  test("sq8: recall vs brute force is near-exact; recon error within grid") {
+    val (mn, mx) = Ann.sq8Stats(emb)
+    val sq = Ann.sq8TopK(qs, emb, k = 5, stats = Some((mn, mx))).cache()
+    // 8-bit per-dim reconstruction barely perturbs cosine: recall@5 high
+    val recall = sq.select("q_id", "c_id")
+      .join(bf.select("q_id", "c_id"), Seq("q_id", "c_id"))
+      .count().toDouble / bf.count()
+    assert(recall > 0.85, f"sq8 recall too low: $recall%.2f")
+    info(f"sq8 recall@5 = $recall%.2f")
+    // per-dim recon error bounded by half a grid step
+    import spark.implicits._
+    val sc = mn.indices.map(j => (mx(j) - mn(j)) / 255.0).toArray
+    val rows = emb.limit(50).select(col("embedding")).as[Seq[Float]].collect()
+    rows.foreach { v =>
+      v.indices.foreach { j =>
+        val x = v(j).toDouble
+        val code = math.min(255.0, math.max(0.0,
+          math.floor((x - mn(j)) / sc(j) + 0.5)))
+        val recon = mn(j) + code * sc(j)
+        assert(math.abs(recon - x) <= sc(j) / 2 + 1e-12,
+          s"dim $j recon error ${math.abs(recon - x)} exceeds ${sc(j) / 2}")
+      }
+    }
+  }
+
   test("hard negatives: in band, ranked, never the true nearest neighbor") {
     val neg = Ann.hardNegatives(qs, emb, n = 5, lo = 0.15, hi = 0.30).cache()
     assert(neg.filter(col("sim") < 0.15 || col("sim") >= 0.30).count() == 0,
