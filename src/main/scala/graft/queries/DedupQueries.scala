@@ -184,6 +184,24 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D47: quality-aware keep-best resolution — the same near-dup cluster
+    // graph, but the survivor is the HIGHEST-QUALITY member (the full
+    // base document outranks its truncated variants on the D9 quality
+    // signals), not the arbitrary min-id. Tie-break: smaller doc_id.
+    "dedup_keep_best" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val nWords = size(t)
+      val stopRatio = graft.functions.TextFunctions.stopHits(t,
+        Seq("the", "a", "of", "and", "to", "in", "is")).cast("double") / nWords
+      val avgWlen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nWords
+      val score =
+        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
+        lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
+      Dedup.keepBest(clusterCorpus(s, d), score)
+    },
+
     "dedup_embedding" -> { (s, d) => Dedup.embeddingNearDups(embCorpus(s, d)) },
 
     // D19: decontamination — the truncated variants stand in for a training
@@ -284,6 +302,41 @@ object DedupQueries {
         |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
         |SELECT cluster AS survivor, count(*) AS n_members
         |FROM comp GROUP BY 1""".stripMargin,
+
+    // Mirror of Dedup.keepBest: same component minimum as dedup_clusters,
+    // the text_quality score replayed over the cluster corpus, winner =
+    // row 1 under (rnd4 quality DESC, doc_id ASC) — ranking on the shared
+    // rounding grid keeps the verdict engine-independent.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${sigChainSql(clusterCorpusSql)},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((0.4 * least(
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+        |          AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / len(string_split(text, ' ')) / 8.0, 1.0)
+        |      + 0.3 * (CASE WHEN len(string_split(text, ' '))
+        |          BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
+        |      * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM corpus),
+        |j AS (
+        |  SELECT q.doc_id, coalesce(c.cluster, q.doc_id) AS cluster,
+        |    q.quality
+        |  FROM q LEFT JOIN comp c ON c.id = q.doc_id)
+        |SELECT doc_id, cluster, quality,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY quality DESC, doc_id ASC) = 1 AS kept
+        |FROM j""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $minhashSigSql,

@@ -80,6 +80,38 @@ class DedupSpec extends SparkSpec {
     assert(a.count() > 0, "no pairs verified — fixture broke")
   }
 
+  test("keepBest: one survivor per cluster, and quality outranks min-id") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(150)
+    val t = split(col("text"), " ")
+    // base ∪ truncated variant at a LOWER doc_id: min-id resolution would
+    // keep the truncation; keep-best must keep the longer base document
+    val corpus = docs.filter(size(t) >= 30).unionByName(docs
+      .filter(size(t) >= 30)
+      .select((col("doc_id") - 1000000).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), size(t) - 8)).as("text")))
+    val quality = size(split(col("text"), " ")).cast("double")
+    val res = Dedup.keepBest(corpus, quality).cache()
+    // exactly one kept member per cluster
+    val perCluster = res.groupBy("cluster")
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("nk"))
+      .filter(col("nk") =!= 1).count()
+    assert(perCluster == 0, "a cluster kept != 1 member")
+    // in every multi-member cluster the winner is the max-quality member
+    val bad = res.as("a").join(res.as("b"),
+      col("a.cluster") === col("b.cluster") &&
+        col("a.kept") && !col("b.kept") &&
+        col("a.quality") < col("b.quality")).count()
+    assert(bad == 0, "a kept member is outranked by a dropped one")
+    // the fixture actually exercises the policy: some kept doc_id is NOT
+    // the cluster minimum (the truncated copy sits at the smaller id)
+    val nonMin = res.filter(col("kept") && col("doc_id") =!= col("cluster"))
+      .count()
+    assert(nonMin > 0, "keep-best never diverged from min-id — fixture weak")
+    res.unpersist()
+  }
+
   test("embedding near-dup buckets above the cap are dropped") {
     import spark.implicits._
     val same = (0 until 100).map(i =>
