@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("E10 sketches ARE streaming state: CMS + KMV over micro-batches " +
+  test("E10 sketches ARE streaming state: CMS + KMV + Bloom over micro-batches " +
     "equal the batch sketch") {
     import spark.implicits._
     // the mergeable aggregates double as streaming state with no extra
@@ -58,7 +58,8 @@ class StreamingSpec extends SparkSpec {
     val ms = MemoryStream[String](spark)
     val q = ms.toDF().toDF("v")
       .agg(graft.functions.Sketch.countMin(col("v"), 4, 128).as("cms"),
-        graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"))
+        graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"),
+        graft.functions.Sketch.bloom(col("v"), 4096, 3).as("bf"))
       .writeStream.format("memory").queryName("sk_parity")
       .outputMode("complete").start()
     try {
@@ -68,7 +69,8 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("sk_parity")
       val batch = vals.toDF("v")
         .agg(graft.functions.Sketch.countMin(col("v"), 4, 128).as("cms"),
-          graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"))
+          graft.functions.Sketch.bottomK(md5(col("v")), 32).as("kmv"),
+          graft.functions.Sketch.bloom(col("v"), 4096, 3).as("bf"))
       assert(streamed.exceptAll(batch).isEmpty &&
         batch.exceptAll(streamed).isEmpty,
         "streamed sketches diverge from the batch sketches")
