@@ -94,6 +94,16 @@ object SimQueries {
         stats = Some(sq8Stats(s, d)))
     },
 
+    // D48: 1-bit binary quantization — 64 dims pack into ONE Long (64×
+    // compression), Hamming pre-rank via bit_count(xor), exact-cosine
+    // refine on the top-64 shortlist. Thresholds are the SQ8 stats'
+    // midranges, so training is shared with ann_sq8 and the shortlist
+    // order is pure integer math in both engines.
+    "ann_binary" -> { (s, d) =>
+      Ann.binaryTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        stats = Some(sq8Stats(s, d)))
+    },
+
     // D42: contrastive hard-negative mining — per query the top-5
     // candidates with cosine in [0.15, 0.30): informative negatives below
     // the near-dup band (the corpus median sim is ~0.005, p99 ~0.29).
@@ -626,6 +636,50 @@ object SimQueries {
         |  SELECT q_id, c_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
         |  FROM sims)
+        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Mirror of Ann.binaryTopK: per-dim midrange cut from the same
+    // min/max stats as ann_sq8, Hamming = count of differing sign bits
+    // (identical to bit_count(xor) on the packed Longs — pure integers,
+    // no float anywhere in the pre-rank), exact-cosine re-rank of the
+    // Hamming top-64 under the shared (h ASC, c_id ASC) tie-break.
+    "ann_binary" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |st AS (
+        |  SELECT i, min(CAST(ce[i] AS DOUBLE)) AS mn,
+        |         max(CAST(ce[i] AS DOUBLE)) AS mx
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY i),
+        |mid AS (SELECT i, (mn + mx) / 2.0 AS md FROM st),
+        |bc AS (
+        |  SELECT c_id, list(CASE WHEN CAST(ce[i] AS DOUBLE) > md
+        |    THEN 1 ELSE 0 END ORDER BY i) AS b
+        |  FROM c CROSS JOIN mid GROUP BY c_id),
+        |bq AS (
+        |  SELECT q_id, list(CASE WHEN CAST(qe[i] AS DOUBLE) > md
+        |    THEN 1 ELSE 0 END ORDER BY i) AS b
+        |  FROM q CROSS JOIN mid GROUP BY q_id),
+        |ham AS (
+        |  SELECT q_id, c_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN bq.b[i] <> bc.b[i] THEN 1 ELSE 0 END)) AS h
+        |  FROM bq CROSS JOIN bc WHERE q_id <> c_id),
+        |short AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY h ASC, c_id ASC)
+        |        AS rs
+        |    FROM ham) WHERE rs <= 64),
+        |ex AS (
+        |  SELECT s.q_id, s.c_id, ${cosSql("q.qe", "c.ce")} AS sim
+        |  FROM short s JOIN q ON q.q_id = s.q_id JOIN c ON c.c_id = s.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM ex)
         |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
         |FROM ranked WHERE rank <= 5""".stripMargin
   )

@@ -563,6 +563,46 @@ object Ann {
     rankPruned(sims, k)
   }
 
+  /** D48: binary (1-bit) embedding quantization + Hamming pre-rank — the
+    * third compression tier (float32 → SQ8 → 1 bit): each dimension
+    * thresholds at its midrange (reusing the [[sq8Stats]] train step, so
+    * the cut is order-free and replayable), 64 dims pack into ONE Long
+    * per vector (64× smaller than float32), and the scan pre-ranks with
+    * `bit_count(sig_q XOR sig_c)` — a two-instruction comparison, no
+    * float math at all, so the shortlist order is integer-exact in every
+    * engine. Only the Hamming top-`rerank` shortlist is re-scored with
+    * exact cosine (the [[pqTopK]] refine shape). At 100 TB the signature
+    * column is the scan: 8 bytes/vector against 256 for raw float32,
+    * and the refine touches O(|Q|·rerank) rows. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 rerank: Int = 64, idCol: String = "vec_id",
+                 embCol: String = "embedding",
+                 stats: Option[(Array[Double], Array[Double])] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (mn, mx) = stats.getOrElse(sq8Stats(corpus, embCol))
+    require(mn.length <= 64, s"binaryTopK packs into one Long: ≤64 dims")
+    val mid = mn.indices.map(j => (mn(j) + mx(j)) / 2.0).toArray
+    val pow = mn.indices.map(j => 1L << j).toArray
+    def packCol(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bits = zip_with(e.cast("array<double>"), typedlit(mid.toSeq),
+        (a, m) => when(a > m, 1L).otherwise(0L))
+      aggregate(zip_with(bits, typedlit(pow.toSeq), (b, p) => b * p),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val c = corpus.select(col(idCol).as("c_id"),
+      packCol(col(embCol)).as("_c_sig"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      packCol(col(embCol)).as("_q_sig")))
+    val ham = c.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (-bit_count(col("_q_sig").bitwiseXOR(col("_c_sig"))))
+          .cast("double").as("sim"))
+      .as[Scored]
+    refineExact(queries, corpus, rankPruned(ham, rerank), k, idCol, embCol)
+  }
+
   /** Exact-cosine re-scoring of a (q_id, c_id) shortlist: raw vectors are
     * fetched via a broadcast semi-join (the corpus never reshuffles) and
     * only O(|Q|·shortlist) exact folds run. */

@@ -248,6 +248,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("binary: refine sims exact on shared pairs; hamming recall reported") {
+    val sq = Ann.binaryTopK(qs, emb, k = 5).cache()
+    // refined sims are EXACT cosine — identical bits to brute force
+    val joined = sq.select(col("q_id"), col("c_id"), col("sim").as("bsim"))
+      .join(bf.select(col("q_id"), col("c_id"), col("sim").as("esim")),
+        Seq("q_id", "c_id"))
+    assert(joined.filter(col("bsim") =!= col("esim")).count() == 0,
+      "refined sim must equal the exact cosine bit-for-bit")
+    val recall = joined.count().toDouble / bf.count()
+    // 1-bit signatures keep enough signal that the top-64 Hamming
+    // shortlist recovers most true neighbors before the exact re-rank
+    assert(recall > 0.5, f"binary recall too low: $recall%.2f")
+    info(f"binary recall@5 = $recall%.2f")
+  }
+
   test("hard negatives: in band, ranked, never the true nearest neighbor") {
     val neg = Ann.hardNegatives(qs, emb, n = 5, lo = 0.15, hi = 0.30).cache()
     assert(neg.filter(col("sim") < 0.15 || col("sim") >= 0.30).count() == 0,
