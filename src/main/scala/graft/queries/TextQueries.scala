@@ -252,6 +252,37 @@ object TextQueries {
           at(col("_all"), 0.9).as("true_p90"))
     },
 
+    // D49: per-source quality calibration — raw quality scores are not
+    // comparable across heterogeneous sources (a boilerplate-heavy dump
+    // compresses the score range), so selection thresholds are set on the
+    // WITHIN-SOURCE percentile, not the raw score: pct = percent_rank
+    // over the rnd4 quality grid per source, keep = pct ≥ 0.2 (drop each
+    // source's bottom quintile). The per-dump normalization practice of
+    // CCNet/FineWeb-style pipelines. One source-partitioned window —
+    // same shuffle shape as text_pack; ranking on the shared rnd4 grid
+    // keeps rank() (and so percent_rank) engine-independent.
+    "text_quality_calibrated" -> { (s, d) =>
+      val t = tokens(col("text"))
+      val nWords = size(t)
+      val stopRatio = stopHits(t, Seq("the", "a", "of", "and", "to", "in",
+        "is")).cast("double") / nWords
+      val avgWlen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nWords
+      val score =
+        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
+        lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("quality")
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          Exact.rnd4(score).as("quality"))
+        .withColumn("_pr", percent_rank().over(w))
+        .select(col("doc_id"), col("source"), col("quality"),
+          Exact.rnd4(col("_pr")).as("pct_in_source"),
+          (col("_pr") >= 0.2).as("kept"))
+    },
+
     // D35: DSIR importance weighting vs the src0 target domain, with
     // per-source stratified top-5 selection.
     "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
@@ -705,6 +736,31 @@ object TextQueries {
         |       + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
         |    * 10000 + 0.5) / 10000.0 AS quality
         |FROM t""".stripMargin,
+
+    // Mirror of text_quality_calibrated: same quality replay, percent_rank
+    // over the rnd4 grid per source ((rank−1)/(n−1) in both engines),
+    // keep-verdict on the raw rank fraction.
+    "text_quality_calibrated" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |    floor((0.4 * least(
+        |        CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN $stop7)) AS DOUBLE)
+        |          / len(string_split(text, ' ')) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / len(string_split(text, ' ')) / 8.0, 1.0)
+        |      + 0.3 * (CASE WHEN len(string_split(text, ' '))
+        |          BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
+        |      * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, quality,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pr
+        |  FROM q)
+        |SELECT doc_id, source, quality,
+        |  floor((pr) * 10000 + 0.5) / 10000.0 AS pct_in_source,
+        |  pr >= 0.2 AS kept
+        |FROM p""".stripMargin,
 
     "text_langid" -> {
       val hits = langStopwords.map { case (lang, words) =>

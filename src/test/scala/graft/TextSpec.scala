@@ -59,6 +59,29 @@ class TextSpec extends SparkSpec {
   private val goodDoc =
     (("the cat sat with the dog and that was fine to see " * 6).trim)
 
+  test("quality calibration: monotone within source, threshold binds per source") {
+    import org.apache.spark.sql.functions._
+    val res = graft.SparkEntry.queries("text_quality_calibrated")(spark, sfDir)
+      .cache()
+    // within a source no dropped doc outranks a kept one
+    val bad = res.as("a").join(res.as("b"),
+      col("a.source") === col("b.source") &&
+        !col("a.kept") && col("b.kept") &&
+        col("a.quality") > col("b.quality")).count()
+    assert(bad == 0, "a dropped doc outranks a kept doc within its source")
+    // the bottom-quintile drop bites in EVERY source (per-source threshold,
+    // not a global one)
+    val perSource = res.groupBy("source").agg(
+      sum(when(col("kept"), 1).otherwise(0)).as("nk"),
+      count(lit(1)).as("n")).collect()
+    perSource.foreach { r =>
+      val (nk, n) = (r.getAs[Long]("nk"), r.getAs[Long]("n"))
+      assert(nk < n, s"${r.getString(0)}: nothing dropped")
+      assert(nk >= (0.7 * n).toLong, s"${r.getString(0)}: dropped too much")
+    }
+    res.unpersist()
+  }
+
   test("gopher battery: a clean document passes every rule") {
     val g = gopher(goodDoc)
     assert(g.getAs[Boolean]("pass"))
