@@ -151,6 +151,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantized scans (sq8, binary): corpus only meets broadcast sides") {
+    // encode/dequantize/signature-pack are projections over the scan; the
+    // ranking join and (for binary) both refine joins must carry a
+    // broadcast side — the corpus never lands in a sort-merge or
+    // shuffled-hash join
+    for (q <- Seq("ann_sq8", "ann_binary")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: corpus must only meet broadcast sides:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: query side must broadcast against the corpus scan:\n$p")
+    }
+  }
+
+  test("bloom build is partial-aggregated map-side; probe side broadcasts " +
+    "the filter") {
+    val p = plan(SparkEntry.queries("text_bloom_overlap")(spark, sfDir))
+    // the 32 KB filter reduces map-side before one single-row exchange
+    assert(p.contains("partial_bloom"),
+      s"bloom aggregate must have a map-side partial:\n$p")
+    // the probe meets the one-row filter via a broadcast nested loop —
+    // only the exact-membership truth twin is allowed a real join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the filter must broadcast to the probe scan:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import graft.core.Tables
     import graft.sources.Sinks
