@@ -2,12 +2,15 @@ package graft
 
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression,
+import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseAnd,
+  Cast, Concat, Conv, Divide, ElementAt, EqualTo, Expression,
   ExpressionInfo, Greatest, Least, LessThan, Literal, Md5, Multiply,
-  Substring, Subtract, Cast}
-import org.apache.spark.sql.types.{BinaryType, StringType}
+  Remainder, ShiftRight, Substring, Subtract}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType,
+  StringType}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{BloomSketch, BottomKSketch, CosineSimilarity,
+  CountMinSketch, DotProduct}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT cosine_sim(a, b) …")` codegens the
@@ -35,6 +38,12 @@ object GraftExtensions {
   private def clipExpr(x: Expression, lo: Expression, hi: Expression) =
     Least(Seq(Greatest(Seq(x, lo)), hi))
 
+  /** A plan-time integer parameter (sketch sizes, hash counts). */
+  private def intLit(e: Expression): Int = {
+    require(e.foldable, "sketch size parameters must be literals")
+    e.eval().toString.toInt
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
@@ -50,6 +59,35 @@ object GraftExtensions {
           Subtract(args(2), args(1))),
         Subtract(args(4), args(3))),
       args(3))),
+    // the mergeable sketch aggregates (SURVEY §2 D34/D38/D45) — the
+    // analyzer wraps the returned AggregateFunction, so
+    // `SELECT graft_bloom(v, 4096, 3)` runs the same typed aggregate as
+    // the Column API; size parameters must be literals (plan-time state
+    // shape). Names are graft_-prefixed to stay clear of Spark's builtin
+    // count_min_sketch/bloom_filter_agg.
+    "graft_bottom_k" -> (args => BottomKSketch(args(0), intLit(args(1)))),
+    "graft_count_min" -> (args =>
+      CountMinSketch(args(0), intLit(args(1)), intLit(args(2)))),
+    "graft_bloom" -> (args =>
+      BloomSketch(args(0), intLit(args(1)), intLit(args(2)))),
+    // membership probe over a graft_bloom array — the same md5 bit math
+    // as the Column helper, composed from builtin Catalyst expressions
+    // (the analyzer inserts the numeric coercions, codegen is theirs)
+    "graft_bloom_contains" -> (args => {
+      val bits = intLit(args(2)); val hashes = intLit(args(3))
+      val checks: Seq[Expression] = (0 until hashes).map { i =>
+        val p = Remainder(
+          Cast(Conv(Substring(
+            Md5(Cast(Concat(Seq(Literal(s"$i:"), args(1))), BinaryType)),
+            Literal(1), Literal(8)), Literal(16), Literal(10)), LongType),
+          Literal(bits.toLong))
+        val word = ElementAt(args(0),
+          Cast(Add(ShiftRight(p, Literal(6)), Literal(1)), IntegerType))
+        val bit = Cast(BitwiseAnd(p, Literal(63L)), IntegerType)
+        EqualTo(BitwiseAnd(ShiftRight(word, bit), Literal(1L)), Literal(1L))
+      }
+      checks.reduce(And(_, _))
+    }),
     // deterministic md5-threshold sampling predicate (TextFunctions
     // .hashSampleKeep): rate must be a literal so the hex threshold is a
     // plan-time constant

@@ -256,6 +256,40 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** The stored PQ codebooks of a built layout — O(m·ksub·dsub) sidecar
+    * metadata, the read half of the train/add separation. */
+  private def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("book"), col("code"), col("centroid").cast("array<double>"))
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
+  /** Incremental ADD to a built IVF-PQ layout — the maintenance half of
+    * FAISS's train/add contract: new vectors are encoded with the STORED
+    * quantizers (add never retrains — retraining would re-key every
+    * existing code) and appended as new files inside their cell
+    * directories. The probe path is untouched: partition pruning, stored
+    * codes and in-row refine see one homogeneous layout, so a daily
+    * ingest appends O(new) work to a 100 TB index without rewriting it.
+    * Compaction of accumulated small files is the same materialize-then-
+    * swap rewrite the E9 claim store uses. */
+  def ivfPqAdd(newVecs: DataFrame, path: String,
+               idCol: String = "vec_id", embCol: String = "embedding")
+      : Unit = {
+    val spark = newVecs.sparkSession
+    val cents = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    newVecs.select(col(idCol).as("c_id") +:
+        col(embCol).cast("array<float>").as("_c_emb") +:
+        (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
+      .withColumn("_rn2", pqReconNorm2(cbs))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   /** Query a built IVF-PQ layout: probed cells become a partition
     * IN-filter (directory pruning — nProbe/nlist of the lake read), the
     * pruned scan ranks from its stored codes, and the refine re-scores
@@ -268,11 +302,7 @@ object Ann {
                  embCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val cents = loadCentroids(spark, path)
-    val cbs = spark.read.parquet(s"$path/codebooks")
-      .select(col("book"), col("code"), col("centroid").cast("array<double>"))
-      .as[(Int, Int, Array[Double])].collect()
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    val cbs = loadCodebooks(spark, path)
     val scan = probedScan(spark, path, queries, cents, nProbe, idCol, embCol)
     val q = broadcast(queries.select(
       col(idCol).as("q_id") +:

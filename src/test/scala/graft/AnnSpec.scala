@@ -223,6 +223,30 @@ class AnnSpec extends SparkSpec {
       s"ivfpq probe must prune partitions: $readFiles of $allFiles")
   }
 
+  test("ivfpq add: build-then-append equals the one-shot index (train/add)") {
+    // the FAISS contract: quantizers train ONCE (here on the even half);
+    // add encodes with the stored quantizers and appends — the probe must
+    // see one homogeneous layout identical to indexing everything at once
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Ann.seededCentroids(half, nlist = 16)
+    val books = Ann.pqCodebooks(half, m = 4, ksub = 16, dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_add_").toString
+    Ann.ivfPqBuild(half, path, nlist = 16, m = 4, ksub = 16, dims = 64,
+      coarse = Some(cents), books = Some(books))
+    val before = spark.read.parquet(s"$path/data").inputFiles.length
+    Ann.ivfPqAdd(rest, path)
+    val after = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(after > before, "append must add files inside the cell layout")
+    val probed = Ann.ivfPqProbe(spark, path, qs, k = 5, nProbe = 4)
+    val oneShot = Ann.ivfPqTopK(qs, emb, k = 5, nlist = 16, nProbe = 4,
+      coarse = Some(cents), books = Some(books))
+    assert(probed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(probed).isEmpty,
+      "append-then-probe must equal the one-shot index ranking")
+  }
+
   test("sq8: recall vs brute force is near-exact; recon error within grid") {
     val (mn, mx) = Ann.sq8Stats(emb)
     val sq = Ann.sq8TopK(qs, emb, k = 5, stats = Some((mn, mx))).cache()

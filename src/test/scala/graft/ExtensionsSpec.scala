@@ -27,6 +27,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("sketch SQL functions match the Column API; probe round-trips") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    (1 to 300).map(i => s"k${i % 67}").toDF("v")
+      .createOrReplaceTempView("ext_sk")
+    val viaSql = spark.sql(
+      """SELECT graft_bottom_k(v, 16) AS bk, graft_count_min(v, 4, 64) AS cm,
+        |  graft_bloom(v, 4096, 3) AS bf
+        |FROM ext_sk""".stripMargin)
+    val viaCol = spark.table("ext_sk").agg(
+      graft.functions.Sketch.bottomK(col("v"), 16).as("bk"),
+      graft.functions.Sketch.countMin(col("v"), 4, 64).as("cm"),
+      graft.functions.Sketch.bloom(col("v"), 4096, 3).as("bf"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // probe the SQL-built filter with the SQL scalar: every member found
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM ext_sk,
+        |  (SELECT graft_bloom(v, 4096, 3) AS bf FROM ext_sk)
+        |WHERE graft_bloom_contains(bf, v, 4096, 3)""".stripMargin)
+      .as[Long].head()
+    assert(hits == 300L, s"bloom membership via SQL missed rows: $hits")
+  }
+
   test("sql plan with cosine_sim stays in whole-stage codegen") {
     GraftExtensions.install(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("ext_emb2")
