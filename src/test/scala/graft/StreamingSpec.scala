@@ -77,6 +77,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E11 streaming index ingest: foreachBatch ivfPqAdd equals the " +
+    "one-shot index") {
+    import spark.implicits._
+    // the daily-ingest story made a stream: vectors arrive in micro-
+    // batches, each batch encodes with the STORED quantizers and appends
+    // inside its cell dirs (add never retrains) — after any number of
+    // batches the probe sees one homogeneous layout identical to
+    // indexing everything at once
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val cents = graft.sim.Ann.seededCentroids(base, nlist = 16)
+    val books = graft.sim.Ann.pqCodebooks(base, m = 4, ksub = 16, dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_").toString
+    graft.sim.Ann.ivfPqBuild(base, path, nlist = 16, m = 4, ksub = 16,
+      dims = 64, coarse = Some(cents), books = Some(books))
+    val arrivals = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sim.Ann.ivfPqAdd(batch, path)
+      }.start()
+    try {
+      arrivals.grouped((arrivals.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qs = emb.filter(col("vec_id") < 20)
+    val probed = graft.sim.Ann.ivfPqProbe(spark, path, qs, k = 5, nProbe = 4)
+    val oneShot = graft.sim.Ann.ivfPqTopK(qs, emb, k = 5, nlist = 16,
+      nProbe = 4, coarse = Some(cents), books = Some(books))
+    assert(probed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(probed).isEmpty,
+      "stream-ingested index diverges from the one-shot index")
+  }
+
   test("E2 sessionize: flatMapGroupsWithState equals batch window semantics") {
     import spark.implicits._
     val events = realEvents(20)
