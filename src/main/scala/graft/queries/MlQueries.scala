@@ -204,6 +204,44 @@ object MlQueries {
           graft.core.Exact.rnd4(col("col").cast("double")).as("value"))
     },
 
+    // D50: model-based re-ranking of an ANN shortlist — the
+    // late-interaction cross-scorer seam every retrieval pipeline ends
+    // with: exact top-16 retrieval (any of the ANN paths can stand in),
+    // then the REAL graft-mlp weights score each (q, c) pair on the
+    // element-wise interaction vector q⊙c (float32 products, the
+    // ColBERT-shape cross feature), final order = (score DESC, c_id).
+    // The pair id packs as q_id·100000 + c_id through the batched
+    // session stage and unpacks after. FULL hash oracle: shortlist from
+    // the bit-identical exact cosine, forward pass mirrored
+    // neuron-for-neuron from the shared weight literals.
+    "ann_rerank_mlp" -> { (s, d) =>
+      import graft.core.Exact
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val short = graft.sim.Ann.bruteForceTopK(qs, emb, k = 16)
+      val qe = broadcast(qs.select(col("vec_id").as("q_id"),
+        col("embedding").as("_qe")))
+      val pairs = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("_ce"))
+        .join(broadcast(short.select("q_id", "c_id")), Seq("c_id"))
+        .join(qe, Seq("q_id"))
+        .select((col("q_id") * 100000L + col("c_id")).as("vec_id"),
+          zip_with(col("_qe"), col("_ce"),
+            (a, b) => (a.cast("double") * b.cast("double")).cast("float"))
+            .as("embedding"))
+      val model = MlProcesses.loadStacMl(mlpItemPath)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("_score").desc, col("c_id").asc)
+      model.predict(pairs)
+        .select((col("vec_id") / 100000L).cast("long").as("q_id"),
+          (col("vec_id") % 100000L).as("c_id"),
+          element_at(col("embedding"), 1).cast("double").as("_score"))
+        .withColumn("rerank", row_number().over(w))
+        .filter(col("rerank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rerank"),
+          Exact.rnd4(col("_score")).as("score"))
+    },
+
     // A10: image-tensor predict — the cube is cut into model-sized 2×2
     // tiles (batch = tiles, channel-first dim order) and scored through
     // the batched session stage; the 16×8 input grid is dense by
@@ -316,6 +354,58 @@ object MlQueries {
          |   END) * 10000 + 0.5) / 10000.0 AS value
          |FROM h
          |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks""".stripMargin
+    },
+
+    // Mirror of ann_rerank_mlp: exact-cosine top-16 shortlist (the
+    // bit-identical fold), then the SAME forward pass as the
+    // ml_predict_mlp mirror with input i = float32(double(qe[i]) ·
+    // double(ce[i])) — the interaction vector — and only output 0.
+    "ann_rerank_mlp" -> {
+      def lit(v: Double) = s"CAST('$v' AS DOUBLE)"
+      def cos(a: String, b: String): String =
+        s"""list_sum(list_transform(generate_series(1, len($a)),
+           |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           |/ (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+           |     i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           | * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+           |     i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+          .stripMargin
+      val hidden = (0 until 8).map { j =>
+        val sum = (0 until 64).map(i =>
+          s"CAST(CAST(CAST(qe[${i + 1}] AS DOUBLE) * " +
+            s"CAST(ce[${i + 1}] AS DOUBLE) AS FLOAT) AS DOUBLE) * " +
+            lit(mlpW1(j)(i))).mkString(" + ")
+        s"CAST(CASE WHEN ($sum) + ${lit(mlpB1(j))} > 0 " +
+          s"THEN ($sum) + ${lit(mlpB1(j))} ELSE 0.0 END AS FLOAT) AS h$j"
+      }.mkString(",\n    ")
+      val score = {
+        val sum = (0 until 8).map(j =>
+          s"CAST(h$j AS DOUBLE) * ${lit(mlpW2(0)(j))}").mkString(" + ")
+        s"CAST(CAST(($sum) + ${lit(mlpB2(0))} AS FLOAT) AS DOUBLE)"
+      }
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+         |sims AS (
+         |  SELECT q_id, c_id, ${cos("qe", "ce")} AS sim
+         |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id ASC) AS rs
+         |    FROM sims) WHERE rs <= 16),
+         |h AS (
+         |  SELECT s.q_id, s.c_id,
+         |    $hidden
+         |  FROM short s JOIN q USING (q_id) JOIN c USING (c_id)),
+         |sc AS (SELECT q_id, c_id, $score AS score FROM h)
+         |SELECT q_id, c_id, rerank,
+         |  floor((score) * 10000 + 0.5) / 10000.0 AS score
+         |FROM (
+         |  SELECT q_id, c_id, score, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, c_id ASC) AS rerank
+         |  FROM sc)
+         |WHERE rerank <= 5""".stripMargin
     },
 
     // Mirrors predictTiles + StubRuntime on the dense 16×8 single-band

@@ -287,6 +287,25 @@ class AnnSpec extends SparkSpec {
     info(f"binary recall@5 = $recall%.2f")
   }
 
+  test("mlp rerank: candidates come from the shortlist and order diverges") {
+    val rr = graft.SparkEntry.queries("ann_rerank_mlp")(spark, sfDir).cache()
+    val short = Ann.bruteForceTopK(qs, emb, k = 16)
+    // every reranked pair is one of the retrieved candidates
+    val outside = rr.select("q_id", "c_id")
+      .join(short.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+      .count()
+    assert(outside == 0, "reranker invented a candidate outside the shortlist")
+    assert(rr.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    // the cross-scorer must actually reorder: for some query the top
+    // reranked candidate is not the cosine-nearest one
+    val moved = rr.filter(col("rerank") === 1)
+      .join(short.filter(col("rank") === 1)
+        .select(col("q_id"), col("c_id").as("nn")), Seq("q_id"))
+      .filter(col("c_id") =!= col("nn")).count()
+    assert(moved > 0, "rerank never diverged from retrieval order")
+    rr.unpersist()
+  }
+
   test("hard negatives: in band, ranked, never the true nearest neighbor") {
     val neg = Ann.hardNegatives(qs, emb, n = 5, lo = 0.15, hi = 0.30).cache()
     assert(neg.filter(col("sim") < 0.15 || col("sim") >= 0.30).count() == 0,
