@@ -186,6 +186,51 @@ object TextQueries {
             .cmsEstimate(col("_cms"), col("t"), depth, width).as("est_cnt"))
     },
 
+    // D51: lexical retrieval over inverted postings — the BM25 ranking
+    // SHAPE (per-term tf saturation × rarity weight × length
+    // normalization, Robertson & Zaragoza 2009) with the log-free
+    // rational idf (N−df+0.5)/(df+0.5): log() is libm (not IEEE-exact
+    // across engines — the D41 sqrt-vs-pow lesson), the odds form is a
+    // per-term monotone transform of it, and every number here is exact
+    // integer counts + pinned double ops, so ranks replay bit-for-bit.
+    // The query's term IN-filter runs map-side BEFORE the postings
+    // groupBy, so only the query terms' postings ever shuffle — with the
+    // postings bucketed by term at lake scale, a search touches its
+    // terms' buckets, never the corpus.
+    "text_search_lexical" -> { (s, d) =>
+      val terms = Seq("hash", "merge", "window")
+      val base = docs(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).as("dl"),
+        tokens(col("text")).as("_t"))
+      val stats = base.agg(count(lit(1)).as("n"),
+        sum(col("dl").cast("long")).as("total_len"))
+      val postings = base
+        .select(col("doc_id"), col("dl"), explode(col("_t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val nD = col("n").cast("double")
+      val dfD = col("df").cast("double")
+      val rel = col("dl").cast("double") /
+        (col("total_len").cast("double") / nD)
+      val idfR = (nD - dfD + 0.5) / (dfD + 0.5)
+      val sat = col("tf").cast("double") * lit(2.2) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * rel))
+      val dfTab = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val comp = postings
+        .join(broadcast(dfTab), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), (idfR * sat).as("c"))
+      val scored = comp.groupBy("doc_id").agg(
+        count(lit(1)).as("n_terms"),
+        (coalesce(sum(when(col("term") === terms(0), col("c"))), lit(0.0)) +
+          coalesce(sum(when(col("term") === terms(1), col("c"))), lit(0.0)) +
+          coalesce(sum(when(col("term") === terms(2), col("c"))), lit(0.0)))
+          .as("_score"))
+      scored.orderBy(col("_score").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), col("n_terms"),
+          Exact.rnd4(col("_score")).as("score"))
+    },
+
     // D45: Bloom-filter shingle membership — cross-crawl content overlap
     // without co-shuffling two corpora. "Yesterday's" crawl (even doc_id)
     // compresses to ONE 2^18-bit filter over its 8-gram shingles (map-side
@@ -873,6 +918,42 @@ object TextQueries {
          |JOIN cms ON cms.r = hb.r AND cms.b = hb.b
          |GROUP BY top.t, top.c""".stripMargin
     },
+
+    // Mirror of text_search_lexical: integer tf/df/dl counts, the
+    // rational idf and the pinned saturation/normalization arithmetic,
+    // fixed-order 3-term sum, (raw score DESC, doc_id) top-20.
+    "text_search_lexical" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n, sum(dl) AS total_len FROM base),
+        |po AS (
+        |  SELECT doc_id, dl, w AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+        |  WHERE w IN ('hash', 'merge', 'window')
+        |  GROUP BY doc_id, dl, w),
+        |df AS (SELECT term, count(*) AS df FROM po GROUP BY term),
+        |comp AS (
+        |  SELECT doc_id, term,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl AS DOUBLE)
+        |             / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE))))))
+        |      AS c
+        |  FROM po JOIN df USING (term) CROSS JOIN st),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    COALESCE(sum(CASE WHEN term = 'hash' THEN c END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'merge' THEN c END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0.0)
+        |      AS score
+        |  FROM comp GROUP BY doc_id)
+        |SELECT doc_id, n_terms,
+        |  floor((sc.score) * 10000 + 0.5) / 10000.0 AS score
+        |FROM sc ORDER BY sc.score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // Mirror of Sketch.bloom/bloomContains: a shingle is a bloom hit when
     // ALL 3 md5 positions (same first-8-hex fold as the CMS buckets,
