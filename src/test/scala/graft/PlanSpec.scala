@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
       s"the filter must broadcast to the probe scan:\n$p")
   }
 
+  test("lexical search: the term filter runs map-side before any exchange") {
+    val p = plan(SparkEntry.queries("text_search_lexical")(spark, sfDir))
+    // the IN-filter on query terms must sit under the postings aggregate
+    // (scan → explode → Filter → partial agg), so only the query's terms
+    // ever shuffle — the bucketed-postings read pattern at lake scale
+    val fi = p.indexOf("IN (hash,merge,window)")
+    assert(fi >= 0, s"no term IN-filter in the plan:\n$p")
+    // top-down plan print: deeper (earlier-executing) operators appear
+    // later — the filter must be deeper than the map-side partial agg
+    val pa = p.indexOf("partial_count")
+    assert(pa >= 0 && fi > pa,
+      s"term filter must execute before the postings aggregation:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     import graft.core.Tables
     import graft.sources.Sinks
