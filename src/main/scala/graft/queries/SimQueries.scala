@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sim.{Ann, SemDedup}
+import graft.sim.{Ann, Retrieval, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
   * §2D6–D7). Query set = vectors with vec_id < 20; corpus = full table.
@@ -173,6 +173,22 @@ object SimQueries {
     "dedup_semantic" -> { (s, d) =>
       SemDedup.semanticDedup(DedupQueries.embCorpus(s, d),
         nlist = 16, tau = 0.97)
+    },
+
+    // D52: hybrid search — the lexical BM25-shape leg (terms hash/merge/
+    // window, top-20) and the dense exact-cosine leg (query = vector 0,
+    // top-20) fused with reciprocal-rank fusion (k0=60). Fusion reads
+    // only integer ranks, so it replays exactly on top of two legs that
+    // are each hash-green on their own; the full outer join runs on two
+    // ≤20-row pruned inputs — corpus-size-independent.
+    "search_hybrid_rrf" -> { (s, d) =>
+      val lex = Retrieval.bm25Rank(Tables.documents(s, d),
+        Seq("hash", "merge", "window"), topN = 20)
+      val vec = Ann.bruteForceTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") === 0),
+          Tables.embeddings(s, d), k = 20)
+        .select(col("c_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex_rank" -> lex, "vec_rank" -> vec), k = 10)
     }
   )
 
@@ -681,6 +697,69 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
         |  FROM ex)
         |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
-        |FROM ranked WHERE rank <= 5""".stripMargin
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Mirror of Retrieval.rrfFuse over bm25Rank + bruteForceTopK: the
+    // lexical CTE chain is the text_search_lexical arithmetic reduced to
+    // its rank order, the dense leg is the ann_topk cosine rank for
+    // query vector 0, and the fusion sums 1/(60+rank) left-assoc with
+    // absent-leg terms 0 — integer ranks in, one IEEE division per leg,
+    // so the fused order replays bit-for-bit.
+    "search_hybrid_rrf" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n, sum(dl) AS total_len FROM base),
+        |po AS (
+        |  SELECT doc_id, dl, w AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+        |  WHERE w IN ('hash', 'merge', 'window')
+        |  GROUP BY doc_id, dl, w),
+        |df AS (SELECT term, count(*) AS df FROM po GROUP BY term),
+        |comp AS (
+        |  SELECT doc_id, term,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl AS DOUBLE)
+        |             / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE))))))
+        |      AS c
+        |  FROM po JOIN df USING (term) CROSS JOIN st),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(sum(CASE WHEN term = 'hash' THEN c END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'merge' THEN c END), 0.0)
+        |    + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0.0)
+        |      AS score
+        |  FROM comp GROUP BY doc_id),
+        |lex AS (SELECT id, r FROM (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        |  FROM sc) WHERE r <= 20),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |      WHERE vec_id = 0),
+        |cv AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |sims AS (
+        |  SELECT c_id, ${cosSql("qe", "ce")} AS sim
+        |  FROM q CROSS JOIN cv WHERE q_id <> c_id),
+        |vec AS (SELECT id, r FROM (
+        |  SELECT c_id AS id,
+        |    row_number() OVER (ORDER BY sim DESC, c_id ASC) AS r
+        |  FROM sims) WHERE r <= 20),
+        |f AS (
+        |  SELECT COALESCE(lex.id, vec.id) AS doc_id, lex.r AS lr,
+        |    vec.r AS vr
+        |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id),
+        |fused AS (
+        |  SELECT doc_id, COALESCE(lr, 0) AS lex_rank,
+        |    COALESCE(vr, 0) AS vec_rank,
+        |    COALESCE(1.0 / (60.0 + CAST(lr AS DOUBLE)), 0.0)
+        |    + COALESCE(1.0 / (60.0 + CAST(vr AS DOUBLE)), 0.0) AS rrf
+        |  FROM f)
+        |SELECT doc_id, lex_rank, vec_rank,
+        |  floor((rrf) * 10000 + 0.5) / 10000.0 AS rrf
+        |FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 10""".stripMargin
   )
 }
