@@ -263,6 +263,87 @@ case class BloomSketch(child: Expression, bits: Int, hashes: Int,
   override def prettyName: String = "bloom"
 }
 
+/** HyperLogLog registers (Flajolet et al. 2007) — approximate distinct
+  * count in O(2^p) bytes no matter the cardinality: register j holds the
+  * max leading-zero rank seen among inputs hashing to j. Merge is
+  * elementwise max — order-free, idempotent, the mergeability that lets a
+  * lake keep per-partition/per-day register arrays and answer "distinct
+  * across any slice" by max-union, at 256 BYTES per sketch where KMV
+  * holds k strings.
+  *
+  * Fed md5(value) HEX strings (the cross-engine primitive): register
+  * index = the first p/4 hex chars, rank = leading zeros of the next
+  * 48-bit field + 1. Every register is therefore integer-exact and
+  * DuckDB-replayable — the "engine-internal hash" caveat that usually
+  * makes HLL unverifiable does not apply. The estimate stays libm-free:
+  * the harmonic sum folds 2^-M terms (each an exact double) in register
+  * order and skips the ln()-based small-range correction, which keeps the
+  * whole artifact bit-reproducible (the D51 log-free lesson applied to
+  * cardinality).
+  */
+case class HllSketch(child: Expression, p: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16 && p % 4 == 0,
+    s"hll: p must be a multiple of 4 in [4,16], got $p")
+  private val m = 1 << p
+  private val idxHex = p / 4
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll expects an md5-hex string column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hex = v.asInstanceOf[UTF8String].toString
+      val idx = Integer.parseInt(hex.substring(0, idxHex), 16)
+      // 48-bit field after the index chars; rank = its leading zeros + 1
+      val w = java.lang.Long.parseLong(hex.substring(idxHex, idxHex + 12), 16)
+      val rank =
+        if (w == 0L) 49
+        else java.lang.Long.numberOfLeadingZeros(w) - 16 + 1
+      if (rank > buf(idx)) buf(idx) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "hll"
+}
+
 object Sketch {
   import GraftBridge.{toColumn, toExpression}
 
@@ -303,6 +384,26 @@ object Sketch {
   def bloom(c: Column, bits: Int, hashes: Int): Column =
     toColumn(BloomSketch(toExpression(c), bits, hashes)
       .toAggregateExpression())
+
+  /** HLL register array of an md5-hex string column: array<int> of 2^p
+    * registers — map-side partials, merge = elementwise max. */
+  def hll(c: Column, p: Int): Column =
+    toColumn(HllSketch(toExpression(c), p).toAggregateExpression())
+
+  /** Cardinality estimate from [[hll]] registers: the raw harmonic-mean
+    * estimator alpha_m·m² / Σ_j 2^(−M_j), folded in register order with
+    * each 2^−M term an EXACT double (1 / (1<<M) — no pow, no ln, no
+    * small-range correction), so the estimate replays bit-for-bit
+    * cross-engine. Bias at low fill shows up against the true count in
+    * the artifact rather than being patched by libm. */
+  def hllEstimate(registers: Column, p: Int): Column = {
+    val m = 1 << p
+    val alphaM2 = (0.7213 / (1.0 + 1.079 / m)) * (m.toDouble * m)
+    val s = aggregate(registers, lit(0.0),
+      (acc, r) => acc + lit(1.0) /
+        call_function("shiftleft", lit(1L), r).cast("double"))
+    lit(alphaM2) / s
+  }
 
   /** Membership probe of `key` against a [[bloom]] filter: every one of
     * the `hashes` md5 positions set — column-only bit math (the position

@@ -168,6 +168,30 @@ object TextQueries {
             .as("est_distinct"))
     },
 
+    // D53: HyperLogLog registers — per-source distinct 4-gram cardinality
+    // in 256 BYTES per sketch (vs KMV's k strings), merge = elementwise
+    // max. Registers derive from md5 hex (index = first 2 chars, rank =
+    // leading zeros of the next 48-bit field + 1), the estimate is the
+    // raw harmonic fold with exact 2^-M terms — no ln(), no libm — so
+    // registers AND estimate replay bit-for-bit in DuckDB. The __ALL__
+    // row recomputes globally for the artifact; at lake scale it's the
+    // max-union of the per-source register arrays (SketchSpec pins
+    // merge ≡ global). True counts ride along to show the bias.
+    "text_distinct_hll" -> { (s, d) =>
+      val sh0 = docs(s, d).select(col("source"),
+        explode(graft.functions.TextFunctions.shingles(
+          tokens(col("text")), 4)).as("g"))
+      val sh = sh0.unionByName(
+        sh0.select(lit("__ALL__").as("source"), col("g")))
+      sh.groupBy("source")
+        .agg(graft.functions.Sketch.hll(md5(col("g")), 8).as("_rs"),
+          countDistinct(col("g")).as("true_distinct"))
+        .select(col("source"), col("true_distinct"),
+          size(filter(col("_rs"), r => r === 0)).as("zero_regs"),
+          Exact.rnd4(graft.functions.Sketch.hllEstimate(col("_rs"), 8))
+            .as("est_distinct"))
+    },
+
     // D38: count-min heavy hitters — ONE O(depth·width) sketch of the
     // whole token stream (never the key universe), estimates for the
     // exact top-20 alongside their true counts so the driver artifact
@@ -615,6 +639,55 @@ object TextQueries {
     // hashes per source are a DETERMINISTIC set, so the k-th hash and
     // the (k−1)/unit estimate replay exactly (hex value via digit fold —
     // integer-exact in doubles, one division).
+    // Mirror of Sketch.hll(p=8)/hllEstimate: register index = first 2
+    // md5 hex chars, rank = 49 − bitlength of the next 48-bit field
+    // (0 → 49), register = max(rank) — all integers; the estimate folds
+    // 1/(1<<r) in register order (exact doubles, list_sum ≡ the Spark
+    // aggregate() sequential fold) under the same alpha literal.
+    "text_distinct_hll" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g0 AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(tk) - 3),
+        |    i -> array_to_string(tk[i:i+3], ' '))) AS g
+        |  FROM t WHERE len(tk) >= 4),
+        |sh AS (SELECT source, g FROM g0
+        |       UNION ALL SELECT '__ALL__' AS source, g FROM g0),
+        |d AS (SELECT DISTINCT source, g FROM sh),
+        |pr AS (
+        |  SELECT source, md5(g) AS h FROM d),
+        |rk AS (
+        |  SELECT source,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS idx,
+        |    CAST(list_sum(list_transform(generate_series(1, 12), i ->
+        |      (strpos('0123456789abcdef', substr(h, 2 + i, 1)) - 1)
+        |      * power(16.0, 12 - i))) AS BIGINT) AS w
+        |  FROM pr),
+        |reg AS (
+        |  SELECT source, idx,
+        |    max(CASE WHEN w = 0 THEN 49 ELSE 49 - len(bin(w)) END) AS r
+        |  FROM rk GROUP BY source, idx),
+        |allreg AS (
+        |  SELECT s.source, gs.j AS idx, COALESCE(reg.r, 0) AS r
+        |  FROM (SELECT DISTINCT source FROM sh) s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) gs
+        |  LEFT JOIN reg ON reg.source = s.source AND reg.idx = gs.j),
+        |est AS (
+        |  SELECT source,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0)
+        |      / list_sum(list(1.0 / CAST(1::BIGINT << r AS DOUBLE)
+        |                      ORDER BY idx)) AS e,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zero_regs
+        |  FROM allreg GROUP BY source),
+        |td AS (SELECT source, count(DISTINCT g) AS true_distinct
+        |       FROM sh GROUP BY source)
+        |SELECT td.source, true_distinct,
+        |  CAST(zero_regs AS BIGINT) AS zero_regs,
+        |  floor((e) * 10000 + 0.5) / 10000.0 AS est_distinct
+        |FROM td JOIN est USING (source)""".stripMargin,
+
     "text_distinct_sketch" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS tk
         |           FROM documents),

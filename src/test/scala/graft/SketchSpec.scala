@@ -183,4 +183,44 @@ class SketchSpec extends SparkSpec {
     // two different payload columns, same 50 sampled rows
     assert(sampleIds("metric") == sampleIds("tag"))
   }
+
+  private def hllRegs(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    import spark.implicits._
+    df.agg(Sketch.hll(md5(col("v")), 8).as("rs")).as[Seq[Int]].head()
+  }
+
+  test("hll: partition-split merge equals single-partition registers") {
+    import spark.implicits._
+    val vs = (1 to 5000).map(i => s"v$i")
+    val one = hllRegs(vs.toDF("v").repartition(1))
+    val many = hllRegs(vs.toDF("v").repartition(16))
+    assert(one == many)
+  }
+
+  test("hll: per-slice max-union equals the whole-stream sketch") {
+    import spark.implicits._
+    val a = (1 to 3000).map(i => s"v$i")   // overlapping slices —
+    val b = (2000 to 5000).map(i => s"v$i") // idempotent max-union
+    val regA = hllRegs(a.toDF("v"))
+    val regB = hllRegs(b.toDF("v"))
+    val whole = hllRegs((a ++ b).toDF("v"))
+    assert(regA.zip(regB).map { case (x, y) => math.max(x, y) } == whole)
+  }
+
+  test("hll: duplicates never move a register") {
+    import spark.implicits._
+    val once = hllRegs((1 to 500).map(i => s"v$i").toDF("v"))
+    val dup = hllRegs(((1 to 500) ++ (1 to 500)).map(i => s"v$i").toDF("v"))
+    assert(once == dup)
+  }
+
+  test("hllEstimate: within 10% of true cardinality at p=8 over 10k values") {
+    import spark.implicits._
+    val n = 10000
+    val est = (1 to n).map(i => s"v$i").toDF("v")
+      .agg(Sketch.hllEstimate(Sketch.hll(md5(col("v")), 8), 8).as("e"))
+      .head().getDouble(0)
+    // std error ≈ 1.04/sqrt(256) = 6.5%
+    assert(math.abs(est - n) < n * 0.10, s"est=$est vs true=$n")
+  }
 }
