@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY=q1,q2 — local-iteration filter; the driver never sets it,
+    // so its gate always dumps the full battery.
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(o =>
+      SparkEntry.queries.filter { case (k, _) => o(k) })
+    picked.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses every map-only
       // query's entire compute into a single task (no shuffle boundary
       // upstream), which turns the heavier per-doc text/dedup expressions

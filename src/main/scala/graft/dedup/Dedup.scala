@@ -363,6 +363,44 @@ object Dedup {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
+  /** D54: leakage-guarded train/val/test split — assignment by the
+    * duplicate-CLUSTER root, not the document id, so near-duplicates can
+    * never straddle splits (the held-out-set contamination a plain
+    * per-doc hash split silently commits: a truncated mirror of a train
+    * doc landing in test inflates eval). Clusters come from the same
+    * MinHash candidate graph + star-contraction components as
+    * [[resolveClusters]]; split = first-8-hex md5 of the root id mod 100
+    * against the train/val percent cut — deterministic, engine-free, and
+    * coordinated (every cluster member inherits the root's draw).
+    *
+    * Scale: the component map is O(candidate docs) broadcast-joined to
+    * the corpus; the split itself is map-side hash math. Roots are
+    * min-id-deterministic, so a GROWING corpus can re-root a cluster and
+    * move it between splits — a production pipeline pins split stability
+    * by persisting the (cluster → split) table alongside the corpus
+    * snapshot (the E9 claim-store shape) rather than re-deriving it.
+    */
+  def leakSafeSplit(corpus: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"leakSafeSplit: bad cut $trainPct/$valPct")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pairs = minhashCandidates(minhashSignatures(corpus))
+      .select("doc_a", "doc_b")
+    val comp = spark.createDataset(components(pairs)).toDF(idCol, "_lbl")
+    corpus.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("_lbl"), col(idCol)))
+      .withColumn("_h",
+        conv(substring(md5(col("cluster").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split", when(col("_h") < trainPct, "train")
+        .when(col("_h") < trainPct + valPct, "val")
+        .otherwise("test"))
+      .select(col(idCol), col("cluster"), col("split"))
+  }
+
   /** Exact connected components by alternating large-star / small-star
     * edge contraction (Kiveris et al., "Connected Components in
     * MapReduce and Beyond") as an RDD loop with explicit per-round

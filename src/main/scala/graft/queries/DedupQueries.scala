@@ -184,6 +184,14 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D54: leakage-guarded split — split assignment hashes the CLUSTER
+    // root, not the doc id, so a truncated mirror of a train doc can
+    // never land in test (held-out contamination). Same component map as
+    // dedup_clusters; the split is map-side md5 math on the root.
+    "dedup_leak_split" -> { (s, d) =>
+      Dedup.leakSafeSplit(clusterCorpus(s, d))
+    },
+
     // D47: quality-aware keep-best resolution — the same near-dup cluster
     // graph, but the survivor is the HIGHEST-QUALITY member (the full
     // base document outranks its truncated variants on the D9 quality
@@ -337,6 +345,36 @@ object DedupQueries {
         |  row_number() OVER (PARTITION BY cluster
         |    ORDER BY quality DESC, doc_id ASC) = 1 AS kept
         |FROM j""".stripMargin,
+
+    // Mirror of Dedup.leakSafeSplit(80/10): same component minimum as
+    // dedup_clusters, cluster = coalesce(component, doc_id), and the split
+    // bucket = first-8-hex of md5 of the root id's decimal string, mod 100
+    // (integer digit fold — ≤ 16⁸ holds exactly in a double, so both
+    // engines land the same bucket).
+    "dedup_leak_split" -> {
+      def hexFold(expr: String): String =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8), i ->
+           |    (strpos('0123456789abcdef', substr(md5($expr), i, 1)) - 1)
+           |    * power(16.0, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH RECURSIVE ${sigChainSql(clusterCorpusSql)},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT c0.doc_id, coalesce(c.cluster, c0.doc_id) AS cluster
+        |  FROM corpus c0 LEFT JOIN comp c ON c.id = c0.doc_id),
+        |h AS (SELECT doc_id, cluster,
+        |  ${hexFold("CAST(cluster AS VARCHAR)")} % 100 AS hv FROM j)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin
+    },
 
     "dedup_jaccard" ->
       s"""WITH $minhashSigSql,

@@ -112,6 +112,38 @@ class DedupSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("leakSafeSplit: splits are cluster-coordinated and exhaustive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(200)
+    val t = split(col("text"), " ")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3))))
+        .as("text")))
+    val res = Dedup.leakSafeSplit(corpus).cache()
+    // every doc assigned exactly once
+    assert(res.count() == corpus.count(), "a document lost its assignment")
+    // no cluster straddles two splits — the leakage guarantee itself
+    val mixed = res.groupBy("cluster")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(mixed == 0, "a duplicate cluster straddles splits")
+    // the truncated mirror always rides with its base document
+    val straddle = res.as("a").join(res.as("b"),
+      col("a.doc_id") + 100000 === col("b.doc_id") &&
+        col("a.split") =!= col("b.split")).count()
+    assert(straddle == 0, "a near-dup variant landed in a different split")
+    // the 80/10/10 cut is roughly honored (hash mod 100 on ~200 clusters)
+    val bySplit = res.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"missing split bucket: $bySplit")
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"),
+      s"train is not the majority split: $bySplit")
+    res.unpersist()
+  }
+
   test("embedding near-dup buckets above the cap are dropped") {
     import spark.implicits._
     val same = (0 until 100).map(i =>
