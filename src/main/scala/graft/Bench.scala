@@ -28,7 +28,13 @@ object Bench {
     val warmDir0 = "/root/testdata/sf0.001"
     val warmDir =
       if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY=q1,q2 — local-iteration filter (same contract as Verify);
+    // the driver never sets it, so its bench always times the full battery.
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(o =>
+      SparkEntry.queries.filter { case (k, _) => o(k) })
+    picked.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -45,7 +51,7 @@ object Bench {
     }
 
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
                catch { case e: Throwable =>
@@ -68,7 +74,9 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try {
-      val out = java.nio.file.Paths.get("bench.json")
+      // a filtered run must not clobber the full-battery artifact
+      val out = java.nio.file.Paths.get(
+        if (only.isDefined) "bench_only.json" else "bench.json")
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query timings -> ${out.toAbsolutePath}")
     } catch { case e: Throwable =>

@@ -39,4 +39,14 @@ object Exact {
     * DuckDB mirror: floor((x) * 10000 + 0.5) / 10000.0.
     */
   def rnd4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Epoch microseconds tolerant of both TIMESTAMP and TIMESTAMP_NTZ inputs.
+    *
+    * Parquet written without isAdjustedToUTC reads back as TIMESTAMP_NTZ,
+    * which `unix_micros` rejects at analysis time. Casting to TIMESTAMP
+    * first is a no-op for LTZ inputs and interprets NTZ wall-clock in the
+    * session time zone (pinned to UTC by every entry point), which is
+    * exactly how the DuckDB oracle's `epoch_us` reads a naive timestamp.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 }

@@ -34,6 +34,14 @@ object Tables {
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      // parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ,
+      // which watermarks, unix_micros and the Timestamp encoders reject —
+      // normalize to TimestampType at the reader (session TZ is pinned
+      // UTC, so the wall-clock interpretation matches the DuckDB oracle's
+      // naive read exactly, and downstream code keeps ONE timestamp type)
+      raw.withColumn("ts", col("ts").cast("timestamp"))
     else raw
   }
   /** events with a [from, to) time filter applied to the RAW nanosecond
@@ -58,8 +66,15 @@ object Tables {
       raw.filter(col("ts") >= ns(from) && col("ts") < ns(to))
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else {
-      raw.filter(col("ts") >= lit(from).cast("timestamp") &&
-        col("ts") < lit(to).cast("timestamp"))
+      // NTZ storage: compare against NTZ literals so the predicate stays on
+      // the raw column (pushable to the scan) and only THEN normalize the
+      // type — a cast on the column side would block row-group pruning.
+      val ntz = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType
+      val tt = if (ntz) "timestamp_ntz" else "timestamp"
+      raw.filter(col("ts") >= lit(from).cast(tt) &&
+          col("ts") < lit(to).cast(tt))
+        .withColumn("ts", col("ts").cast("timestamp"))
     }
   }
 

@@ -688,7 +688,7 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
     val after  = base.rowsBetween(1, Window.unboundedFollowing)
     // exact integer µs (oracle: DuckDB epoch_us) — a double-seconds coordinate
     // would diverge in the last bit between engines
-    val tsec = unix_micros(col(t))
+    val tsec = graft.core.Exact.epochUs(col(t))
     val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(before)
     val prevT = last(when(v.isNotNull, tsec), ignoreNulls = true).over(before)
     val nextV = first(when(v.isNotNull, v), ignoreNulls = true).over(after)
@@ -725,7 +725,7 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
         :+ col("_v").asc_nulls_first): _*)
     val upto  = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val after = base.rowsBetween(1, Window.unboundedFollowing)
-    val tsec = unix_micros(col(t))
+    val tsec = graft.core.Exact.epochUs(col(t))
     val src_v = when(col("_tag") === 0, col("_v"))
     val src_t = when(col("_tag") === 0, tsec)
     val prevV = last(src_v, ignoreNulls = true).over(upto)
@@ -960,8 +960,8 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
   def fitCurveQuadratic(seriesDims: Seq[String], epoch: String): DataFrame = {
     val t = requireDim(timeDim, "temporal")
     import graft.core.Exact
-    val td = (unix_micros(col(t)) -
-      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val td = (graft.core.Exact.epochUs(col(t)) -
+      graft.core.Exact.epochUs(lit(epoch))).cast("double") / lit(86400e6)
     val pre = df.filter(v.isNotNull).select(
       (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
     val g = pre.groupBy(seriesDims.map(col): _*).agg(
@@ -1001,8 +1001,8 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
     require(degree >= 1 && degree <= 8, s"fit_curve degree: $degree")
     val t = requireDim(timeDim, "temporal")
     import graft.core.Exact
-    val td = (unix_micros(col(t)) -
-      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val td = (graft.core.Exact.epochUs(col(t)) -
+      graft.core.Exact.epochUs(lit(epoch))).cast("double") / lit(86400e6)
     val pre = df.filter(v.isNotNull).select(
       (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
     def tpow(k: Int): Column =
@@ -1052,8 +1052,8 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
   def fitCurveCubic(seriesDims: Seq[String], epoch: String): DataFrame = {
     val t = requireDim(timeDim, "temporal")
     import graft.core.{Cramer, Exact}
-    val td = (unix_micros(col(t)) -
-      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val td = (graft.core.Exact.epochUs(col(t)) -
+      graft.core.Exact.epochUs(lit(epoch))).cast("double") / lit(86400e6)
     val pre = df.filter(v.isNotNull).select(
       (seriesDims.map(col) :+ td.as("_t") :+ v.as("_v")): _*)
     def tpow(k: Int): Column =
@@ -1073,8 +1073,8 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
   def predictCurvePoly(coefs: DataFrame, seriesDims: Seq[String],
                        epoch: String, degree: Int): DataCube = {
     val t = requireDim(timeDim, "temporal")
-    val td = (unix_micros(col(t)) -
-      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val td = (graft.core.Exact.epochUs(col(t)) -
+      graft.core.Exact.epochUs(lit(epoch))).cast("double") / lit(86400e6)
     val poly = (0 to degree).map { k =>
       element_at(col("coefs"), k + 1) *
         (1 to k).map(_ => td).foldLeft(lit(1.0))(_ * _)
@@ -1089,8 +1089,8 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
   def predictCurveQuadratic(coefs: DataFrame, seriesDims: Seq[String],
                             epoch: String): DataCube = {
     val t = requireDim(timeDim, "temporal")
-    val td = (unix_micros(col(t)) -
-      unix_micros(lit(epoch).cast("timestamp"))).cast("double") / lit(86400e6)
+    val td = (graft.core.Exact.epochUs(col(t)) -
+      graft.core.Exact.epochUs(lit(epoch))).cast("double") / lit(86400e6)
     val joined = df.join(broadcast(coefs), seriesDims)
     copy(df = joined
       .withColumn(valueCol,

@@ -285,6 +285,36 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** D55: corpus-order content novelty — for each document, what fraction
+    * of its DISTINCT `w`-gram shingles is already carried by an EARLIER
+    * document (smaller id = earlier in ingestion order). The running-novelty
+    * signal an append-only crawl pipeline reads to decide when a source has
+    * gone stale (each new dump re-crawls mostly-known content) and which
+    * documents to down-weight before training.
+    *
+    * Same scale shape as [[dupSpans]]: grams hash map-side to a fixed-width
+    * 16-hex md5 prefix (raw strings never shuffle), first-carrier is one
+    * O(distinct doc-grams) aggregate, the verdict join is gram-keyed
+    * shuffle_hash — no pair explode anywhere. "First seen" = min carrier id,
+    * an order-free aggregate, so the result is identical however the corpus
+    * is partitioned — unlike a sequential scan, this replays on any cluster.
+    */
+  def noveltyScores(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol), explode(array_distinct(transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w),
+        s => substring(md5(s), 1, 16)))).as("gram"))
+    val firstSeen = grams.groupBy("gram").agg(min(col(idCol)).as("_first"))
+    grams.join(firstSeen.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") < col(idCol), lit(1L)).otherwise(lit(0L)))
+          .as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        Exact.rnd4(lit(1.0) - col("n_seen").cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   // ---- D19: benchmark decontamination -------------------------------------
 
   /** Training-data decontamination: flag corpus documents that share any

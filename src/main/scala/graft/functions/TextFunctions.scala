@@ -118,6 +118,27 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** D57: token-bucket count embedding — a `dims`-dimensional bag-of-words
+    * vector where dimension j counts the tokens whose md5 first hex digit
+    * lands in bucket j (the hashing-trick feature map of
+    * [[hashedLinearScore]], shaped as a dense vector instead of a scalar
+    * fold). Integer counts → every coordinate is exact in any engine, so
+    * downstream cosine ranking replays bit-for-bit. A trained encoder
+    * (e.g. the graft-mlp asset) slots in 1:1 wherever this is used — the
+    * retrieval plumbing, not the featurizer, is the tested contract.
+    * DuckDB mirror: `list_transform(generate_series(0, dims-1), j ->
+    * CAST(len(list_filter(toks, tk ->
+    *   strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = j)) AS
+    * DOUBLE))` (dims ≤ 16 uses only the first hex digit).
+    */
+  def bucketCounts(toks: Column, dims: Int): Column = {
+    require(dims > 0 && dims <= 16, s"bucketCounts: need dims in [1,16], got $dims")
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      size(filter(toks, t =>
+        (conv(substring(md5(t), 1, 1), 16, 10).cast("int") % dims) === j))
+        .cast("double"))
+  }
+
   /** D25: document chunking — split each document into fixed-size token
     * windows with overlap (the chunk-for-embedding/RAG preprocessing step).
     * Chunk starts step by `size - overlap`; the final window may be short

@@ -173,6 +173,13 @@ object DedupQueries {
     // are flagged nearly wall-to-wall.
     "dedup_spans" -> { (s, d) => Dedup.dupSpans(nearCorpus(s, d), w = 8) },
 
+    // D55: corpus-order novelty — the truncated mirrors (id+100000) carry
+    // almost no first-seen content, so their novelty collapses toward 0
+    // while the base documents stay near 1.
+    "text_novelty" -> { (s, d) =>
+      Dedup.noveltyScores(nearCorpus(s, d), w = 8)
+    },
+
     // D33: the remediation — duplicated spans cut out of the text itself.
     "dedup_span_removal" -> { (s, d) =>
       Dedup.removeDupSpans(nearCorpus(s, d), w = 8)
@@ -419,6 +426,30 @@ object DedupQueries {
         |         / CAST(sum(k) AS DOUBLE)) * 10000 + 0.5) / 10000.0
         |    AS dup_ratio
         |FROM pdg JOIN own USING (gram)
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors Dedup.noveltyScores(w=8): distinct md5-prefix grams per doc,
+    // first carrier = min doc_id (order-free), novelty = 1 − seen/total.
+    // Integer counts hash exactly; one double division + rnd4 on both sides.
+    "text_novelty" ->
+      s"""WITH $nearCorpusSql,
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS g
+        |    FROM toks)),
+        |fs AS (SELECT gram, min(doc_id) AS first FROM grams GROUP BY 1)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen,
+        |  floor((CAST(1 AS DOUBLE)
+        |         - CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END)
+        |                AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |        * 10000 + 0.5) / 10000.0 AS novelty
+        |FROM grams g JOIN fs USING (gram)
         |GROUP BY 1""".stripMargin,
 
     // Mirror of Dedup.removeDupSpans(w=8): same gram hashing, distinct

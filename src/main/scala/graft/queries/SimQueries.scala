@@ -124,6 +124,15 @@ object SimQueries {
         nlist = 16, nProbe = 4, coarse = Some(coarse16(s, d)))
     },
 
+    // D56: cluster-balanced coordinated sampling — every k-means cell
+    // contributes its 16 smallest-md5(id) members, so dense regions can't
+    // crowd out rare modes and the draw is nested/coordinated like every
+    // sampler here. Shares the ann_ivf quantizer (train once per sf dir).
+    "embed_diversity_sample" -> { (s, d) =>
+      Ann.diversitySample(Tables.embeddings(s, d), perCell = 16,
+        nlist = 16, coarse = Some(coarse16(s, d)))
+    },
+
     // D37: product-quantization ADC scan — 4 subspace codebooks of 16
     // codes (64 dims → 4 byte codes/vector, 64× compression), ranking
     // from codes + per-query distance tables only. Every codebook is
@@ -510,6 +519,29 @@ object SimQueries {
     // quantizer's defaults (sampleN=256, iters=5) — see ivfOracleSql.
     "ann_ivf" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
       dims = 64, k = 5, nProbe = 4),
+
+    // Mirrors Ann.diversitySample(perCell=16, nlist=16): the same k-means
+    // replay + rank-1 cell assignment as ann_ivf, then one per-cell
+    // md5-rank window — integer output, no float anywhere past the assign.
+    "embed_diversity_sample" ->
+      s"""WITH ${kmeansSql(
+           "nc AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+           16, 256, 5, 64)},
+        |csc AS (
+        |  SELECT nc.id AS vec_id, cent.cell,
+        |    ${assignScoreSql("nc.e", 64)} AS score
+        |  FROM nc CROSS JOIN cent),
+        |corp AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS r
+        |    FROM csc) WHERE r = 1)
+        |SELECT vec_id, cell, cell_rank FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell_rank
+        |  FROM corp) WHERE cell_rank <= 16""".stripMargin
+        .replaceAll("AS \\(", "AS MATERIALIZED ("),
 
     // Mirrors Ann.pqTopK(k=5, m=4, ksub=16, dims=64, rerank=64) — see
     // pqOracleSql.

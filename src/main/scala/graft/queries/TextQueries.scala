@@ -104,6 +104,44 @@ object TextQueries {
       graft.functions.TextFunctions.packBySource(kept, 1024)
     },
 
+    // D57: the composed retrieval pipeline — chunk (D25) → per-chunk
+    // bucket-count embedding → exact cosine top-5 per query, as ONE
+    // declarative chain: the chunk-embed-index-search path of a RAG
+    // ingest, with the featurizer a 1:1 slot for a trained encoder.
+    // Chunking + embedding are map-side (zero shuffle); queries broadcast;
+    // the only shuffle is the per-query top-k window over pre-scored rows.
+    "pipeline_rag" -> { (s, d) =>
+      val t = tokens(col("text"))
+      // features = unigrams ++ bigrams (the D36 feature build): bigrams
+      // give the 16 buckets discriminative power on a small vocabulary
+      def feats(tk: Column) = concat(tk, shingles(tk, 2))
+      val ch = docs(s, d).select(col("doc_id"),
+          posexplode(chunk(t, 32, 8)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col.text").as("chunk"))
+        .filter(size(tokens(col("chunk"))) >= 2) // a 1-token chunk has no
+                                                 // bigrams → zero vector
+        .withColumn("cemb", bucketCounts(feats(tokens(col("chunk"))), 16))
+      // queries = a 24-token mid-document slice at offset 8 of the first 3
+      // docs. The 32/8 chunk grid's overlap exists exactly so any ≤8-offset
+      // span this long is FULLY contained in one chunk — the self-document
+      // must surface (TextSpec pins it).
+      val qs = docs(s, d).filter(col("doc_id") < 3 && size(t) >= 9)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(t, 9, 24)).as("qtext"))
+        .withColumn("qemb", bucketCounts(feats(tokens(col("qtext"))), 16))
+      val sims = ch.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("doc_id"), col("chunk_id"),
+          graft.functions.VectorFunctions.cosine(col("qemb"), col("cemb"))
+            .as("sim"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("doc_id"), col("chunk_id"), col("rank"),
+          Exact.rnd4(col("sim")).as("sim"))
+    },
+
     // D25: document chunking (64-token windows, 16 overlap) — map-side
     // explode, chunk text round-trips the tokenizer.
     "text_chunk" -> { (s, d) =>
@@ -523,6 +561,57 @@ object TextQueries {
 
     // n_chunks = ceil(max(n - width, 0) / step) + 1; start k*step,
     // window width 64, step 48 — mirrors TextFunctions.chunk
+    // Mirrors pipeline_rag: the same 32/8 chunk grid, the same first-hex
+    // bucket counts (integer-exact), and the pinned cosine fold shape of
+    // the native expression (i-ascending double products, sqrt norms).
+    "pipeline_rag" -> {
+      // feats = unigrams ++ bigrams, then first-hex md5 bucket counts
+      def emb(tk: String): String =
+        s"""list_transform(generate_series(0, 15), j ->
+           |  CAST(len(list_filter(
+           |    list_concat($tk, list_transform(
+           |      generate_series(1, len($tk) - 1),
+           |      i -> array_to_string($tk[i:i+1], ' '))),
+           |    tk -> strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1 = j))
+           |  AS DOUBLE))""".stripMargin
+      def cos(a: String, b: String): String =
+        s"""list_sum(list_transform(generate_series(1, 16),
+           |  i -> $a[i] * $b[i]))
+           |/ (sqrt(list_sum(list_transform(generate_series(1, 16),
+           |     i -> $a[i] * $a[i])))
+           | * sqrt(list_sum(list_transform(generate_series(1, 16),
+           |     i -> $b[i] * $b[i]))))""".stripMargin
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1
+        |      AS n_chunks
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |    toks[k * 24 + 1 : k * 24 + 32] AS ctoks
+        |  FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(k)
+        |  WHERE len(toks[k * 24 + 1 : k * 24 + 32]) >= 2),
+        |ce AS (
+        |  SELECT doc_id, chunk_id, ${emb("ctoks")} AS cv FROM ch),
+        |q AS (
+        |  SELECT doc_id AS q_id, toks[9:32] AS qtoks FROM t
+        |  WHERE doc_id < 3 AND len(toks) >= 9),
+        |qe AS (SELECT q_id, ${emb("qtoks")} AS qv FROM q),
+        |sims AS (
+        |  SELECT q_id, doc_id, chunk_id, ${cos("qv", "cv")} AS sim
+        |  FROM qe CROSS JOIN ce),
+        |ranked AS (
+        |  SELECT q_id, doc_id, chunk_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, doc_id, chunk_id) AS rank
+        |  FROM sims)
+        |SELECT q_id, doc_id, chunk_id, rank,
+        |  floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

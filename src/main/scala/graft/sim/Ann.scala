@@ -166,6 +166,35 @@ object Ann {
     cents
   }
 
+  /** D56: cluster-balanced coordinated sampling — the diversity-preserving
+    * subset selection step of embedding-based data curation: uniform random
+    * sampling over-draws the dense regions of embedding space, so the
+    * sample is drawn PER CLUSTER instead — every k-means cell contributes
+    * its `perCell` smallest-md5(id) members. Mode coverage is structural
+    * (every cell is represented), and the draw is coordinated + nested:
+    * membership depends only on md5(id) rank within the cell, so a bigger
+    * `perCell` strictly appends and two engines/runs select identical rows
+    * (the D14/D31/D40 coordination convention).
+    *
+    * Scale: cell assignment is codegen argmin over plan-time centroid
+    * literals (map-only); the only shuffle is ONE cell-partitioned window —
+    * cells are independent, so the sample parallelizes by cell, and at
+    * lake scale the cell is the table's physical partition key (D7c), so
+    * the window runs partition-local.
+    */
+  def diversitySample(corpus: DataFrame, perCell: Int, nlist: Int = 16,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      coarse: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    corpus.select(col(idCol), cellOf(cents, col(embCol)).as("cell"))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+  }
+
   // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance);
   // |c|² folds dimension-ascending at plan time — the same sequential
   // double fold the oracle's list_sum performs over the same centroid

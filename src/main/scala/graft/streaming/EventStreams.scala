@@ -108,9 +108,9 @@ object EventStreams extends Serializable {
     */
   def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+    val prevUs = lag(graft.core.Exact.epochUs(col("ts")), 1).over(w)
     val isNew = when(
-      prevUs.isNull || unix_micros(col("ts")) - prevUs > gapSec * 1000000L, 1)
+      prevUs.isNull || graft.core.Exact.epochUs(col("ts")) - prevUs > gapSec * 1000000L, 1)
       .otherwise(0)
     events
       .withColumn("_new", isNew)

@@ -306,6 +306,22 @@ class AnnSpec extends SparkSpec {
     rr.unpersist()
   }
 
+  test("diversity sample: every cell represented, draw nested and coordinated") {
+    val s8 = Ann.diversitySample(emb, perCell = 8).cache()
+    val s16 = Ann.diversitySample(emb, perCell = 16).cache()
+    // per-cell counts bounded; every non-empty cell contributes
+    val per8 = s8.groupBy("cell").count().collect()
+    assert(per8.forall(_.getLong(1) <= 8))
+    assert(per8.length > 1, "only one cell represented — no diversity")
+    // nesting: the perCell=8 draw is a strict subset of perCell=16
+    assert(s8.select("vec_id").join(s16.select("vec_id"), Seq("vec_id"),
+      "left_anti").count() == 0, "bigger budget dropped a sampled row")
+    // coordination: a rerun selects the identical id set
+    val again = Ann.diversitySample(emb, perCell = 8).select("vec_id")
+    assert(s8.select("vec_id").exceptAll(again).isEmpty)
+    s8.unpersist(); s16.unpersist()
+  }
+
   test("hard negatives: in band, ranked, never the true nearest neighbor") {
     val neg = Ann.hardNegatives(qs, emb, n = 5, lo = 0.15, hi = 0.30).cache()
     assert(neg.filter(col("sim") < 0.15 || col("sim") >= 0.30).count() == 0,

@@ -188,6 +188,26 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == (5, "z y"))
   }
 
+  test("novelty: later copies score 0, first carriers score 1, mixes in between") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j"
+    val docs = Seq(
+      (0L, base),                    // first carrier of everything it has
+      (1L, base),                    // verbatim later copy → novelty 0
+      (2L, "p q r s t u v w x y"),   // disjoint → novelty 1
+      (3L, "a b c d e f p2 q2 r2 s2 t2 u2 v2") // half old, half new
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyScores(docs, w = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_seen"),
+         x.getAs[Double]("novelty"))).toMap
+    assert(r(0L) == (7L, 0L, 1.0))
+    assert(r(1L) == (7L, 7L, 0.0))
+    assert(r(2L) == (7L, 0L, 1.0))
+    // doc 3: 10 grams, 3 of them ("a b c d".."c d e f") first seen in doc 0
+    assert(r(3L) == (10L, 3L, 0.7))
+  }
+
   test("source overlap: identical sources estimate J=1, disjoint J=0") {
     import spark.implicits._
     val text = (1 to 40).map(i => s"w$i").mkString(" ")

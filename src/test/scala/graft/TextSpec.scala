@@ -209,6 +209,42 @@ class TextSpec extends SparkSpec {
       TextFunctions.dsirScore(docs, perSourceK = 0))
   }
 
+  test("bucket counts: mass conservation, determinism, bucket placement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x")).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextFunctions.bucketCounts(split(col("text"), " "), 16).as("v"))
+      .collect().map(x => x.getAs[Long](0) -> x.getSeq[Double](1)).toMap
+    // every token lands in exactly one bucket: counts sum to token count
+    assert(r(0L).sum == 4.0 && r(0L).length == 16)
+    assert(r(1L).sum == 1.0)
+    // placement matches a driver-side recompute of the same md5 bucket
+    def bucket(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) % 16
+    }
+    Seq("alpha", "beta", "gamma", "delta").foreach { t =>
+      assert(r(0L)(bucket(t)) >= 1.0, s"token $t missing from its bucket")
+    }
+  }
+
+  test("rag pipeline: self-document surfaces for every query") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("pipeline_rag")(spark, sfDir).cache()
+    // 3 queries × 5 contiguous ranks
+    val perQ = out.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("hi")).collect()
+    assert(perQ.length == 3)
+    perQ.foreach(r => assert(r.getAs[Long]("n") == 5 && r.getAs[Int]("hi") == 5))
+    // the query text is a verbatim slice of its own document, so the
+    // self-document must appear in that query's top-5
+    val selfHit = out.filter(col("q_id") === col("doc_id")).count()
+    assert(selfHit >= 3, s"self-retrieval failed: only $selfHit self hits")
+    out.unpersist()
+  }
+
   test("hashed linear score: hand-computed feature weights and label") {
     import spark.implicits._
     // independent JVM replay of the hash→bucket→weight pipeline
