@@ -299,11 +299,17 @@ object Dedup {
     * an order-free aggregate, so the result is identical however the corpus
     * is partitioned — unlike a sequential scan, this replays on any cluster.
     */
+  /** Distinct 16-hex md5-prefix `w`-grams per document — the shared gram
+    * image of [[noveltyScores]] and the streaming novelty store (E12). */
+  private[graft] def distinctGrams(docs: DataFrame, w: Int, idCol: String,
+                                   textCol: String): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(transform(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w),
+      s => substring(md5(s), 1, 16)))).as("gram"))
+
   def noveltyScores(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol), explode(array_distinct(transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w),
-        s => substring(md5(s), 1, 16)))).as("gram"))
+    val grams = distinctGrams(docs, w, idCol, textCol)
     val firstSeen = grams.groupBy("gram").agg(min(col(idCol)).as("_first"))
     grams.join(firstSeen.hint("shuffle_hash"), Seq("gram"))
       .groupBy(col(idCol))

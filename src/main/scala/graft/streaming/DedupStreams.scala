@@ -114,6 +114,105 @@ object DedupStreams {
     fs.delete(tmp, true)
   }
 
+  // ---- E12: streaming novelty scoring --------------------------------------
+
+  private val gramSchema = StructType(Seq(
+    StructField("gram", StringType),
+    StructField("_owner", LongType)))
+
+  /** Read the gram store (empty-safe like [[readClaims]]). */
+  def readGrams(spark: SparkSession, gramsDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(gramsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(gramSchema).parquet(gramsDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        gramSchema)
+  }
+
+  /** One micro-batch novelty decision: given this batch's distinct
+    * (doc, gram) rows and the gram store, return (scores, newGrams).
+    *
+    * A gram counts as "seen" for a document when its first carrier — the
+    * store owner, or the batch's min id for store-misses — is an EARLIER
+    * document. Under the id-ordered arrival contract (E9's), every store
+    * owner precedes every batch id, so first = coalesce(store, batch min)
+    * and the store is append-only: exactly [[graft.dedup.Dedup
+    * .noveltyScores]]'s order-free min-carrier aggregate, evaluated
+    * incrementally. StreamingSpec pins micro-batch-split ≡ whole-corpus.
+    */
+  def noveltyStep(grams: DataFrame, store: DataFrame,
+                  idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val old = store.withColumnRenamed("_owner", "_old")
+    val batchMin = grams.groupBy("gram").agg(min(col(idCol)).as("_bmin"))
+    val joined = grams
+      .join(batchMin.hint("shuffle_hash"), Seq("gram"))
+      .join(old.hint("shuffle_hash"), Seq("gram"), "left")
+    val first = coalesce(col("_old"), col("_bmin"))
+    val scores = joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(first < col(idCol), lit(1L)).otherwise(lit(0L)))
+          .as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        graft.core.Exact.rnd4(lit(1.0) - col("n_seen").cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+    val newGrams = batchMin
+      .join(old.hint("shuffle_hash"), Seq("gram"), "left_anti")
+      .select(col("gram"), col("_bmin").as("_owner"))
+    (scores, newGrams)
+  }
+
+  /** Compact the gram store ([[compactClaims]]'s rewrite keyed on gram). */
+  def compactGrams(spark: SparkSession, gramsDir: String,
+                   parts: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(gramsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(gramsDir + "_compacting")
+    readGrams(spark, gramsDir)
+      .repartition(parts, col("gram"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+  }
+
+  /** E12: novelty scoring as an ingest stream — the incremental twin of
+    * [[graft.dedup.Dedup.noveltyScores]]. The gram store (one row per
+    * distinct gram ever seen, with its first carrier) is pipeline state
+    * shared by restarts and parallel backfills, exactly like the E9 claim
+    * store; at lake scale it is bucketed on the gram key so the per-batch
+    * lookup co-locates and only the batch side shuffles.
+    */
+  def noveltyStream(docs: DataFrame, gramsDir: String, outDir: String,
+                    w: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val grams = Dedup.distinctGrams(batch, w, idCol, textCol)
+        val (scores, newGrams) =
+          noveltyStep(grams, readGrams(spark, gramsDir), idCol)
+        val pinned = newGrams.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        scores.repartition(1).write.mode("append").parquet(outDir)
+        pinned.repartition(1).write.mode("append").parquet(gramsDir)
+        pinned.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactGrams(spark, gramsDir)
+        ()
+      }
+      .start()
+
   /** Run the stream: per micro-batch, signature the arriving documents,
     * decide against the claim store, append verdicts to `outDir` and new
     * claims to `claimsDir`. The new-claims frame is materialized BEFORE

@@ -331,6 +331,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E12 novelty: gram-store stream equals batch noveltyScores") {
+    import spark.implicits._
+    // originals then truncated mirrors, arrival respecting doc_id order —
+    // mirrors carry almost no first-seen content, so their novelty must
+    // collapse while the earliest documents stay novel
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+    val variants = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 100000L, w.take(math.max(w.length - 5, 3)).mkString(" "))
+    }
+    val all = docs ++ variants
+    val gramsDir = java.nio.file.Files
+      .createTempDirectory("graft_grams_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_novelty_out_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    // compactEvery=2 exercises a mid-stream store rewrite: parity must
+    // hold straight through the compaction
+    val q = graft.streaming.DedupStreams.noveltyStream(
+      ms.toDF().toDF("doc_id", "text"), gramsDir, outDir, compactEvery = 2)
+    try {
+      ms.addData(all.take(40)); q.processAllAvailable()
+      ms.addData(all.slice(40, 70)); q.processAllAvailable()
+      ms.addData(all.drop(70)); q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+      val batch = graft.dedup.Dedup.noveltyScores(all.toDF("doc_id", "text"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "gram-store streaming novelty diverges from batch noveltyScores")
+      // the store stays bounded: compaction rewrote to <= parts + residual
+      val files = new java.io.File(gramsDir)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 10, s"gram store not compacted: $files files")
+      // signal check: earliest doc fully novel, mirrors mostly seen
+      val nov = streamed.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+      assert(nov(docs.map(_._1).min) == 1.0)
+      val mirrorNov = variants.map(_._1).flatMap(nov.get)
+      assert(mirrorNov.count(_ <= 0.2) > mirrorNov.length / 2,
+        "truncated mirrors did not read as mostly-seen content")
+    } finally q.stop()
+  }
+
   test("E9 compaction: verdicts unchanged, file count bounded, restart ok") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
