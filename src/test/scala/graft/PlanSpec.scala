@@ -91,6 +91,43 @@ class PlanSpec extends SparkSpec {
       s"packing must not globally sort:\n$p")
   }
 
+  test("rag pipeline: chunk+embed map-side, queries broadcast, one top-k window") {
+    val full = plan(SparkEntry.queries("pipeline_rag")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    // the corpus side must only ever meet a BROADCAST query side — any
+    // sort-merge/shuffled-hash join here would co-shuffle the chunk set
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the chunk scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rag chain must not shuffle a join side:\n$p")
+    // chunking + embedding are projections: the only shuffle is the
+    // per-query top-k window
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"rag chain must shuffle once (top-k window), found $n:\n$p")
+  }
+
+  test("diversity sample: cell assign map-side, one cell-window Exchange") {
+    val full = plan(graft.sim.Ann.diversitySample(
+      Tables.embeddings(spark, sfDir), perCell = 8))
+    val p = full.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"diversity sample must shuffle once on cell, found $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"cell assignment must be pure column math, not a join:\n$p")
+  }
+
+  test("novelty: gram image map-side, hash joins only, no corpus sort") {
+    val full = plan(SparkEntry.queries("text_novelty")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"gram join must stay hash-based:\n$p")
+    // grams Exchange + first-carrier groupBy + verdict regroup — all keyed
+    // on fixed-width hashes or doc ids, never a full-text shuffle
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"novelty grew extra shuffles ($n):\n$p")
+  }
+
   test("mlp predict is map-only after the scan: no Exchange") {
     val full = plan(SparkEntry.queries("ml_predict_mlp")(spark, sfDir))
     val p = full.split("== Initial Plan ==").head
