@@ -133,10 +133,19 @@ object TextFunctions {
     */
   def bucketCounts(toks: Column, dims: Int): Column = {
     require(dims > 0 && dims <= 16, s"bucketCounts: need dims in [1,16], got $dims")
-    transform(sequence(lit(0), lit(dims - 1)), j =>
-      size(filter(toks, t =>
-        (conv(substring(md5(t), 1, 1), 16, 10).cast("int") % dims) === j))
-        .cast("double"))
+    // One md5 per feature: the bucket-id array is aggregate's ARGUMENT, so
+    // it is evaluated once per row; the fold then pays dims cheap int ops
+    // per feature. The per-bucket filter-count form re-evaluates the md5
+    // (and the bigram string build feeding it) once PER BUCKET — Catalyst
+    // higher-order lambdas don't CSE across invocations, which made the
+    // sf0.1 chunk-embedding pass ~16x more expensive than the hash work
+    // actually requires. Counts are exact integers either way, so the
+    // DuckDB mirror keeps its per-bucket list_filter form.
+    val ids = transform(toks, t =>
+      conv(substring(md5(t), 1, 1), 16, 10).cast("int") % dims)
+    aggregate(ids, array_repeat(lit(0.0), dims),
+      (acc, b) => zip_with(acc, sequence(lit(0), lit(dims - 1)),
+        (c, j) => when(j === b, c + lit(1.0)).otherwise(c)))
   }
 
   /** D25: document chunking — split each document into fixed-size token
