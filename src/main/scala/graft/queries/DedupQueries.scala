@@ -185,10 +185,13 @@ object DedupQueries {
       Dedup.removeDupSpans(nearCorpus(s, d), w = 8)
     },
 
+    // Components run on the STAR candidate graph (member → bucket min):
+    // identical clusters to the all-pairs clique at O(docs · bands) edges
+    // instead of O(Σ bucket²) — the density-proof input the contraction
+    // loop needs (8.8M clique edges vs ≤1.2M stars on the sf1 replica).
     "dedup_clusters" -> { (s, d) =>
       Dedup.resolveClusters(
-        Dedup.minhashCandidates(Dedup.minhashSignatures(clusterCorpus(s, d)))
-          .select("doc_a", "doc_b"))
+        Dedup.minhashStarEdges(Dedup.minhashSignatures(clusterCorpus(s, d))))
     },
 
     // D54: leakage-guarded split — split assignment hashes the CLUSTER

@@ -188,6 +188,33 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == (5, "z y"))
   }
 
+  test("star candidate graph: components identical to the all-pairs clique") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real docs + two truncation variants = chained near-dup clusters,
+    // plus a boilerplate block that must stay capped out of both graphs
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(80)
+    val t = split(col("text"), " ")
+    val corpus = docs
+      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+      .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 10, lit(3)))).as("text")))
+    val sigs = Dedup.minhashSignatures(corpus).cache()
+    val viaClique = Dedup.resolveClusters(
+      Dedup.minhashCandidates(sigs).select("doc_a", "doc_b"))
+    val viaStar = Dedup.resolveClusters(Dedup.minhashStarEdges(sigs))
+    assert(viaStar.exceptAll(viaClique).isEmpty &&
+      viaClique.exceptAll(viaStar).isEmpty,
+      "star edges changed the component structure")
+    // and the star graph is actually smaller on this duplicate-dense corpus
+    val nClique = Dedup.minhashCandidates(sigs).count()
+    val nStar = Dedup.minhashStarEdges(sigs).count()
+    assert(nStar <= nClique, s"star=$nStar clique=$nClique")
+    sigs.unpersist()
+  }
+
   test("novelty: later copies score 0, first carriers score 1, mixes in between") {
     import spark.implicits._
     val base = "a b c d e f g h i j"
