@@ -192,6 +192,31 @@ object Dedup {
       threshold, idCol)
   }
 
+  /** Adaptive verification: measure the candidate-pair count (one
+    * O(buckets) aggregate over the persisted candidate set) and pick the
+    * plan — the broadcast-pairs form below `densePairs`, the member-semi-
+    * join [[jaccardDense]] form above it. This takes the regime decision
+    * [[jaccard]]'s Scaladoc leaves to "a pipeline decision" from a
+    * measurement instead of a guess: at low duplicate density the pair
+    * list is tiny and broadcasting it wins; on a crawl-snapshot corpus
+    * (the sf1 replica crossed 4M pairs) the pair list outgrows a sane
+    * broadcast while the member ID SET stays broadcastable. Both plans
+    * return identical rows (parity spec-pinned), so the switch is
+    * invisible to the oracle. The candidates are persisted so the count
+    * and the chosen plan share one LSH pass; callers owning a longer
+    * pipeline can unpersist after consuming the result.
+    */
+  def jaccardAuto(docs: DataFrame, candidates: DataFrame, w: Int = 4,
+                  threshold: Double = 0.5, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  densePairs: Long = 1000000L): DataFrame = {
+    val pinned = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dense = pinned.count() >= densePairs
+    if (dense) jaccardDense(docs, pinned, w, threshold, idCol, textCol)
+    else jaccard(docs, pinned, w, threshold, idCol, textCol)
+  }
+
   /** Shared verification tail: regroup the (pair, member-shingles) rows to
     * one row per pair and score |A∩B| / |A∪B| with integer counting. */
   private def pairScores(joined: DataFrame, threshold: Double,

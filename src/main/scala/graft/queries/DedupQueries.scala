@@ -152,9 +152,13 @@ object DedupQueries {
       Dedup.sourceOverlap(Tables.documents(s, d))
     },
 
+    // Verification routes through jaccardAuto: the candidate-pair count
+    // (persisted, one LSH pass) picks broadcast-pairs vs the dense
+    // member-semi-join plan — identical rows either way (parity pinned),
+    // so the regime switch is invisible to the oracle.
     "dedup_jaccard" -> { (s, d) =>
       val corpus = nearCorpus(s, d)
-      Dedup.jaccard(corpus,
+      Dedup.jaccardAuto(corpus,
         Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
           .select("doc_a", "doc_b"))
     },

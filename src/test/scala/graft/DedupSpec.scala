@@ -78,6 +78,14 @@ class DedupSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "dense-regime jaccard diverges from the broadcast form")
     assert(a.count() > 0, "no pairs verified — fixture broke")
+    // jaccardAuto lands on the same rows in BOTH regimes: densePairs=1
+    // forces the dense plan, the default keeps broadcast on this fixture
+    val auto = Dedup.jaccardAuto(corpus, cand)
+    val forced = Dedup.jaccardAuto(corpus, cand, densePairs = 1L)
+    assert(auto.exceptAll(a).isEmpty && a.exceptAll(auto).isEmpty,
+      "auto (broadcast regime) diverges")
+    assert(forced.exceptAll(a).isEmpty && a.exceptAll(forced).isEmpty,
+      "auto (forced dense regime) diverges")
   }
 
   test("keepBest: one survivor per cluster, and quality outranks min-id") {
