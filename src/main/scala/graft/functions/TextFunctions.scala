@@ -73,6 +73,33 @@ object TextFunctions {
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和")
   )
 
+  /** D8 language prediction as one expression: per-language stop-word hit
+    * counts, deterministic argmax (declared order breaks ties, all-zero →
+    * "und"). The exact expression `text_langid` and the curation pipeline
+    * share — one definition, one oracle mirror. */
+  def langPredict(toks: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> stopHits(toks, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** D9 quality score as one expression: stop-word ratio, mean word
+    * length, and a length-band signal, weighted 0.4/0.3/0.3 — shared by
+    * `text_quality`, keep-best ranking and the curation pipeline. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nWords = size(t)
+    val stopRatio = stopHits(t, langStopwords.head._2).cast("double") / nWords
+    val avgWlen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+    lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
+      lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
+  }
+
   /** Deterministic Bernoulli sampling predicate: keep a row iff the
     * `hexDigits`-char md5 prefix of its key is below the rate threshold —
     * a reproducible, engine-independent coin flip per key (the same key

@@ -48,9 +48,11 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     })
     evalNode(resultId) match {
       case c: DataCube => c.df
+      // curation-pipeline graphs produce document tables, not cubes
+      case df: DataFrame => df
       case other => throw new IllegalArgumentException(
-        s"process graph result node must produce a datacube, got " +
-          other.getClass.getSimpleName)
+        s"process graph result node must produce a datacube or a " +
+          s"document table, got ${other.getClass.getSimpleName}")
     }
   }
 
@@ -564,7 +566,57 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       }
       cube
 
+    // --- curation-pipeline vocabulary (SURVEY §2D26/D57): the same JSON
+    // graph mechanism applied to the training-data operators, so a user
+    // declares an entire curation chain as data. Nodes carry DataFrames
+    // (document tables) instead of cubes; every process composes the same
+    // library operators the direct queries use, so the whole graph still
+    // collapses into one Catalyst plan (filters merge map-side; shuffles
+    // appear only at the dedup bucket hops and the pack window).
+
+    case "load_documents" =>
+      Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("source"), col("text"))
+
+    case "filter_language" =>
+      val d = docsArg(args, evalNode)
+      d.filter(graft.functions.TextFunctions.langPredict(
+        split(col("text"), " ")) === args.path("language").asText("en"))
+
+    case "filter_quality" =>
+      val d = docsArg(args, evalNode)
+      d.filter(graft.functions.TextFunctions.qualityScore(col("text")) >=
+        args.path("min_score").asDouble(0.5))
+
+    case "near_dedup_first_wins" =>
+      val d = docsArg(args, evalNode)
+      val verdicts = graft.dedup.Dedup.firstWinsKept(
+        graft.dedup.Dedup.minhashSignatures(d))
+      d.join(verdicts, Seq("doc_id"), "left")
+        .filter(col("kept").isNull || col("kept") === 1)
+        .drop("kept")
+
+    case "pack_sequences" =>
+      graft.functions.TextFunctions.packBySource(
+        docsArg(args, evalNode), args.path("budget").asInt(1024))
+
+    case "chunk_documents" =>
+      val d = docsArg(args, evalNode)
+      d.select(col("doc_id"), posexplode(
+          graft.functions.TextFunctions.chunk(split(col("text"), " "),
+            args.path("width").asInt(64), args.path("overlap").asInt(16))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col.start").as("start"), col("col.text").as("chunk"))
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }
+
+  private def docsArg(args: JsonNode, evalNode: String => Any): DataFrame =
+    nodeArg(args, "data", evalNode) match {
+      case df: DataFrame => df
+      case other => throw new IllegalArgumentException(
+        s"argument 'data' must be a document table, got " +
+          other.getClass.getSimpleName)
+    }
 }

@@ -332,6 +332,30 @@ object PipelineQueries {
           Exact.rnd4(col("value")).as("value"))
     },
 
+    // The curation pipeline (D26) declared as a JSON process graph: the
+    // same chain pipeline_curate builds in code — language filter →
+    // quality filter → first-wins near-dedup → sequence packing — runs
+    // through the graph vocabulary and must land on the identical rows,
+    // so it shares pipeline_curate's oracle verbatim.
+    "pipeline_curate_graph" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "lang":  {"process_id": "filter_language",
+          |            "arguments": {"data": {"from_node": "src"},
+          |                          "language": "en"}},
+          |  "qual":  {"process_id": "filter_quality",
+          |            "arguments": {"data": {"from_node": "lang"},
+          |                          "min_score": 0.5}},
+          |  "dedup": {"process_id": "near_dedup_first_wins",
+          |            "arguments": {"data": {"from_node": "qual"}}},
+          |  "pack":  {"process_id": "pack_sequences",
+          |            "arguments": {"data": {"from_node": "dedup"},
+          |                          "budget": 1024},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -527,6 +551,10 @@ object PipelineQueries {
         |  count(*) AS n_cells
         |FROM lab WHERE zone_id IS NOT NULL GROUP BY 1, 2""".stripMargin
     },
+
+    // Identical chain, identical oracle: the graph form of the curation
+    // pipeline must hash-match the direct form's mirror.
+    "pipeline_curate_graph" -> TextQueries.oracle("pipeline_curate"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

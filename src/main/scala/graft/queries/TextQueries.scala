@@ -78,24 +78,10 @@ object TextQueries {
     // with no signature (too short to shingle) carry no near-dup evidence
     // and are KEPT.
     "pipeline_curate" -> { (s, d) =>
-      val t = tokens(col("text"))
-      val nWords = size(t)
-      val stopRatio = stopHits(t, langStopwords.head._2)
-        .cast("double") / nWords
-      val avgWlen = length(regexp_replace(col("text"), " ", ""))
-        .cast("double") / nWords
-      val score =
-        lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
-        lit(0.3) * least(avgWlen / 8.0, lit(1.0)) +
-        lit(0.3) * when(nWords.between(20, 1000), 1.0).otherwise(0.0)
-      val lscores = langStopwords.map { case (l, w) => l -> stopHits(t, w) }
-      val best = greatest(lscores.map(_._2): _*)
-      val pred = lscores.foldRight(lit("und")) { case ((l, sc), acc) =>
-        when(sc === best && best > 0, l).otherwise(acc)
-      }
       val base = docs(s, d)
         .select(col("doc_id"), col("source"), col("text"))
-        .filter(score >= 0.5 && pred === "en")
+        .filter(qualityScore(col("text")) >= 0.5 &&
+          langPredict(tokens(col("text"))) === "en")
       val verdicts = graft.dedup.Dedup.firstWinsKept(
         graft.dedup.Dedup.minhashSignatures(base))
       val kept = base.join(verdicts, Seq("doc_id"), "left")

@@ -422,4 +422,22 @@ class PipelineSpec extends SparkSpec {
         col("ts") < lit("2024-01-18").cast("timestamp")).count()
     assert(n == expected, s"row parity: $n vs $expected")
   }
+
+  test("curation graph: JSON pipeline equals the direct operator chain") {
+    val g = graft.SparkEntry.queries("pipeline_curate_graph")(spark, sfDir)
+    val direct = graft.SparkEntry.queries("pipeline_curate")(spark, sfDir)
+    assert(g.exceptAll(direct).isEmpty && direct.exceptAll(g).isEmpty,
+      "graph-declared curation diverges from the coded chain")
+    assert(g.count() > 0)
+    // unknown curation argument types fail loudly, not silently
+    val ex = intercept[IllegalArgumentException] {
+      new graft.plans.ProcessGraph(spark, sfDir).run(
+        """{"p": {"process_id": "pack_sequences",
+          |       "arguments": {"data": {"from_node": "p2"}},
+          |       "result": true},
+          | "p2": {"process_id": "load_collection",
+          |        "arguments": {"id": "grid"}}}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("document table"))
+  }
 }
