@@ -600,6 +600,32 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       graft.functions.TextFunctions.packBySource(
         docsArg(args, evalNode), args.path("budget").asInt(1024))
 
+    case "filter_gopher" =>
+      docsArg(args, evalNode).filter(
+        graft.functions.TextFunctions.gopherSignals(col("text"))
+          .getField("pass"))
+
+    // deterministic coordinated sample — the same md5 coin every sampler
+    // here uses, so graph-declared samples reproduce across runs/engines
+    case "sample_documents" =>
+      val d = docsArg(args, evalNode)
+      d.filter(graft.functions.TextFunctions.hashSampleKeep(
+        col("doc_id"), args.path("rate").asDouble(0.1)))
+
+    // source-weighted token-budget selection (D31); the selection is
+    // semi-joined back so downstream nodes keep the full document table.
+    // `data` is referenced twice (selection + join-back) — Spark does not
+    // CSE duplicate subtrees, so put selection nodes late in a graph or
+    // behind a persisted stage in a long pipeline.
+    case "mix_to_budget" =>
+      val d = docsArg(args, evalNode)
+      val weights = Option(args.get("weights")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toSeq).getOrElse(Seq())
+      val picked = graft.functions.TextFunctions.mixToBudget(d, weights,
+        args.path("default_weight").asDouble(1.0),
+        args.path("budget").asLong(10000L))
+      d.join(picked.select("doc_id"), Seq("doc_id"), "left_semi")
+
     case "chunk_documents" =>
       val d = docsArg(args, evalNode)
       d.select(col("doc_id"), posexplode(

@@ -429,6 +429,27 @@ class PipelineSpec extends SparkSpec {
     assert(g.exceptAll(direct).isEmpty && direct.exceptAll(g).isEmpty,
       "graph-declared curation diverges from the coded chain")
     assert(g.count() > 0)
+    // the sample/mix/gopher nodes apply the exact library predicates
+    def run(j: String) = new graft.plans.ProcessGraph(spark, sfDir).run(j)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val sampled = run(
+      """{"s": {"process_id": "load_documents", "arguments": {}},
+        | "p": {"process_id": "sample_documents",
+        |       "arguments": {"data": {"from_node": "s"}, "rate": 0.5},
+        |       "result": true}}""".stripMargin).count()
+    val directSample = docs.filter(
+      graft.functions.TextFunctions.hashSampleKeep(col("doc_id"), 0.5)).count()
+    assert(sampled == directSample && sampled > 0)
+    val mixed = run(
+      """{"s": {"process_id": "load_documents", "arguments": {}},
+        | "m": {"process_id": "mix_to_budget",
+        |       "arguments": {"data": {"from_node": "s"},
+        |                     "weights": {"src0": 0.5},
+        |                     "default_weight": 0.1, "budget": 4000},
+        |       "result": true}}""".stripMargin)
+    assert(mixed.columns.toSeq ==
+      Seq("doc_id", "source", "text"), "mix node must keep the doc table")
+    assert(mixed.count() > 0 && mixed.count() < docs.count())
     // unknown curation argument types fail loudly, not silently
     val ex = intercept[IllegalArgumentException] {
       new graft.plans.ProcessGraph(spark, sfDir).run(
