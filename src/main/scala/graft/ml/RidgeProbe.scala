@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cramer, Exact}
+
+/** Closed-form ridge-regression training, fully inside the Spark plan.
+  *
+  * The openEO ML surface (reference: openeo_processes_dask/process_implementations/
+  * ml/random_forest.py:60 `fit_class_random_forest`) trains models whose
+  * fitted state is data-dependent and iterative, so the driver gate can
+  * only rows-check them (SURVEY §6). This trainer closes that gap for the
+  * linear family: ridge solves to a CLOSED FORM, w = (XᵀX + λI)⁻¹ Xᵀy, so
+  * training is one global aggregation (the k(k+3)/2 + 1 moment sums) plus
+  * a k×k Cramer solve — and with order-independent decimal moment sums
+  * ([[Exact.esum]]) and the shared [[Cramer]] expansion instantiated once
+  * as Column math and once as oracle SQL, the TRAINED WEIGHTS and every
+  * downstream prediction are bit-identical across engines. A model fit is
+  * hash-gated end-to-end, not rows-only.
+  *
+  * Scale shape (the 100 TB contract): pass 1 is scan → map-side partial
+  * aggregation → one k²-double row on the driver side of the plan (no
+  * shuffle of data rows, only of per-partition partials); pass 2 re-scans
+  * and scores against the broadcast 1-row weight table. No collect, no
+  * iteration, no skew exposure — the same two-pass statistics+apply shape
+  * as a vectorized standardizer. The k ≤ 4 bound is the Laplace-expansion
+  * limit shared with the curve fitters, plenty for probe-sized feature
+  * vectors (distilling a rule cascade into a cheap linear scorer; the
+  * fastText-style hashed scorer in TextFunctions is the fixed-weight twin).
+  */
+object RidgeProbe {
+
+  /** Fit ridge weights over feature columns `xs` (intercept prepended
+    * implicitly) against label `yCol`: returns a single-row DataFrame with
+    * columns w0 (intercept), w1..wk in `xs` order. All moments are decimal
+    * sums, so the result is independent of row order and partitioning; the
+    * diagonal gets `+ lambda` (intercept included — documented, mirrored
+    * in the oracle generator). */
+  def fit(feats: DataFrame, xs: Seq[String], yCol: String,
+          lambda: Double): DataFrame = {
+    require(xs.nonEmpty && xs.size <= 3,
+      s"ridge probe supports 1..3 features (4x4 Cramer bound), got ${xs.size}")
+    val n = xs.size + 1
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(xs(i - 1))
+    val moments =
+      (for (i <- 0 until n; j <- i until n)
+        yield Exact.esum(x(i) * x(j)).as(s"_m${i}${j}")) ++
+      (0 until n).map(i => Exact.esum(x(i) * col(yCol)).as(s"_r$i"))
+    val g = feats.agg(moments.head, moments.tail: _*)
+    val mat = Vector.tabulate(n, n) { (i, j) =>
+      val m = col(s"_m${math.min(i, j)}${math.max(i, j)}")
+      if (i == j) m + lit(lambda) else m
+    }
+    val rhs = Vector.tabulate(n)(i => col(s"_r$i"))
+    val ws = Cramer.solve(mat, rhs, Cramer.columns)
+    g.select(ws.zipWithIndex.map { case (w, i) => w.as(s"w$i") }: _*)
+  }
+
+  /** Linear score w0 + Σ wᵢ·xᵢ, left-associated so the double DAG matches
+    * the SQL mirror term for term. */
+  def score(xs: Seq[String]): Column =
+    xs.zipWithIndex.foldLeft(col("w0")) { case (acc, (c, i)) =>
+      acc + col(s"w${i + 1}") * col(c)
+    }
+
+  /** Fit + apply in one plan: broadcast the 1-row weight table back over
+    * the features and emit per-row `score` (rnd4) and `kept` (score ≥
+    * threshold on the rounded value, so the verdict sits on the pinned
+    * 1e-4 grid in both engines). Weight columns ride along rnd4'd — the
+    * hash gate then pins the TRAINING, not just the scoring. */
+  def fitScore(feats: DataFrame, xs: Seq[String], yCol: String,
+               lambda: Double, threshold: Double): DataFrame = {
+    val w = fit(feats, xs, yCol, lambda)
+    val s = Exact.rnd4(score(xs))
+    feats.crossJoin(broadcast(w))
+      .withColumn("score", s)
+      .withColumn("kept", col("score") >= threshold)
+      .select((Seq(col(feats.columns.head)) ++ xs.map(col) ++
+        Seq(col(yCol)) ++
+        (0 to xs.size).map(i => Exact.rnd4(col(s"w$i")).as(s"w$i")) ++
+        Seq(col("score"), col("kept"))): _*)
+  }
+
+  /** The D58 composed op: three scan-time quality features on the rnd4
+    * grid, the curation keep-verdict label (length band AND function-word
+    * floor), closed-form ridge fit + broadcast scoring. One definition
+    * shared by the `text_quality_fit` query and the process-graph
+    * `fit_quality_probe` node, so both hash against the same oracle. */
+  def qualityProbe(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, stopHits}
+    val t = tokens(col("text"))
+    val nWords = size(t)
+    val stopRatio = stopHits(t, Seq("the", "a", "of", "and", "to", "in",
+      "is")).cast("double") / nWords
+    val avgWlen = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nWords
+    val feats = docs.select(
+      col("doc_id"),
+      Exact.rnd4(stopRatio).as("x1"),
+      Exact.rnd4(least(avgWlen / 8.0, lit(1.0))).as("x2"),
+      Exact.rnd4(least(nWords, lit(1000)).cast("double") / 1000.0).as("x3"),
+      when(nWords.between(50, 100000) && stopRatio >= 0.06, 1.0)
+        .otherwise(0.0).as("y"))
+    fitScore(feats, Seq("x1", "x2", "x3"), "y",
+      lambda = 0.001, threshold = 0.5)
+  }
+
+  /** Oracle-side mirror of [[fit]]+[[score]]: given SQL text for each
+    * feature atom (`xsSql`, same order) and the label, emits the moment
+    * CTE + Cramer solve + scoring SELECT, every double op structurally
+    * identical to the Column plan. `featsCte` must be a CTE name exposing
+    * one row per input with columns `idCol`, the features (named x1..xk),
+    * and `y`. */
+  def oracleSql(featsCte: String, idCol: String, k: Int,
+                lambda: Double, threshold: Double): String = {
+    require(k >= 1 && k <= 3)
+    val n = k + 1
+    def x(i: Int): String = if (i == 0) "1.0" else s"x$i"
+    val moments =
+      (for (i <- 0 until n; j <- i until n) yield
+        s"CAST(sum(CAST(${x(i)} * ${x(j)} AS DECIMAL(38,10))) AS DOUBLE) AS m${i}${j}") ++
+      (0 until n).map(i =>
+        s"CAST(sum(CAST(${x(i)} * y AS DECIMAL(38,10))) AS DOUBLE) AS r$i")
+    val mat = Vector.tabulate(n, n) { (i, j) =>
+      val m = s"m${math.min(i, j)}${math.max(i, j)}"
+      if (i == j) s"($m + $lambda)" else m
+    }
+    val rhs = Vector.tabulate(n)(i => s"r$i")
+    val ws = Cramer.solve(mat, rhs, Cramer.sql)
+    val wDefs = ws.zipWithIndex.map { case (w, i) => s"$w AS w$i" }
+    val scoreSql = (1 to k).foldLeft("w0") { (acc, i) =>
+      s"($acc + (w$i * x$i))"
+    }
+    val wOut = (0 to k).map(i =>
+      s"floor((w$i) * 10000 + 0.5) / 10000.0 AS w$i")
+    s"""g AS (
+      |  SELECT ${moments.mkString(",\n    ")}
+      |  FROM $featsCte),
+      |wts AS (
+      |  SELECT ${wDefs.mkString(",\n    ")}
+      |  FROM g),
+      |scored AS (
+      |  SELECT $idCol, ${(1 to k).map(i => s"x$i").mkString(", ")}, y,
+      |    ${wOut.mkString(",\n    ")},
+      |    floor(($scoreSql) * 10000 + 0.5) / 10000.0 AS score
+      |  FROM $featsCte CROSS JOIN wts)""".stripMargin
+  }
+}

@@ -634,6 +634,34 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
           col("col.start").as("start"), col("col.text").as("chunk"))
 
+    // retrieval vocabulary (D57 as graph nodes): embed chunked documents,
+    // build slice-query fixtures, exact cosine top-k — the same Retrieval
+    // builders pipeline_rag composes in code, so a graph-declared RAG
+    // chain lands on identical rows and shares its oracle.
+    case "embed_chunks" =>
+      graft.functions.Retrieval.embedChunks(docsArg(args, evalNode),
+        args.path("dims").asInt(16)).drop("start")
+
+    case "slice_queries" =>
+      graft.functions.Retrieval.sliceQueries(docsArg(args, evalNode),
+        n = args.path("count").asInt(3), off = args.path("offset").asInt(8),
+        len = args.path("length").asInt(24),
+        dims = args.path("dims").asInt(16))
+
+    case "similarity_search" =>
+      val qs = nodeArg(args, "queries", evalNode) match {
+        case df: DataFrame => df
+        case other => throw new IllegalArgumentException(
+          s"'queries' must be a query table, got ${other.getClass.getSimpleName}")
+      }
+      graft.functions.Retrieval.topK(docsArg(args, evalNode), qs,
+        k = args.path("k").asInt(5))
+
+    // D58 as a graph node: ridge-fit the quality probe and score the
+    // corpus — model TRAINING as one declarative node in a curation graph.
+    case "fit_quality_probe" =>
+      graft.ml.RidgeProbe.qualityProbe(docsArg(args, evalNode))
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }

@@ -356,6 +356,44 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // The RAG retrieval chain (D57) declared as a JSON process graph:
+    // chunk → embed → slice-queries → cosine top-k through the graph
+    // vocabulary, identical rows to pipeline_rag → shares its oracle.
+    "process_graph_rag" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "chunk": {"process_id": "chunk_documents",
+          |            "arguments": {"data": {"from_node": "src"},
+          |                          "width": 32, "overlap": 8}},
+          |  "emb":   {"process_id": "embed_chunks",
+          |            "arguments": {"data": {"from_node": "chunk"},
+          |                          "dims": 16}},
+          |  "qs":    {"process_id": "slice_queries",
+          |            "arguments": {"data": {"from_node": "src"},
+          |                          "count": 3, "offset": 8,
+          |                          "length": 24, "dims": 16}},
+          |  "hits":  {"process_id": "similarity_search",
+          |            "arguments": {"data": {"from_node": "emb"},
+          |                          "queries": {"from_node": "qs"},
+          |                          "k": 5},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
+    // Model TRAINING as a graph node (D58): load → ridge-fit + score in
+    // one declared chain; identical rows to text_quality_fit → shares its
+    // hash oracle, so a graph-declared FIT is verified end-to-end too.
+    "process_graph_probe" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "probe": {"process_id": "fit_quality_probe",
+          |            "arguments": {"data": {"from_node": "src"}},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -555,6 +593,8 @@ object PipelineQueries {
     // Identical chain, identical oracle: the graph form of the curation
     // pipeline must hash-match the direct form's mirror.
     "pipeline_curate_graph" -> TextQueries.oracle("pipeline_curate"),
+    "process_graph_rag" -> TextQueries.oracle("pipeline_rag"),
+    "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

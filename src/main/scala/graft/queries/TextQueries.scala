@@ -97,35 +97,20 @@ object TextQueries {
     // Chunking + embedding are map-side (zero shuffle); queries broadcast;
     // the only shuffle is the per-query top-k window over pre-scored rows.
     "pipeline_rag" -> { (s, d) =>
-      val t = tokens(col("text"))
-      // features = unigrams ++ bigrams (the D36 feature build): bigrams
-      // give the 16 buckets discriminative power on a small vocabulary
-      def feats(tk: Column) = concat(tk, shingles(tk, 2))
-      val ch = docs(s, d).select(col("doc_id"),
-          posexplode(chunk(t, 32, 8)))
-        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
-          col("col.text").as("chunk"))
-        .filter(size(tokens(col("chunk"))) >= 2) // a 1-token chunk has no
-                                                 // bigrams → zero vector
-        .withColumn("cemb", bucketCounts(feats(tokens(col("chunk"))), 16))
+      import graft.functions.Retrieval
+      val ch = Retrieval.embedChunks(
+        docs(s, d).select(col("doc_id"),
+            posexplode(chunk(tokens(col("text")), 32, 8)))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+            col("col.text").as("chunk")),
+        dims = 16)
       // queries = a 24-token mid-document slice at offset 8 of the first 3
       // docs. The 32/8 chunk grid's overlap exists exactly so any ≤8-offset
       // span this long is FULLY contained in one chunk — the self-document
       // must surface (TextSpec pins it).
-      val qs = docs(s, d).filter(col("doc_id") < 3 && size(t) >= 9)
-        .select(col("doc_id").as("q_id"),
-          concat_ws(" ", slice(t, 9, 24)).as("qtext"))
-        .withColumn("qemb", bucketCounts(feats(tokens(col("qtext"))), 16))
-      val sims = ch.crossJoin(broadcast(qs))
-        .select(col("q_id"), col("doc_id"), col("chunk_id"),
-          graft.functions.VectorFunctions.cosine(col("qemb"), col("cemb"))
-            .as("sim"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-        .orderBy(col("sim").desc, col("doc_id"), col("chunk_id"))
-      sims.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("doc_id"), col("chunk_id"), col("rank"),
-          Exact.rnd4(col("sim")).as("sim"))
+      val qs = Retrieval.sliceQueries(docs(s, d), n = 3, off = 8, len = 24,
+        dims = 16)
+      Retrieval.topK(ch, qs, k = 5)
     },
 
     // D25: document chunking (64-token windows, 16 overlap) — map-side
@@ -374,6 +359,22 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("quality"),
           Exact.rnd4(col("_pr")).as("pct_in_source"),
           (col("_pr") >= 0.2).as("kept"))
+    },
+
+    // D58: ridge-TRAINED linear quality probe — the first model fit the
+    // driver gate hash-verifies end-to-end (weights AND predictions).
+    // Label = the curation keep-verdict (length band AND function-word
+    // density floor — an AND of thresholds no linear scorer represents
+    // exactly, so the fit is a real approximation problem); features =
+    // the three cheap quality signals on the rnd4 grid; training =
+    // closed-form ridge via decimal-exact moments + the shared Cramer
+    // expansion (RidgeProbe). The practical op is classifier
+    // distillation: collapse a rule cascade into one fused scan-time
+    // scorer. Plan: scan → 14-sum global aggregate (map-side partials),
+    // broadcast the 1-row weight table, re-scan to score — no data-row
+    // shuffle at any scale.
+    "text_quality_fit" -> { (s, d) =>
+      graft.ml.RidgeProbe.qualityProbe(docs(s, d))
     },
 
     // D35: DSIR importance weighting vs the src0 target domain, with
@@ -929,6 +930,41 @@ object TextQueries {
         |       + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END))
         |    * 10000 + 0.5) / 10000.0 AS quality
         |FROM t""".stripMargin,
+
+    // Mirror of text_quality_fit: feature + Gopher-label CTE, then the
+    // RidgeProbe-generated moment/Cramer/score SQL — the double DAG is the
+    // SAME Cramer expansion the Column side evaluates, so the trained
+    // weights hash-match bit for bit.
+    "text_quality_fit" -> {
+      val probe = graft.ml.RidgeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lambda = 0.001, threshold = 0.5)
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+        |      AS mean_wlen,
+        |    CAST(len(list_filter(toks, w -> w IN $stop7)) AS DOUBLE)
+        |      / len(toks) AS stop_ratio
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    floor((stop_ratio) * 10000 + 0.5) / 10000.0 AS x1,
+        |    floor((least(mean_wlen / 8.0, 1.0)) * 10000 + 0.5) / 10000.0
+        |      AS x2,
+        |    floor((CAST(least(n_words, 1000) AS DOUBLE) / 1000.0)
+        |      * 10000 + 0.5) / 10000.0 AS x3,
+        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND stop_ratio >= 0.06 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+        |  FROM sig),
+        |$probe
+        |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
+        |  score >= 0.5 AS kept
+        |FROM scored""".stripMargin
+    },
 
     // Mirror of text_quality_calibrated: same quality replay, percent_rank
     // over the rnd4 grid per source ((rank−1)/(n−1) in both engines),

@@ -286,4 +286,20 @@ class PlanSpec extends SparkSpec {
     assert(n == 1,
       s"re-grid must be column math + one reduce shuffle, got $n:\n$p")
   }
+
+  test("ridge probe: moment partials map-side, weights broadcast, no " +
+    "data-row hash exchange") {
+    val p = plan(SparkEntry.queries("text_quality_fit")(spark, sfDir))
+    // training: the 14 moment sums must partial-aggregate before their
+    // single-partition reduce — the only tolerable exchange of a global
+    // fit at 100 TB
+    assert(p.contains("partial_sum"),
+      s"moments must map-side partial-aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no data row may shuffle for a global fit:\n$p")
+    // scoring: the 1-row weight table joins back as a broadcast, never a
+    // repartition of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"weights must broadcast back over the features:\n$p")
+  }
 }
