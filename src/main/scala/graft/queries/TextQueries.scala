@@ -377,6 +377,26 @@ object TextQueries {
       graft.ml.RidgeProbe.qualityProbe(docs(s, d))
     },
 
+    // D59: BPE vocabulary training — K=8 merges learned from the corpus
+    // word-frequency table (one corpus pass, then K compact-vocab
+    // iterations; the driver only ever sees the K single-row argmaxes).
+    // The merge list IS the model, hash-gated against an unrolled oracle
+    // that replays every iteration.
+    "text_bpe_train" -> { (s, d) =>
+      graft.functions.Bpe.merges(s, graft.functions.Bpe.train(docs(s, d), 8))
+    },
+
+    // D60: tokenize with the trained merges — per-document subword counts
+    // with all 8 merges applied as plan-time literals: a pure map over the
+    // corpus (zero shuffle, codegen), the shape tokenization must have at
+    // 100 TB.
+    "text_bpe_apply" -> { (s, d) =>
+      val table = docs(s, d)
+      graft.functions.Bpe.subwordCounts(table,
+          graft.functions.Bpe.train(table, 8))
+        .filter(col("n_words") > 0)
+    },
+
     // D35: DSIR importance weighting vs the src0 target domain, with
     // per-source stratified top-5 selection.
     "text_dsir" -> { (s, d) => dsirScore(docs(s, d)) },
@@ -470,7 +490,77 @@ object TextQueries {
 
   private val stop7 = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
+  /** Unrolled BPE iteration chain shared by both D59/D60 oracles: v0 =
+    * the word-frequency table with spaced symbols, then for each rank k:
+    * pair counts (pK) → argmax with the (count desc, pair asc) total
+    * order (mK, columns renamed pK/cK so all K rows cross-join cleanly)
+    * → vocab rewrite (vK) via the same double-replace the Column side
+    * applies. Mirrors Bpe.scala expression for expression. */
+  private def bpeChain(k: Int): String = {
+    def rep(s: String, p: String): String = {
+      val pat = s"' ' || $p || ' '"
+      val r = s"' ' || replace($p, ' ', '') || ' '"
+      s"replace(replace($s, $pat, $r), $pat, $r)"
+    }
+    val v0 =
+      """v0 AS (
+        |  SELECT wd, count(*) AS cnt,
+        |    ' ' || array_to_string(list_transform(
+        |      generate_series(1, length(wd)), i -> substring(wd, i, 1)),
+        |      ' ') || ' ' AS sp
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        |  WHERE wd <> '' GROUP BY wd)""".stripMargin
+    val steps = (1 to k).map { r =>
+      s"""p$r AS (
+        |  SELECT pr, sum(cnt) AS c FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(sym) - 1),
+        |      i -> sym[i] || ' ' || sym[i + 1])) AS pr, cnt
+        |    FROM (SELECT string_split(trim(sp), ' ') AS sym, cnt
+        |          FROM v${r - 1}))
+        |  GROUP BY pr),
+        |m$r AS (SELECT pr AS p$r, c AS c$r FROM p$r
+        |  ORDER BY c DESC, pr ASC LIMIT 1),
+        |v$r AS (SELECT wd, cnt, ${rep("sp", s"m$r.p$r")} AS sp
+        |  FROM v${r - 1} CROSS JOIN m$r)""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainSql(k: Int): String = {
+    val rows = (1 to k).map { r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, p$r AS pair, " +
+        s"replace(p$r, ' ', '') AS merged, CAST(c$r AS BIGINT) AS cnt FROM m$r"
+    }
+    s"WITH ${bpeChain(k)}\n${rows.mkString("\nUNION ALL\n")}"
+  }
+
+  private def bpeApplySql(k: Int): String = {
+    def rep(s: String, p: String): String = {
+      val pat = s"' ' || $p || ' '"
+      val r = s"' ' || replace($p, ' ', '') || ' '"
+      s"replace(replace($s, $pat, $r), $pat, $r)"
+    }
+    val spacedW = "' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> substring(w, i, 1)), ' ') || ' '"
+    val chain = (1 to k).foldLeft(spacedW)((s, r) => rep(s, s"p$r"))
+    s"""WITH ${bpeChain(k)}
+      |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+      |  CAST(list_sum(list_transform(ws,
+      |    w -> len(string_split(trim($chain), ' ')))) AS INT) AS n_subwords,
+      |  floor((CAST(list_sum(list_transform(ws,
+      |      w -> len(string_split(trim($chain), ' ')))) AS DOUBLE) / len(ws))
+      |    * 10000 + 0.5) / 10000.0 AS subwords_per_word
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |      FROM documents)
+      |${(1 to k).map(r => s"CROSS JOIN m$r").mkString(" ")}
+      |WHERE len(ws) > 0""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "text_bpe_train" -> bpeTrainSql(8),
+    "text_bpe_apply" -> bpeApplySql(8),
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -302,4 +302,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"weights must broadcast back over the features:\n$p")
   }
+
+  test("bpe apply is a pure map: merges are plan literals, no Exchange") {
+    val p = plan(SparkEntry.queries("text_bpe_apply")(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"tokenization must not shuffle the corpus:\n$p")
+    assert(p.contains("*("), "tokenization must be whole-stage codegen")
+  }
 }
