@@ -1,0 +1,168 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Top-principal-component PCA over an embedding column, hash-verifiable
+  * end-to-end (the D58 trajectory extended from closed-form to ITERATIVE
+  * training).
+  *
+  * Algorithm: mean + power iteration on the covariance, with C·v computed
+  * WITHOUT materializing C — C·v = E[x·(x·v)] − μ·(μ·v), so each of the K
+  * iterations is one distributed aggregate (a per-row dot product and
+  * `dims` decimal sums) over the corpus. That is the scale-correct form:
+  * at 100 TB each pass is scan → map-side partial aggregation of `dims`
+  * doubles, no shuffle of data rows, no `dims²` moment blow-up, and the
+  * driver only ever holds the `dims`-vector iterate (model state, the
+  * seeded-centroid precedent).
+  *
+  * Cross-engine exactness: every data-dependent sum is an
+  * order-independent decimal sum ([[Exact.esum]]); everything downstream
+  * of the sums — mean division, the w = S/n − μ(μ·v) update, the
+  * norm/normalize step, projection and residual — is a FIXED
+  * left-associated double DAG that the driver (plain Scala doubles), the
+  * Spark plan (Column literals) and the DuckDB oracle (generated CTE
+  * chain, [[oracleSql]]) all evaluate identically, so the fitted
+  * component, every per-vector projection and every residual norm are
+  * bit-identical. The eigenvector's sign is pinned by the deterministic
+  * all-⅛ seed. sqrt is IEEE-correctly-rounded in both engines.
+  *
+  * The op this enables is standard embedding-space post-processing:
+  * "all-but-the-top" (Mu & Viswanath 2018) removes the dominant
+  * component; `project` returns per-vector (projection, residual-norm).
+  */
+object Pca {
+
+  private def coord(j: Int): Column =
+    element_at(col("embedding"), j + 1).cast("double")
+
+  /** Fit means + top component: 1 + `iters` aggregate passes. Returns
+    * (n, means, component).
+    *
+    * The coordinates are projected to flat columns once (and the per-row
+    * dot product to ONE column per iteration) so every aggregate
+    * expression is a 3-node product — inlining the 64-term dot into each
+    * of the 64 sums instead costs minutes of Catalyst analysis/codegen
+    * per pass while computing the identical doubles. The projected frame
+    * is persisted across the iterations (iteration reuse, not a
+    * correctness requirement). */
+  def fit(emb: DataFrame, dims: Int, iters: Int): (Double, Array[Double], Array[Double]) = {
+    val xdf = emb.filter(col("embedding").isNotNull)
+      .select((0 until dims).map(j => coord(j).as(s"_x$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = xdf.agg(count(lit(1)).as("_n"),
+        (0 until dims).map(j => Exact.esum(col(s"_x$j")).as(s"_s$j")): _*)
+        .head()
+      val n = first.getLong(0).toDouble
+      val m = Array.tabulate(dims)(j => first.getDouble(j + 1) / n)
+      var v = Array.fill(dims)(0.125)
+      for (_ <- 1 to iters) {
+        val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
+          .reduceLeft(_ + _)
+        val srow = xdf.withColumn("_dv", dv).agg(
+          Exact.esum(col("_x0") * col("_dv")).as("_w0"),
+          (1 until dims).map(j =>
+            Exact.esum(col(s"_x$j") * col("_dv")).as(s"_w$j")): _*).head()
+        val mdv = (0 until dims).map(k => m(k) * v(k)).reduceLeft(_ + _)
+        val w = Array.tabulate(dims)(j => srow.getDouble(j) / n - m(j) * mdv)
+        val norm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+        v = w.map(_ / norm)
+      }
+      (n, m, v)
+    } finally xdf.unpersist(blocking = false)
+  }
+
+  /** Per-vector projection on the component and residual norm after
+    * removing it (the all-but-the-top decomposition). Means and component
+    * ride as plan literals — a pure map, zero shuffle. */
+  def project(emb: DataFrame, m: Array[Double], v: Array[Double]): DataFrame = {
+    val dims = v.length
+    val proj = (0 until dims)
+      .map(j => (coord(j) - lit(m(j))) * lit(v(j))).reduceLeft(_ + _)
+    val withProj = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), proj.as("_proj"))
+    val resid = (0 until dims).map { j =>
+      val r = (coord(j) - lit(m(j))) - col("_proj") * lit(v(j))
+      r * r
+    }.reduceLeft(_ + _)
+    withProj.select(col("vec_id"),
+      Exact.rnd4(col("_proj")).as("proj"),
+      Exact.rnd4(sqrt(resid)).as("resid_norm"))
+  }
+
+  /** Fit + project in one call (the `embed_pca` query body). */
+  def fitProject(emb: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val (_, m, v) = fit(emb, dims, iters)
+    project(emb, m, v)
+  }
+
+  /** DuckDB mirror: the whole fit replayed as a generated CTE chain —
+    * means, then per iteration a per-row dot CTE + a sum CTE + the
+    * update/normalize CTEs — followed by the projection/residual SELECT.
+    * Structurally the identical double DAG [[fit]]/[[project]] evaluate;
+    * all column references are CTE-qualified so the cross joins stay
+    * unambiguous. */
+  def oracleSql(dims: Int, iters: Int): String = {
+    def x(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    def lassoc(terms: Seq[String]): String =
+      terms.reduceLeft((a, b) => s"($a + $b)")
+    def esum(e: String) =
+      s"CAST(sum(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+    val base = "base AS (\n  SELECT vec_id, embedding FROM embeddings\n" +
+      "  WHERE embedding IS NOT NULL)"
+    val g = s"g AS (\n  SELECT CAST(count(*) AS DOUBLE) AS nd,\n    " +
+      (0 until dims).map(j => s"${esum(x(j))} AS s$j").mkString(",\n    ") +
+      "\n  FROM base)"
+    val mCte = s"m AS (\n  SELECT nd, " +
+      (0 until dims).map(j => s"(s$j / nd) AS m$j").mkString(",\n    ") +
+      "\n  FROM g)"
+    val v0 = s"v0 AS (\n  SELECT " +
+      (0 until dims).map(j => s"CAST(0.125 AS DOUBLE) AS p$j")
+        .mkString(",\n    ") + ")"
+    val iterCtes = (1 to iters).flatMap { k =>
+      val pv = s"v${k - 1}"
+      val dot = lassoc((0 until dims).map(j => s"(${x(j)} * $pv.p$j)"))
+      val d = s"d$k AS (\n  SELECT embedding, $dot AS dv\n" +
+        s"  FROM base CROSS JOIN $pv)"
+      val w = s"w$k AS (\n  SELECT " +
+        (0 until dims).map(j => s"${esum(s"${x(j)} * dv")} AS s$j")
+          .mkString(",\n    ") + s"\n  FROM d$k)"
+      val mdv = lassoc((0 until dims).map(j => s"(m.m$j * $pv.p$j)"))
+      val u = s"u$k AS (\n  SELECT " +
+        (0 until dims).map(j =>
+          s"((w$k.s$j / m.nd) - (m.m$j * udv.mdv)) AS w$j")
+          .mkString(",\n    ") +
+        s"\n  FROM w$k CROSS JOIN m CROSS JOIN $pv" +
+        s" CROSS JOIN (SELECT $mdv AS mdv FROM m CROSS JOIN $pv) udv)"
+      val nrm = lassoc((0 until dims).map(j => s"(w$j * w$j)"))
+      val v = s"v$k AS (\n  SELECT " +
+        (0 until dims).map(j => s"(w$j / nrm) AS p$j").mkString(",\n    ") +
+        s"\n  FROM (SELECT *, sqrt($nrm) AS nrm FROM u$k))"
+      Seq(d, w, u, v)
+    }
+    val vN = s"v$iters"
+    val proj = lassoc((0 until dims).map(j =>
+      s"((${x(j)} - m.m$j) * $vN.p$j)"))
+    val residTerms = lassoc((0 until dims).map { j =>
+      val r = s"((${x(j)} - m.m$j) - (proj * $vN.p$j))"
+      s"($r * $r)"
+    })
+    val scored = s"scored AS (\n  SELECT vec_id, embedding, $proj AS proj\n" +
+      s"  FROM base CROSS JOIN m CROSS JOIN $vN)"
+    // MATERIALIZED: DuckDB inlines CTEs by default, and v{k-1} is
+    // referenced three times per iteration — inlined, the chain
+    // re-evaluates exponentially (3^iters base scans). Materializing each
+    // 1-row iterate keeps the replay linear (the semanticOracleSql
+    // precedent).
+    val ctes = (Seq(base, g, mCte, v0) ++ iterCtes :+ scored).mkString(",\n")
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+    s"""WITH $ctes
+      |SELECT vec_id,
+      |  floor((proj) * 10000 + 0.5) / 10000.0 AS proj,
+      |  floor((sqrt($residTerms)) * 10000 + 0.5) / 10000.0 AS resid_norm
+      |FROM scored CROSS JOIN m CROSS JOIN $vN""".stripMargin
+  }
+}

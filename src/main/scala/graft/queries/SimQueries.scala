@@ -83,6 +83,15 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // D61: hash-verified PCA — top component by distributed power
+    // iteration (C·v as one dims-sum aggregate per pass, never a dims²
+    // moment matrix), then the all-but-the-top projection/residual per
+    // vector. Fit and scoring replay bit-identically in the generated
+    // CTE oracle (graft.ml.Pca.oracleSql).
+    "embed_pca" -> { (s, d) =>
+      graft.ml.Pca.fitProject(Tables.embeddings(s, d), dims = 64, iters = 10)
+    },
+
     // D46: int8 scalar quantization — one byte per dimension on a uniform
     // per-dim [min, max] grid (4× smaller than float32), ranking on the
     // dequantized vectors with the same broadcast-scan heap-prune plan as
@@ -509,6 +518,8 @@ object SimQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "embed_pca" -> graft.ml.Pca.oracleSql(dims = 64, iters = 10),
 
     // Mirrors SemDedup.semanticDedup(nlist=16, tau=0.97) with the seeded
     // quantizer's defaults — see semanticOracleSql.
