@@ -82,12 +82,11 @@ object RidgeProbe {
         Seq(col("score"), col("kept"))): _*)
   }
 
-  /** The D58 composed op: three scan-time quality features on the rnd4
-    * grid, the curation keep-verdict label (length band AND function-word
-    * floor), closed-form ridge fit + broadcast scoring. One definition
-    * shared by the `text_quality_fit` query and the process-graph
-    * `fit_quality_probe` node, so both hash against the same oracle. */
-  def qualityProbe(docs: DataFrame): DataFrame = {
+  /** The D58 feature/label map: three scan-time quality features on the
+    * rnd4 grid plus the curation keep-verdict label — ONE definition for
+    * batch fit, batch scoring and stream scoring (it is a pure
+    * projection, so it applies to a streaming DataFrame unchanged). */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{tokens, stopHits}
     val t = tokens(col("text"))
     val nWords = size(t)
@@ -95,16 +94,35 @@ object RidgeProbe {
       "is")).cast("double") / nWords
     val avgWlen = length(regexp_replace(col("text"), " ", ""))
       .cast("double") / nWords
-    val feats = docs.select(
+    docs.select(
       col("doc_id"),
       Exact.rnd4(stopRatio).as("x1"),
       Exact.rnd4(least(avgWlen / 8.0, lit(1.0))).as("x2"),
       Exact.rnd4(least(nWords, lit(1000)).cast("double") / 1000.0).as("x3"),
       when(nWords.between(50, 100000) && stopRatio >= 0.06, 1.0)
         .otherwise(0.0).as("y"))
-    fitScore(feats, Seq("x1", "x2", "x3"), "y",
-      lambda = 0.001, threshold = 0.5)
   }
+
+  /** Score with FITTED weights as plan literals: the same left-associated
+    * double DAG as [[score]], so the verdicts are bit-equal to the
+    * fit-time broadcast scoring. Stateless and map-only — the form that
+    * scores an ingest STREAM (E13) or ships to another cluster. */
+  def scoreWithWeights(feats: DataFrame, xs: Seq[String], w: Seq[Double],
+                       threshold: Double): DataFrame = {
+    val s = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    }
+    feats.withColumn("score", Exact.rnd4(s))
+      .withColumn("kept", col("score") >= threshold)
+  }
+
+  /** The D58 composed op: [[qualityFeatures]] → closed-form ridge fit →
+    * broadcast scoring. One definition shared by the `text_quality_fit`
+    * query and the process-graph `fit_quality_probe` node, so both hash
+    * against the same oracle. */
+  def qualityProbe(docs: DataFrame): DataFrame =
+    fitScore(qualityFeatures(docs), Seq("x1", "x2", "x3"), "y",
+      lambda = 0.001, threshold = 0.5)
 
   /** Oracle-side mirror of [[fit]]+[[score]]: given SQL text for each
     * feature atom (`xsSql`, same order) and the label, emits the moment

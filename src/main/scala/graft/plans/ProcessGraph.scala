@@ -662,6 +662,25 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "fit_quality_probe" =>
       graft.ml.RidgeProbe.qualityProbe(docsArg(args, evalNode))
 
+    // embedding-space vocabulary: the vector table, IVF ANN search and
+    // the D61 all-but-the-top PCA as graph nodes — the graph-declared
+    // chains land on the direct queries' rows and share their oracles.
+    case "load_embeddings" =>
+      Tables.embeddings(spark, dataDir)
+
+    case "ann_search" =>
+      val emb = docsArg(args, evalNode)
+      val qs = emb.filter(col("vec_id") <
+        args.path("n_queries").asInt(20))
+      graft.sim.Ann.ivfTopK(qs, emb, k = args.path("k").asInt(5),
+        nlist = args.path("nlist").asInt(16),
+        nProbe = args.path("n_probe").asInt(4))
+
+    case "pca_project" =>
+      graft.ml.Pca.fitProject(docsArg(args, evalNode),
+        dims = args.path("dims").asInt(64),
+        iters = args.path("iterations").asInt(10))
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }

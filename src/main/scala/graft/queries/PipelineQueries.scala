@@ -394,6 +394,31 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // Embedding-space chains through the graph vocabulary: IVF ANN search
+    // and the D61 PCA projection — each shares its direct query's oracle.
+    "process_graph_ann" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb":  {"process_id": "load_embeddings", "arguments": {}},
+          |  "hits": {"process_id": "ann_search",
+          |           "arguments": {"data": {"from_node": "emb"},
+          |                         "n_queries": 20, "k": 5,
+          |                         "nlist": 16, "n_probe": 4},
+          |           "result": true}
+          |}""".stripMargin)
+    },
+
+    "process_graph_pca" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb": {"process_id": "load_embeddings", "arguments": {}},
+          |  "abt": {"process_id": "pca_project",
+          |          "arguments": {"data": {"from_node": "emb"},
+          |                        "dims": 64, "iterations": 10},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -595,6 +620,8 @@ object PipelineQueries {
     "pipeline_curate_graph" -> TextQueries.oracle("pipeline_curate"),
     "process_graph_rag" -> TextQueries.oracle("pipeline_rag"),
     "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
+    "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
+    "process_graph_pca" -> SimQueries.oracle("embed_pca"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -500,4 +500,37 @@ class StreamingSpec extends SparkSpec {
         "stream-static enrichment diverges from batch join")
     } finally q.stop()
   }
+
+  test("E13 probe scoring on an ingest stream equals the fit-time verdicts") {
+    import spark.implicits._
+    import graft.ml.RidgeProbe
+    // weights trained in batch (the D58 fit); scoring is stateless
+    // literal math, so micro-batched arrival must reproduce the fit-time
+    // broadcast scoring bit for bit
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchDf = docs.toDF("doc_id", "text")
+    val wRow = RidgeProbe.fit(RidgeProbe.qualityFeatures(batchDf),
+      Seq("x1", "x2", "x3"), "y", 0.001).head()
+    val w = (0 to 3).map(wRow.getDouble)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = RidgeProbe.scoreWithWeights(
+        RidgeProbe.qualityFeatures(ms.toDF().toDF("doc_id", "text")),
+        Seq("x1", "x2", "x3"), w, 0.5)
+      .writeStream.format("memory").queryName("probe_scores")
+      .outputMode("append").start()
+    try {
+      docs.grouped(30).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("probe_scores")
+      assert(streamed.count() == 90)
+      val batch = RidgeProbe.qualityProbe(batchDf)
+        .select("doc_id", "score", "kept")
+      val s = streamed.select("doc_id", "score", "kept")
+      assert(s.exceptAll(batch).isEmpty && batch.exceptAll(s).isEmpty,
+        "streamed probe verdicts diverge from the fit-time scoring")
+    } finally q.stop()
+  }
 }
