@@ -461,4 +461,54 @@ class PipelineSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("document table"))
   }
+
+  test("morton key interleaves bits (hand-checked values)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("a", "b")
+      .select(Sinks.morton(col("a"), col("b")).as("z")).as[Long].collect()
+    // a bits land in odd positions, b bits in even: (3,5) =
+    // a=011, b=101 → z = b0·1 + a0·2 + b1·0 + a1·8 + b2·16 = 27
+    assert(rows.toSeq == Seq(0L, 2L, 1L, 27L, 65535L), rows.toSeq)
+  }
+
+  test("z-order layout prunes 2-D range scans where a linear sort cannot") {
+    import spark.implicits._
+    // a 256×256 grid, 16 files each way; footer min/max per file decides
+    // which files a range predicate can skip — the same statistics-based
+    // file pruning the scan planner applies on a lake
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x, y)))
+      .toDF("x", "y")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zorder_").toString
+    Sinks.saveZOrdered(grid, s"$base/zorder", "x", "y", files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    def touched(dir: String, pred: (Long, Long, Long, Long) => Boolean): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          pred(r.getAs[Int](0).toLong, r.getAs[Int](1).toLong,
+            r.getAs[Int](2).toLong, r.getAs[Int](3).toLong)
+        }
+    // y-band query (no x constraint): the x-sorted layout keeps the full
+    // y domain in every file — zero pruning; the morton layout tiles the
+    // plane, so only the band's tile rows can match
+    def yBand(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Boolean =
+      ylo < 96 && yhi >= 64
+    val zy = touched(s"$base/zorder", yBand)
+    val ly = touched(s"$base/linear", yBand)
+    assert(ly == 16, s"x-sorted layout must not prune a y-band: $ly")
+    assert(zy <= 6, s"z-order must prune most files on a y-band: $zy")
+    // 2-D bbox: z-order stays competitive with the linear layout's
+    // leading-column pruning
+    def bbox(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Boolean =
+      xlo < 96 && xhi >= 64 && ylo < 96 && yhi >= 64
+    val zb = touched(s"$base/zorder", bbox)
+    val lb = touched(s"$base/linear", bbox)
+    assert(zb <= lb + 1, s"bbox: z-order $zb vs linear $lb")
+    // and the layout loses no rows
+    assert(spark.read.parquet(s"$base/zorder").count() == 256L * 256)
+  }
 }
