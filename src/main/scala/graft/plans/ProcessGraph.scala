@@ -681,6 +681,19 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         dims = args.path("dims").asInt(64),
         iters = args.path("iterations").asInt(10))
 
+    // D59/D60 as graph nodes: learn a BPE merge table from the corpus, or
+    // train-and-tokenize in one declared step.
+    case "train_bpe" =>
+      graft.functions.Bpe.merges(spark,
+        graft.functions.Bpe.train(docsArg(args, evalNode),
+          args.path("merges").asInt(8)))
+
+    case "tokenize_bpe" =>
+      val d = docsArg(args, evalNode)
+      graft.functions.Bpe.subwordCounts(d,
+          graft.functions.Bpe.train(d, args.path("merges").asInt(8)))
+        .filter(col("n_words") > 0)
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }

@@ -408,6 +408,19 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // BPE training as a declared graph step — shares text_bpe_apply's
+    // unrolled oracle (train + tokenize in one node).
+    "process_graph_bpe" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src": {"process_id": "load_documents", "arguments": {}},
+          |  "tok": {"process_id": "tokenize_bpe",
+          |          "arguments": {"data": {"from_node": "src"},
+          |                        "merges": 8},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     "process_graph_pca" -> { (s, d) =>
       new ProcessGraph(s, d).run(
         """{
@@ -622,6 +635,7 @@ object PipelineQueries {
     "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
+    "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
