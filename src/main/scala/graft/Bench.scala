@@ -39,6 +39,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // Fixture scaffolding (STAC asset slices/tiles) for the TIMED dir is
     // built here, outside the timed region — test setup, not operator work.
@@ -51,7 +54,22 @@ object Bench {
     }
 
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    // Sweep persisted state BETWEEN queries: operators that pin data
+    // (jaccardAuto's candidate set, the BPE vocab iterates, semantic-dedup
+    // stages) document that the surrounding pipeline owns the unpersist —
+    // in a 140-query serial battery the leftovers accumulate into
+    // executor-memory pressure that inflates every late-alphabet query
+    // (observed: process_graph_pca 61 s dirty vs ~7 s clean at sf1, and
+    // the round-5 driver artifact's dedup_jaccard 31.7 s). Sweeping makes
+    // each timing the operator's own cost, which is what the baseline
+    // comparison reads.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sweep()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
                catch { case e: Throwable =>
