@@ -99,6 +99,186 @@ object Pca {
     project(emb, m, v)
   }
 
+  /** One C·v application at a fixed vector (shared by the Rayleigh
+    * quotient and the deflated iteration): returns the un-normalized
+    * w = S/n − μ(μ·v) with the same DAG as [[fit]]'s update. */
+  private def applyCov(xdf: DataFrame, n: Double, m: Array[Double],
+                       v: Array[Double]): Array[Double] = {
+    val dims = v.length
+    val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
+      .reduceLeft(_ + _)
+    val srow = xdf.withColumn("_dv", dv).agg(
+      Exact.esum(col("_x0") * col("_dv")).as("_w0"),
+      (1 until dims).map(j =>
+        Exact.esum(col(s"_x$j") * col("_dv")).as(s"_w$j")): _*).head()
+    val mdv = (0 until dims).map(k => m(k) * v(k)).reduceLeft(_ + _)
+    Array.tabulate(dims)(j => srow.getDouble(j) / n - m(j) * mdv)
+  }
+
+  /** Two-component fit: the top component as in [[fit]], its Rayleigh
+    * quotient λ₁ = u₁·(C·u₁) from one extra pass, then power iteration on
+    * the DEFLATED operator C − λ₁u₁u₁ᵀ — each pass is still one dims-sum
+    * aggregate plus a literal correction (λ₁·u₁·(u₁·v), driver math).
+    * Returns (n, means, u1, lambda1, u2). */
+  def fit2(emb: DataFrame, dims: Int, iters: Int): (Double, Array[Double], Array[Double], Double, Array[Double]) = {
+    val xdf = emb.filter(col("embedding").isNotNull)
+      .select((0 until dims).map(j => coord(j).as(s"_x$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = xdf.agg(count(lit(1)).as("_n"),
+        (0 until dims).map(j => Exact.esum(col(s"_x$j")).as(s"_s$j")): _*)
+        .head()
+      val n = first.getLong(0).toDouble
+      val m = Array.tabulate(dims)(j => first.getDouble(j + 1) / n)
+      var u1 = Array.fill(dims)(0.125)
+      for (_ <- 1 to iters) {
+        val w = applyCov(xdf, n, m, u1)
+        val norm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+        u1 = w.map(_ / norm)
+      }
+      val w1 = applyCov(xdf, n, m, u1)
+      val lam1 = (0 until dims).map(j => u1(j) * w1(j)).reduceLeft(_ + _)
+      var u2 = Array.fill(dims)(0.125)
+      for (_ <- 1 to iters) {
+        val w0 = applyCov(xdf, n, m, u2)
+        val uv = (0 until dims).map(k => u1(k) * u2(k)).reduceLeft(_ + _)
+        val w = Array.tabulate(dims)(j => w0(j) - lam1 * u1(j) * uv)
+        val norm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+        u2 = w.map(_ / norm)
+      }
+      (n, m, u1, lam1, u2)
+    } finally xdf.unpersist(blocking = false)
+  }
+
+  /** Two-component projection: per-vector (proj1, proj2, residual norm
+    * after removing both) — the 2-D embedding map plus what it leaves
+    * behind. */
+  def project2(emb: DataFrame, m: Array[Double], u1: Array[Double],
+               u2: Array[Double]): DataFrame = {
+    val dims = u1.length
+    def projOn(u: Array[Double]) = (0 until dims)
+      .map(j => (coord(j) - lit(m(j))) * lit(u(j))).reduceLeft(_ + _)
+    val withProj = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        projOn(u1).as("_p1"), projOn(u2).as("_p2"))
+    val resid = (0 until dims).map { j =>
+      val r = ((coord(j) - lit(m(j))) - col("_p1") * lit(u1(j))) -
+        col("_p2") * lit(u2(j))
+      r * r
+    }.reduceLeft(_ + _)
+    withProj.select(col("vec_id"),
+      Exact.rnd4(col("_p1")).as("proj1"),
+      Exact.rnd4(col("_p2")).as("proj2"),
+      Exact.rnd4(sqrt(resid)).as("resid_norm"))
+  }
+
+  /** Fit2 + project2 (the `embed_pca2` query body). */
+  def fitProject2(emb: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val (_, m, u1, _, u2) = fit2(emb, dims, iters)
+    project2(emb, m, u1, u2)
+  }
+
+  /** Two-component mirror of [[fit2]]+[[project2]]: chain `a` replays the
+    * top component, a Rayleigh-quotient CTE pins λ₁, chain `b` replays
+    * the deflated iteration (the λ₁·u₁·(u₁·v) correction as two 1-row
+    * scalar joins per step), and the final SELECT emits proj1 / proj2 /
+    * both-removed residual. Same MATERIALIZED-CTE discipline as
+    * [[oracleSql]]. */
+  def oracleSql2(dims: Int, iters: Int): String = {
+    def x(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    def lassoc(terms: Seq[String]): String =
+      terms.reduceLeft((a, b) => s"($a + $b)")
+    def esum(e: String) =
+      s"CAST(sum(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+    val base = "base AS (\n  SELECT vec_id, embedding FROM embeddings\n" +
+      "  WHERE embedding IS NOT NULL)"
+    val g = s"g AS (\n  SELECT CAST(count(*) AS DOUBLE) AS nd,\n    " +
+      (0 until dims).map(j => s"${esum(x(j))} AS s$j").mkString(",\n    ") +
+      "\n  FROM g0)"
+    val g0 = s"g0 AS (\n  SELECT embedding FROM base)"
+    val mCte = s"m AS (\n  SELECT nd, " +
+      (0 until dims).map(j => s"(s$j / nd) AS m$j").mkString(",\n    ") +
+      "\n  FROM g)"
+    def seeds(name: String) = s"$name AS (\n  SELECT " +
+      (0 until dims).map(j => s"CAST(0.125 AS DOUBLE) AS p$j")
+        .mkString(",\n    ") + ")"
+    def mdvOf(pv: String) = lassoc((0 until dims).map(j => s"(m.m$j * $pv.p$j)"))
+    // dot + sums for one C·v application at vector CTE `pv`
+    def covApply(tag: String, pv: String): Seq[String] = {
+      val dot = lassoc((0 until dims).map(j => s"(${x(j)} * $pv.p$j)"))
+      Seq(
+        s"${tag}d AS (\n  SELECT embedding, $dot AS dv\n" +
+          s"  FROM base CROSS JOIN $pv)",
+        s"${tag}w AS (\n  SELECT " +
+          (0 until dims).map(j => s"${esum(s"${x(j)} * dv")} AS s$j")
+            .mkString(",\n    ") + s"\n  FROM ${tag}d)")
+    }
+    // one plain-power step prefix$k from prefix${k-1}
+    def step(prefix: String, k: Int, deflated: Boolean,
+             uCte: String): Seq[String] = {
+      val pv = s"$prefix${k - 1}"
+      val tag = s"$prefix${k}_"
+      val apply = covApply(tag, pv)
+      val defl =
+        if (!deflated)
+          s"${tag}u AS (\n  SELECT " +
+            (0 until dims).map(j =>
+              s"((${tag}w.s$j / m.nd) - (m.m$j * q.mdv)) AS w$j")
+              .mkString(",\n    ") +
+            s"\n  FROM ${tag}w CROSS JOIN m CROSS JOIN" +
+            s" (SELECT ${mdvOf(pv)} AS mdv FROM m CROSS JOIN $pv) q)"
+        else {
+          val uv = lassoc((0 until dims).map(j => s"($uCte.p$j * $pv.p$j)"))
+          s"${tag}u AS (\n  SELECT " +
+            (0 until dims).map(j =>
+              s"(((${tag}w.s$j / m.nd) - (m.m$j * q.mdv)) - " +
+                s"((lam.lam * $uCte.p$j) * q.uv)) AS w$j")
+              .mkString(",\n    ") +
+            s"\n  FROM ${tag}w CROSS JOIN m CROSS JOIN lam CROSS JOIN" +
+            s" $uCte CROSS JOIN (SELECT ${mdvOf(pv)} AS mdv, $uv AS uv" +
+            s" FROM m CROSS JOIN $pv CROSS JOIN $uCte) q)"
+        }
+      val nrm = lassoc((0 until dims).map(j => s"(w$j * w$j)"))
+      val v = s"$prefix$k AS (\n  SELECT " +
+        (0 until dims).map(j => s"(w$j / nrm) AS p$j").mkString(",\n    ") +
+        s"\n  FROM (SELECT *, sqrt($nrm) AS nrm FROM ${tag}u))"
+      apply :+ defl :+ v
+    }
+    val chainA = (1 to iters).flatMap(k => step("a", k, deflated = false, ""))
+    val aN = s"a$iters"
+    // Rayleigh quotient: one more C·u1 application, then λ₁ = Σ u1ⱼ·wⱼ
+    val lamApply = covApply("l_", aN)
+    val lamW = s"l_u AS (\n  SELECT " +
+      (0 until dims).map(j =>
+        s"((l_w.s$j / m.nd) - (m.m$j * q.mdv)) AS w$j").mkString(",\n    ") +
+      s"\n  FROM l_w CROSS JOIN m CROSS JOIN" +
+      s" (SELECT ${mdvOf(aN)} AS mdv FROM m CROSS JOIN $aN) q)"
+    val lam = s"lam AS (\n  SELECT " +
+      lassoc((0 until dims).map(j => s"($aN.p$j * l_u.w$j)")) +
+      s" AS lam\n  FROM l_u CROSS JOIN $aN)"
+    val chainB = (1 to iters).flatMap(k => step("b", k, deflated = true, aN))
+    val bN = s"b$iters"
+    def projOn(u: String) = lassoc((0 until dims).map(j =>
+      s"((${x(j)} - m.m$j) * $u.p$j)"))
+    val scored = s"scored AS (\n  SELECT vec_id, embedding, " +
+      s"${projOn(aN)} AS pr1, ${projOn(bN)} AS pr2\n" +
+      s"  FROM base CROSS JOIN m CROSS JOIN $aN CROSS JOIN $bN)"
+    val resid = lassoc((0 until dims).map { j =>
+      val r = s"(((${x(j)} - m.m$j) - (pr1 * $aN.p$j)) - (pr2 * $bN.p$j))"
+      s"($r * $r)"
+    })
+    val ctes = (Seq(base, g0, g, mCte, seeds("a0")) ++ chainA ++
+      lamApply ++ Seq(lamW, lam, seeds("b0")) ++ chainB :+ scored)
+      .mkString(",\n")
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+    s"""WITH $ctes
+      |SELECT vec_id,
+      |  floor((pr1) * 10000 + 0.5) / 10000.0 AS proj1,
+      |  floor((pr2) * 10000 + 0.5) / 10000.0 AS proj2,
+      |  floor((sqrt($resid)) * 10000 + 0.5) / 10000.0 AS resid_norm
+      |FROM scored CROSS JOIN m CROSS JOIN $aN CROSS JOIN $bN""".stripMargin
+  }
+
   /** DuckDB mirror: the whole fit replayed as a generated CTE chain —
     * means, then per iteration a per-row dot CTE + a sum CTE + the
     * update/normalize CTEs — followed by the projection/residual SELECT.

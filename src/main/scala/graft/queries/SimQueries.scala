@@ -92,6 +92,14 @@ object SimQueries {
       graft.ml.Pca.fitProject(Tables.embeddings(s, d), dims = 64, iters = 10)
     },
 
+    // D62: two components via deflation — the 2-D embedding map plus the
+    // both-removed residual; λ₁ from a Rayleigh-quotient pass, chain 2 on
+    // C − λ₁u₁u₁ᵀ with the correction as literal math. 6 iterations per
+    // chain (deterministic replay needs a fixed count, not convergence).
+    "embed_pca2" -> { (s, d) =>
+      graft.ml.Pca.fitProject2(Tables.embeddings(s, d), dims = 64, iters = 6)
+    },
+
     // D46: int8 scalar quantization — one byte per dimension on a uniform
     // per-dim [min, max] grid (4× smaller than float32), ranking on the
     // dequantized vectors with the same broadcast-scan heap-prune plan as
@@ -520,6 +528,7 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
 
     "embed_pca" -> graft.ml.Pca.oracleSql(dims = 64, iters = 10),
+    "embed_pca2" -> graft.ml.Pca.oracleSql2(dims = 64, iters = 6),
 
     // Mirrors SemDedup.semanticDedup(nlist=16, tau=0.97) with the seeded
     // quantizer's defaults — see semanticOracleSql.

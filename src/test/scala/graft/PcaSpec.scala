@@ -71,4 +71,20 @@ class PcaSpec extends SparkSpec {
     assert(rows.map(r => math.sqrt(r._2)).max < 0.5,
       "residual norms must be noise-sized after removing the top component")
   }
+
+  test("deflation: second component is orthogonal and captures axis 2") {
+    val (_, _, u1, lam1, u2) = graft.ml.Pca.fit2(fixture, 4, 10)
+    val dot = (0 until 4).map(j => u1(j) * u2(j)).sum
+    assert(math.abs(dot) < 1e-6, s"u1.u2 = $dot must vanish")
+    assert(lam1 > 30, s"lambda1 must carry the 10t axis variance: $lam1")
+    // the fixture's second variance direction is the (s, s/2) noise plane
+    // -> u2 concentrates on dims 1..2, not the main or constant axes
+    assert(math.abs(u2(0)) < 1e-2 && math.abs(u2(3)) < 1e-6,
+      s"u2 must avoid the main/constant axes: ${u2.toSeq}")
+    assert(math.abs(u2(1)) > 0.8, s"u2 must align with the noise axis: ${u2.toSeq}")
+    // projecting both out leaves almost nothing in this rank-2 cloud
+    val out = graft.ml.Pca.fitProject2(fixture, 4, 10).collect()
+    assert(out.forall(_.getAs[Double]("resid_norm") < 0.05),
+      "rank-2 data must have near-zero residual after two components")
+  }
 }
