@@ -38,6 +38,28 @@ object Pca {
   private def coord(j: Int): Column =
     element_at(col("embedding"), j + 1).cast("double")
 
+  /** One-expression exact vector-moment aggregate (VecESum Scaladoc has
+    * the numeric-parity argument; the alternative — dims separate decimal
+    * sums — re-plans and re-janinos a 64-aggregate stage per power
+    * iteration). */
+  private def vecEsum(arr: Column, dims: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    toColumn(graft.functions.VecESum(toExpression(arr), dims)
+      .toAggregateExpression())
+  }
+
+  /** The aggregate row for one C·v application: Σ xⱼ·(x·v) for all j as
+    * one array. */
+  private def covSums(xdf: DataFrame, dims: Int,
+                      v: Array[Double]): Array[Double] = {
+    val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
+      .reduceLeft(_ + _)
+    xdf.withColumn("_dv", dv)
+      .agg(vecEsum(array((0 until dims).map(j =>
+        col(s"_x$j") * col("_dv")): _*), dims).as("_w"))
+      .head().getSeq[Double](0).toArray
+  }
+
   /** Fit means + top component: 1 + `iters` aggregate passes. Returns
     * (n, means, component).
     *
@@ -54,20 +76,16 @@ object Pca {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = xdf.agg(count(lit(1)).as("_n"),
-        (0 until dims).map(j => Exact.esum(col(s"_x$j")).as(s"_s$j")): _*)
-        .head()
+        vecEsum(array((0 until dims).map(j => col(s"_x$j")): _*), dims)
+          .as("_s")).head()
       val n = first.getLong(0).toDouble
-      val m = Array.tabulate(dims)(j => first.getDouble(j + 1) / n)
+      val sums = first.getSeq[Double](1)
+      val m = Array.tabulate(dims)(j => sums(j) / n)
       var v = Array.fill(dims)(0.125)
       for (_ <- 1 to iters) {
-        val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
-          .reduceLeft(_ + _)
-        val srow = xdf.withColumn("_dv", dv).agg(
-          Exact.esum(col("_x0") * col("_dv")).as("_w0"),
-          (1 until dims).map(j =>
-            Exact.esum(col(s"_x$j") * col("_dv")).as(s"_w$j")): _*).head()
+        val srow = covSums(xdf, dims, v)
         val mdv = (0 until dims).map(k => m(k) * v(k)).reduceLeft(_ + _)
-        val w = Array.tabulate(dims)(j => srow.getDouble(j) / n - m(j) * mdv)
+        val w = Array.tabulate(dims)(j => srow(j) / n - m(j) * mdv)
         val norm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
         v = w.map(_ / norm)
       }
@@ -105,14 +123,9 @@ object Pca {
   private def applyCov(xdf: DataFrame, n: Double, m: Array[Double],
                        v: Array[Double]): Array[Double] = {
     val dims = v.length
-    val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
-      .reduceLeft(_ + _)
-    val srow = xdf.withColumn("_dv", dv).agg(
-      Exact.esum(col("_x0") * col("_dv")).as("_w0"),
-      (1 until dims).map(j =>
-        Exact.esum(col(s"_x$j") * col("_dv")).as(s"_w$j")): _*).head()
+    val srow = covSums(xdf, dims, v)
     val mdv = (0 until dims).map(k => m(k) * v(k)).reduceLeft(_ + _)
-    Array.tabulate(dims)(j => srow.getDouble(j) / n - m(j) * mdv)
+    Array.tabulate(dims)(j => srow(j) / n - m(j) * mdv)
   }
 
   /** Two-component fit: the top component as in [[fit]], its Rayleigh
@@ -126,10 +139,11 @@ object Pca {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = xdf.agg(count(lit(1)).as("_n"),
-        (0 until dims).map(j => Exact.esum(col(s"_x$j")).as(s"_s$j")): _*)
-        .head()
+        vecEsum(array((0 until dims).map(j => col(s"_x$j")): _*), dims)
+          .as("_s")).head()
       val n = first.getLong(0).toDouble
-      val m = Array.tabulate(dims)(j => first.getDouble(j + 1) / n)
+      val sums = first.getSeq[Double](1)
+      val m = Array.tabulate(dims)(j => sums(j) / n)
       var u1 = Array.fill(dims)(0.125)
       for (_ <- 1 to iters) {
         val w = applyCov(xdf, n, m, u1)
