@@ -70,6 +70,11 @@ object GraftExtensions {
       CountMinSketch(args(0), intLit(args(1)), intLit(args(2)))),
     "graft_bloom" -> (args =>
       BloomSketch(args(0), intLit(args(1)), intLit(args(2)))),
+    // exact element-wise array<double> sum (the PCA moment primitive):
+    // numerically ≡ per-element CAST(sum(CAST(x AS DECIMAL(38,10))) AS
+    // DOUBLE), one aggregate for all dims
+    "graft_vec_esum" -> (args =>
+      graft.functions.VecESum(args(0), intLit(args(1)))),
     // membership probe over a graft_bloom array — the same md5 bit math
     // as the Column helper, composed from builtin Catalyst expressions
     // (the analyzer inserts the numeric coercions, codegen is theirs)
