@@ -501,6 +501,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E14 streaming moment maintenance: vec_esum over micro-batches " +
+    "equals the batch moments (online mean/covariance state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    def vecEsum(c: org.apache.spark.sql.Column) =
+      toColumn(graft.functions.VecESum(toExpression(c), 4)
+        .toAggregateExpression())
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array(0.1 * i, i / 3.0, -2.5 * (i % 7), 1e-6 * i * i))
+    }
+    val ms = MemoryStream[(Long, Array[Double])](spark)
+    // complete-mode global aggregate: the buffer IS the running moment
+    // state an online standardizer / PCA refresh reads between batches
+    val q = ms.toDF().toDF("id", "arr")
+      .agg(count(lit(1)).as("n"), vecEsum(col("arr")).as("s"))
+      .writeStream.format("memory").queryName("moments")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(100).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val st = spark.table("moments").head()
+      val batch = rows.toDF("id", "arr")
+        .agg(count(lit(1)).as("n"), vecEsum(col("arr")).as("s")).head()
+      assert(st.getLong(0) == batch.getLong(0))
+      assert(st.getSeq[Double](1).map(java.lang.Double.doubleToLongBits) ==
+        batch.getSeq[Double](1).map(java.lang.Double.doubleToLongBits),
+        "streamed moments must equal the batch moments bit for bit")
+    } finally q.stop()
+  }
+
   test("E13 probe scoring on an ingest stream equals the fit-time verdicts") {
     import spark.implicits._
     import graft.ml.RidgeProbe
