@@ -192,6 +192,68 @@ object Pca {
     project2(emb, m, u1, u2)
   }
 
+  /** D63: embedding-space outlier scoring — the diagonal-covariance
+    * Mahalanobis norm. ONE moment pass (count + Σx + Σx² via two
+    * [[graft.functions.VecESum]] aggregates), then means/stds ride as
+    * plan literals through a zero-shuffle scoring map:
+    * z = (x−μ)/σ, znorm = √Σz², outlier = znorm ≥ τ on the rnd4 grid.
+    * σ = √max(var, 1e-12) guards constant dims identically in both
+    * engines. The standard embedding-QC step before clustering/sampling:
+    * broken encodes and out-of-distribution vectors score far from the
+    * per-dim envelope. */
+  def outlier(emb: DataFrame, dims: Int, tau: Double): DataFrame = {
+    val xdf = emb.filter(col("embedding").isNotNull)
+    val first = xdf.agg(count(lit(1)).as("_n"),
+      vecEsum(array((0 until dims).map(coord): _*), dims).as("_s1"),
+      vecEsum(array((0 until dims).map(j => coord(j) * coord(j)): _*), dims)
+        .as("_s2")).head()
+    val n = first.getLong(0).toDouble
+    val s1 = first.getSeq[Double](1); val s2 = first.getSeq[Double](2)
+    val m = Array.tabulate(dims)(j => s1(j) / n)
+    val sd = Array.tabulate(dims) { j =>
+      math.sqrt(math.max(s2(j) / n - m(j) * m(j), 1e-12))
+    }
+    val z2 = (0 until dims).map { j =>
+      val z = (coord(j) - lit(m(j))) / lit(sd(j))
+      z * z
+    }.reduceLeft(_ + _)
+    xdf.select(col("vec_id"),
+        Exact.rnd4(sqrt(z2)).as("znorm"))
+      .withColumn("is_outlier", col("znorm") >= tau)
+  }
+
+  /** Mirror of [[outlier]]: the moment CTE recomputes the identical
+    * sums/means/stds, the scoring SELECT the identical z-norm DAG. */
+  def outlierOracleSql(dims: Int, tau: Double): String = {
+    def x(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    def esum(e: String) =
+      s"CAST(sum(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+    val g = s"g AS (\n  SELECT CAST(count(*) AS DOUBLE) AS nd,\n    " +
+      ((0 until dims).map(j => s"${esum(x(j))} AS s$j") ++
+       (0 until dims).map(j => s"${esum(s"${x(j)} * ${x(j)}")} AS q$j"))
+        .mkString(",\n    ") + "\n  FROM base)"
+    val stats = s"st AS (\n  SELECT " +
+      (0 until dims).map(j => s"(s$j / nd) AS m$j").mkString(",\n    ") +
+      ",\n    " +
+      (0 until dims).map(j =>
+        s"sqrt(greatest(((q$j / nd) - ((s$j / nd) * (s$j / nd))), 1e-12))" +
+          s" AS d$j").mkString(",\n    ") +
+      "\n  FROM g)"
+    val z2 = (0 until dims).map { j =>
+      val z = s"((${x(j)} - st.m$j) / st.d$j)"
+      s"($z * $z)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH base AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |${g.replace("AS (", "AS MATERIALIZED (")},
+      |${stats.replace("AS (", "AS MATERIALIZED (")}
+      |SELECT vec_id,
+      |  floor((sqrt($z2)) * 10000 + 0.5) / 10000.0 AS znorm,
+      |  floor((sqrt($z2)) * 10000 + 0.5) / 10000.0 >= $tau AS is_outlier
+      |FROM base CROSS JOIN st""".stripMargin
+  }
+
   /** Two-component mirror of [[fit2]]+[[project2]]: chain `a` replays the
     * top component, a Rayleigh-quotient CTE pins λ₁, chain `b` replays
     * the deflated iteration (the λ₁·u₁·(u₁·v) correction as two 1-row

@@ -150,6 +150,13 @@ object SimQueries {
         nlist = 16, coarse = Some(coarse16(s, d)))
     },
 
+    // D63: embedding-space outlier scoring — diagonal-Mahalanobis norm
+    // from one exact moment pass; means/stds as plan literals, zero
+    // shuffle. τ=9 ≈ the 64-dim z-norm envelope.
+    "embed_outlier" -> { (s, d) =>
+      graft.ml.Pca.outlier(Tables.embeddings(s, d), dims = 64, tau = 9.0)
+    },
+
     // D37: product-quantization ADC scan — 4 subspace codebooks of 16
     // codes (64 dims → 4 byte codes/vector, 64× compression), ranking
     // from codes + per-query distance tables only. Every codebook is
@@ -529,6 +536,7 @@ object SimQueries {
 
     "embed_pca" -> graft.ml.Pca.oracleSql(dims = 64, iters = 10),
     "embed_pca2" -> graft.ml.Pca.oracleSql2(dims = 64, iters = 6),
+    "embed_outlier" -> graft.ml.Pca.outlierOracleSql(dims = 64, tau = 9.0),
 
     // Mirrors SemDedup.semanticDedup(nlist=16, tau=0.97) with the seeded
     // quantizer's defaults — see semanticOracleSql.
