@@ -124,6 +124,33 @@ object RidgeProbe {
     fitScore(qualityFeatures(docs), Seq("x1", "x2", "x3"), "y",
       lambda = 0.001, threshold = 0.5)
 
+  /** DuckDB CTE chain (t, sig, f) producing the D58 feature/label table
+    * `f` over `documents` — the SQL mirror of [[qualityFeatures]], shared
+    * by the ridge (text_quality_fit) and tree/forest (ml_tree_fit,
+    * ml_forest_fit) oracles so the feature definition cannot drift. */
+  val qualityFeatsSqlCtes: String =
+    """t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+      |      AS mean_wlen,
+      |    CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+      |      / len(toks) AS stop_ratio
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |    floor((stop_ratio) * 10000 + 0.5) / 10000.0 AS x1,
+      |    floor((least(mean_wlen / 8.0, 1.0)) * 10000 + 0.5) / 10000.0
+      |      AS x2,
+      |    floor((CAST(least(n_words, 1000) AS DOUBLE) / 1000.0)
+      |      * 10000 + 0.5) / 10000.0 AS x3,
+      |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND stop_ratio >= 0.06 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+      |  FROM sig)""".stripMargin
+
   /** Oracle-side mirror of [[fit]]+[[score]]: given SQL text for each
     * feature atom (`xsSql`, same order) and the label, emits the moment
     * CTE + Cramer solve + scoring SELECT, every double op structurally

@@ -1,0 +1,280 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic histogram CART — a decision-tree (and bagged-forest)
+  * trainer the driver gate can hash-verify end-to-end.
+  *
+  * The reference's flagship ML process is `fit_class_random_forest`
+  * (openeo_processes_dask/process_implementations/ml/random_forest.py:60),
+  * which the repo mirrors through Spark MLlib (RfClassModel) — but MLlib's
+  * impurity ordering and feature subsampling are library-internal, so those
+  * queries ride `no_oracle` (SURVEY §6). This trainer is the gate-verifiable
+  * twin for the tree family, the same move [[RidgeProbe]] made for linear
+  * fits and `Ann.seededCentroids` made for k-means: pin every data-dependent
+  * choice to arithmetic both engines reproduce bit-for-bit, then have the
+  * oracle generator REPLAY the whole training as unrolled SQL.
+  *
+  * Determinism pins:
+  *  - features are binned on a fixed equi-width grid over [0,1] (features
+  *    arrive rnd4'd), so split candidates are the `Bins-1` bin boundaries;
+  *  - per-node split choice minimizes the weighted-Gini cost computed from
+  *    INTEGER histogram counts with one IEEE division per side — the exact
+  *    double DAG is mirrored in the SQL (`side = n − (p² + (n−p)²)/n`);
+  *    ties break on (cost, feature, threshold), identical in both engines;
+  *  - bootstrap weights (forest) are md5-derived integers per (row, tree):
+  *    a 2-hex-digit fold mapped through fixed Poisson(1)-shaped cut points;
+  *  - per-node feature subsets (forest) rank features by the md5 hex of
+  *    "n<node>:f<f>:<salt>" — string order, both engines.
+  *
+  * Scale shape (MLlib's own architecture, re-derived): training is
+  * level-synchronous — ONE histogram aggregation per level (`groupBy(node)`
+  * with k·Bins·2 conditional sums: map-side partials collapse each
+  * partition to ≤2^level rows of 48 longs, so the only shuffle is
+  * metadata-sized) and the argmin runs on the driver over ≤2^depth·k·Bins
+  * counts (well inside the repo's driver-metadata budget). The FITTED tree
+  * is pure literals, so scoring — leaf assignment and prediction — is a
+  * zero-shuffle codegen CASE chain that applies to a batch scan or an
+  * ingest stream unchanged.
+  */
+object TreeProbe {
+
+  /** Equi-width histogram bins over the [0,1] feature domain. */
+  val Bins = 8
+
+  /** A chosen split: rows with bin(feature) <= t go left (node·2),
+    * the rest right (node·2+1). */
+  final case class Split(node: Int, f: Int, t: Int)
+
+  /** A fitted tree: the split list plus per-leaf majority votes. */
+  final case class Tree(splits: Seq[Split], leafPred: Map[Int, Int])
+
+  /** bin(x) = min(floor(x·Bins), Bins−1); x=1.0 lands in the top bin.
+    * DuckDB mirror: least(CAST(floor(x * 8) AS INTEGER), 7). */
+  def bin(x: Column): Column =
+    least(floor(x * Bins).cast("int"), lit(Bins - 1))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Features allowed at `node`: the `m` smallest of 1..k by
+    * md5("n<node>:f<f>:<salt>") hex string (tie on f), returned sorted.
+    * SQL mirror: row_number() OVER (PARTITION BY node ORDER BY md5(...), f). */
+  def allowedFeatures(node: Int, k: Int, m: Int, salt: String): Seq[Int] =
+    (1 to k).sortBy(f => (md5hex(s"n$node:f$f:$salt"), f)).take(m).sorted
+
+  /** Weighted-Gini cost of a split, the exact double DAG the SQL mirrors:
+    * each side pays n − (p² + (n−p)²)/n; integer counts convert exactly,
+    * one division per side, left + right. */
+  private def giniCost(nl: Long, pl: Long, nr: Long, pr: Long): Double = {
+    def side(n: Long, p: Long): Double =
+      n.toDouble - (p * p + (n - p) * (n - p)).toDouble / n.toDouble
+    side(nl, pl) + side(nr, pr)
+  }
+
+  /** Poisson(1)-shaped bootstrap weight for (id, tree `b`): fold the first
+    * two md5 hex digits of "<id>:t<b>" to 0..255, then cut at the fixed
+    * points 94/188/235 (≈256·{.368,.368,.184}; the tail is weight 3).
+    * Deterministic, row-local, identical in the oracle. */
+  def bootstrapWeight(id: Column, b: Int): Column = {
+    val hx = conv(substring(
+      md5(concat(id.cast("string"), lit(s":t$b"))), 1, 2), 16, 10).cast("int")
+    when(hx < 94, 0L).when(hx < 188, 1L).when(hx < 235, 2L).otherwise(3L)
+  }
+
+  /** SQL mirror of [[bootstrapWeight]] (DuckDB has no conv; the 2-digit
+    * strpos fold is the repo's standard hex decode). */
+  def bootstrapWeightSql(idSql: String, b: Int): String = {
+    val h = s"md5(CAST($idSql AS VARCHAR) || ':t$b')"
+    val hx = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1))"
+    s"(CASE WHEN $hx < 94 THEN 0 WHEN $hx < 188 THEN 1 " +
+      s"WHEN $hx < 235 THEN 2 ELSE 3 END)"
+  }
+
+  /** Fit one tree over feature columns `xs` (values on the [0,1] rnd4
+    * grid) against 0/1 label `yCol`, with per-row weight `weight` and an
+    * optional feature-subset salt (forest mode: `Some(salt)` restricts
+    * each node to the 2 md5-chosen features). One histogram aggregation
+    * per level; the tree comes back as plan literals. */
+  def fit(feats: DataFrame, xs: Seq[String], yCol: String, depth: Int,
+          weight: Column, featSalt: Option[String]): Tree = {
+    val k = xs.size
+    require(k >= 1 && k <= 8, s"histogram CART supports 1..8 features, got $k")
+    val base = xs.zipWithIndex.foldLeft(
+      feats.withColumn("_w", weight.cast("long"))
+        .withColumn("_yl", col(yCol).cast("long"))) {
+      case (df, (c, i)) => df.withColumn(s"_b${i + 1}", bin(col(c)))
+    }
+
+    var nodeCol: Column = lit(1)
+    val splits = Vector.newBuilder[Split]
+    var lastLevel = Seq(1)
+    for (level <- 0 until depth) {
+      val aggs = for {
+        f <- 1 to k; b <- 0 until Bins; p <- Seq(false, true)
+      } yield {
+        val w = if (p) col("_w") * col("_yl") else col("_w")
+        sum(when(col(s"_b$f") === b, w).otherwise(0L))
+          .as(s"_${if (p) "p" else "n"}_${f}_$b")
+      }
+      val hist = base.withColumn("_node", nodeCol)
+        .groupBy("_node").agg(aggs.head, aggs.tail: _*).collect()
+
+      // canonical node order: collect() row order is partition-dependent
+      val lvl = hist.toSeq.sortBy(_.getInt(0)).flatMap { row =>
+        val node = row.getInt(0)
+        val fs = featSalt.fold(1 to k: Seq[Int])(s => allowedFeatures(node, k, 2, s))
+        val cands = for {
+          f <- fs
+          nn = (0 until Bins).map(b => row.getAs[Long](s"_n_${f}_$b")).sum
+          pp = (0 until Bins).map(b => row.getAs[Long](s"_p_${f}_$b")).sum
+          t <- 0 until Bins - 1
+          nl = (0 to t).map(b => row.getAs[Long](s"_n_${f}_$b")).sum
+          pl = (0 to t).map(b => row.getAs[Long](s"_p_${f}_$b")).sum
+          if nl > 0 && nn - nl > 0
+        } yield (giniCost(nl, pl, nn - nl, pp - pl), f, t)
+        if (cands.isEmpty) None
+        else {
+          val (_, f, t) = cands.min
+          Some(Split(node, f, t))
+        }
+      }
+      splits ++= lvl
+      // children of split nodes; unsplit nodes stay and become leaves
+      lastLevel = lastLevel.flatMap { n =>
+        lvl.find(_.node == n) match {
+          case Some(_) => Seq(2 * n, 2 * n + 1)
+          case None    => Seq(n)
+        }
+      }
+      val prev = nodeCol
+      nodeCol = lvl.foldLeft(prev) { (acc, s) =>
+        when(prev === s.node,
+          when(col(s"_b${s.f}") <= s.t, lit(2 * s.node))
+            .otherwise(lit(2 * s.node + 1))).otherwise(acc)
+      }
+    }
+
+    val leafStats = base.withColumn("_node", nodeCol)
+      .groupBy("_node")
+      .agg(sum("_w").as("n"), sum(col("_w") * col("_yl")).as("p"))
+      .collect()
+    val leafPred = leafStats.map { r =>
+      r.getInt(0) -> (if (2 * r.getLong(2) > r.getLong(1)) 1 else 0)
+    }.toMap
+    Tree(splits.result(), leafPred)
+  }
+
+  /** Leaf-assignment Column for a fitted tree: the level-by-level CASE
+    * chain over the binned features — pure literals, zero shuffle. */
+  def leafCol(tree: Tree, xs: Seq[String], depth: Int): Column = {
+    val bins = xs.map(c => bin(col(c)))
+    var node: Column = lit(1)
+    for (level <- 0 until depth) {
+      val lo = 1 << level
+      val lvl = tree.splits.filter(s => s.node >= lo && s.node < 2 * lo)
+      val prev = node
+      node = lvl.foldLeft(prev) { (acc, s) =>
+        when(prev === s.node,
+          when(bins(s.f - 1) <= s.t, lit(2 * s.node))
+            .otherwise(lit(2 * s.node + 1))).otherwise(acc)
+      }
+    }
+    node
+  }
+
+  /** Majority-vote prediction for a leaf Column (empty-weight leaves
+    * default to 0 — `2p > n` is false at 0/0, both engines). */
+  def predCol(tree: Tree, leaf: Column): Column =
+    tree.leafPred.toSeq.sortBy(_._1).foldLeft(lit(0): Column) {
+      case (acc, (n, p)) => when(leaf === n, lit(p)).otherwise(acc)
+    }
+
+  // ------------------------------------------------------------------
+  // Oracle generation: replay the whole training as unrolled SQL.
+  // ------------------------------------------------------------------
+
+  /** CTE chain replaying one tree's training; terminal CTE `pr<S>` has
+    * (idCol, leaf, pred) per input row. `featsCte` must expose idCol,
+    * x1..xk on the rnd4 grid, and 0/1 label y. All CTEs are MATERIALIZED —
+    * DuckDB inlines by default and each level references its parent
+    * several times (the ann_ivf lesson). */
+  def oracleSql(featsCte: String, idCol: String, k: Int, depth: Int,
+                suffix: String, weightSql: String,
+                featSalt: Option[String]): String = {
+    val S = suffix
+    val bcols = (1 to k).map(f => s"b$f")
+    val binDefs = (1 to k).map(f =>
+      s"least(CAST(floor(x$f * $Bins) AS INTEGER), ${Bins - 1}) AS b$f")
+    val unpivot = (1 to k).map(f =>
+      s"SELECT node, $f AS f, b$f AS b, w, yl FROM a$S%LEVEL%")
+      .mkString("\n    UNION ALL ")
+    val thVals = (0 until Bins - 1).map(t => s"($t)").mkString(",")
+    val fVals = (1 to k).map(f => s"($f)").mkString(",")
+
+    val levels = (1 to depth).map { l =>
+      val fsCte = featSalt.map { salt =>
+        s"""fs$S$l AS MATERIALIZED (
+           |  SELECT node, f FROM (
+           |    SELECT nd.node, ff.f,
+           |      row_number() OVER (PARTITION BY nd.node
+           |        ORDER BY md5('n' || CAST(nd.node AS VARCHAR) || ':f' || CAST(ff.f AS VARCHAR) || ':$salt'), ff.f) AS rn
+           |    FROM (SELECT DISTINCT node FROM h$S$l) nd
+           |    CROSS JOIN (VALUES $fVals) AS ff(f))
+           |  WHERE rn <= 2),
+           |""".stripMargin
+      }.getOrElse("")
+      val fsJoin = if (featSalt.isDefined) s"\n  JOIN fs$S$l USING (node, f)" else ""
+      val binPick = s"(CASE s.f ${(1 to k - 1).map(f => s"WHEN $f THEN d.b$f").mkString(" ")} ELSE d.b$k END)"
+      s"""h$S$l AS MATERIALIZED (
+         |  SELECT node, f, b, sum(w) AS n, sum(w * yl) AS p
+         |  FROM (
+         |    ${unpivot.replace("%LEVEL%", l.toString)})
+         |  GROUP BY node, f, b),
+         |$fsCte""".stripMargin +
+      s"""t$S$l AS MATERIALIZED (
+         |  SELECT node, f, th.t,
+         |    sum(CASE WHEN b <= th.t THEN n ELSE 0 END) AS nl,
+         |    sum(CASE WHEN b <= th.t THEN p ELSE 0 END) AS pl,
+         |    sum(n) AS nn, sum(p) AS pp
+         |  FROM h$S$l$fsJoin
+         |  CROSS JOIN (VALUES $thVals) AS th(t)
+         |  GROUP BY node, f, th.t),
+         |g$S$l AS MATERIALIZED (
+         |  SELECT node, f, t,
+         |    (CAST(nl AS DOUBLE)
+         |       - CAST(pl*pl + (nl-pl)*(nl-pl) AS DOUBLE) / CAST(nl AS DOUBLE))
+         |    + (CAST(nn - nl AS DOUBLE)
+         |       - CAST((pp-pl)*(pp-pl) + ((nn-nl)-(pp-pl))*((nn-nl)-(pp-pl)) AS DOUBLE)
+         |         / CAST(nn - nl AS DOUBLE)) AS cost
+         |  FROM t$S$l WHERE nl > 0 AND nn - nl > 0),
+         |s$S$l AS MATERIALIZED (
+         |  SELECT node, f, t FROM (
+         |    SELECT node, f, t, row_number() OVER (
+         |      PARTITION BY node ORDER BY cost ASC, f ASC, t ASC) AS rn
+         |    FROM g$S$l) WHERE rn = 1),
+         |a$S${l + 1} AS MATERIALIZED (
+         |  SELECT d.$idCol, ${bcols.map(b => s"d.$b").mkString(", ")}, d.w, d.yl,
+         |    CASE WHEN s.node IS NULL THEN d.node
+         |         WHEN $binPick <= s.t THEN d.node * 2
+         |         ELSE d.node * 2 + 1 END AS node
+         |  FROM a$S$l d LEFT JOIN s$S$l s ON d.node = s.node)""".stripMargin
+    }.mkString(",\n")
+
+    s"""a${S}1 AS MATERIALIZED (
+       |  SELECT $idCol, ${binDefs.mkString(", ")},
+       |    $weightSql AS w, CAST(y AS BIGINT) AS yl, 1 AS node
+       |  FROM $featsCte),
+       |$levels,
+       |lv$S AS MATERIALIZED (
+       |  SELECT node, sum(w) AS n, sum(w * yl) AS p
+       |  FROM a$S${depth + 1} GROUP BY node),
+       |pr$S AS MATERIALIZED (
+       |  SELECT d.$idCol, d.node AS leaf,
+       |    CASE WHEN 2 * l.p > l.n THEN 1 ELSE 0 END AS pred
+       |  FROM a$S${depth + 1} d JOIN lv$S l ON d.node = l.node)""".stripMargin
+  }
+}

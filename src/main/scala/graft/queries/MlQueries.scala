@@ -131,7 +131,54 @@ object MlQueries {
 
   /** A1–A3: configure → fit (85/15 split, metrics) → predict the full
     * table. Output one row per vector with label and prediction. */
+  private val treeXs = Seq("x1", "x2", "x3")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A13: deterministic histogram CART — the tree-family fit the driver
+    // gate hash-verifies end-to-end (TreeProbe; the MLlib RF queries below
+    // remain the reference-fidelity twins, rows-only by design). Training
+    // is one metadata-sized histogram aggregation per level; the fitted
+    // tree scores as a zero-shuffle literal CASE chain.
+    "ml_tree_fit" -> { (s, d) =>
+      import graft.ml.{RidgeProbe, TreeProbe}
+      val feats = RidgeProbe.qualityFeatures(Tables.documents(s, d))
+      val tree = TreeProbe.fit(feats, treeXs, "y", depth = 3,
+        weight = lit(1L), featSalt = None)
+      feats.withColumn("leaf", TreeProbe.leafCol(tree, treeXs, 3))
+        .withColumn("pred", TreeProbe.predCol(tree, col("leaf")))
+        .select("doc_id", "x1", "x2", "x3", "y", "leaf", "pred")
+    },
+
+    // A14: md5-bootstrap bagged forest (4 trees × depth 3, per-node
+    // 2-of-3 md5 feature subsets, majority vote) — the gate-verifiable
+    // twin of the reference's fit_class_random_forest
+    // (ml/random_forest.py:60). Every tree's training replays in the
+    // oracle; the output pins each tree's leaf assignment AND the vote.
+    "ml_forest_fit" -> { (s, d) =>
+      import graft.ml.{RidgeProbe, TreeProbe}
+      val feats = RidgeProbe.qualityFeatures(Tables.documents(s, d))
+      val trees = (1 to 4).map { b =>
+        TreeProbe.fit(feats, treeXs, "y", depth = 3,
+          weight = TreeProbe.bootstrapWeight(col("doc_id"), b),
+          featSalt = Some(s"t$b"))
+      }
+      val withLeaves = feats.select(
+        col("doc_id") +: col("y") +:
+          trees.zipWithIndex.map { case (t, i) =>
+            TreeProbe.leafCol(t, treeXs, 3).as(s"leaf${i + 1}")
+          }: _*)
+      val withPreds = trees.zipWithIndex.foldLeft(withLeaves) {
+        case (df, (t, i)) =>
+          df.withColumn(s"p${i + 1}", TreeProbe.predCol(t, col(s"leaf${i + 1}")))
+      }
+      withPreds
+        .withColumn("votes",
+          trees.indices.map(i => col(s"p${i + 1}")).reduce(_ + _))
+        .withColumn("pred", when(col("votes") >= 2, lit(1)).otherwise(lit(0)))
+        .select("doc_id", "y", "leaf1", "leaf2", "leaf3", "leaf4",
+          "votes", "pred")
+    },
 
     "ml_rf_fit_predict" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -299,6 +346,45 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Replay of the histogram-CART training (TreeProbe.oracleSql): per
+    // level, the same unpivoted histogram, the same Gini-cost double DAG
+    // over BIGINT counts, the same (cost, f, t) argmin — landing on the
+    // identical tree, leaf assignment and majority votes.
+    "ml_tree_fit" -> {
+      val tree = graft.ml.TreeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3, depth = 3,
+        suffix = "", weightSql = "1", featSalt = None)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$tree
+        |SELECT f.doc_id, f.x1, f.x2, f.x3, f.y, pr.leaf, pr.pred
+        |FROM f JOIN pr ON f.doc_id = pr.doc_id""".stripMargin
+    },
+
+    // Four full training replays (suffixes _1.._4), each with its own
+    // md5-Poisson bootstrap weights and md5-ranked 2-of-3 per-node
+    // feature subsets; the vote mirrors the Column-side integer sum.
+    "ml_forest_fit" -> {
+      import graft.ml.TreeProbe
+      val trees = (1 to 4).map { b =>
+        TreeProbe.oracleSql(
+          featsCte = "f", idCol = "doc_id", k = 3, depth = 3,
+          suffix = s"_$b", weightSql = TreeProbe.bootstrapWeightSql("doc_id", b),
+          featSalt = Some(s"t$b"))
+      }
+      val votes = (1 to 4).map(b => s"p$b.pred").mkString(" + ")
+      val joins = (1 to 4).map(b =>
+        s"JOIN pr_$b p$b ON f.doc_id = p$b.doc_id").mkString("\n")
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |${trees.mkString(",\n")}
+        |SELECT f.doc_id, f.y,
+        |  p1.leaf AS leaf1, p2.leaf AS leaf2, p3.leaf AS leaf3,
+        |  p4.leaf AS leaf4,
+        |  $votes AS votes,
+        |  CASE WHEN $votes >= 2 THEN 1 ELSE 0 END AS pred
+        |FROM f
+        |$joins""".stripMargin
+    },
 
     // Mirrors ExternalModel.predict + StubRuntime operation-for-operation
     // (the Cramer playbook: same expression DAG, two engines):

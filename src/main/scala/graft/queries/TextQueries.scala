@@ -1029,27 +1029,7 @@ object TextQueries {
       val probe = graft.ml.RidgeProbe.oracleSql(
         featsCte = "f", idCol = "doc_id", k = 3,
         lambda = 0.001, threshold = 0.5)
-      s"""WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id,
-        |    len(toks) AS n_words,
-        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
-        |      AS mean_wlen,
-        |    CAST(len(list_filter(toks, w -> w IN $stop7)) AS DOUBLE)
-        |      / len(toks) AS stop_ratio
-        |  FROM t),
-        |f AS (
-        |  SELECT doc_id,
-        |    floor((stop_ratio) * 10000 + 0.5) / 10000.0 AS x1,
-        |    floor((least(mean_wlen / 8.0, 1.0)) * 10000 + 0.5) / 10000.0
-        |      AS x2,
-        |    floor((CAST(least(n_words, 1000) AS DOUBLE) / 1000.0)
-        |      * 10000 + 0.5) / 10000.0 AS x3,
-        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-        |      AND stop_ratio >= 0.06 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
-        |  FROM sig),
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
         |$probe
         |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
         |  score >= 0.5 AS kept

@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), "aggregation must be whole-stage codegen")
   }
 
+  test("fitted tree scoring is map-only: no Exchange, no join in the plan") {
+    // training collects metadata-sized histograms at plan time; the
+    // RETURNED query must be a pure literal CASE chain over the scan
+    val p = plan(SparkEntry.queries("ml_tree_fit")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"tree scoring must be a zero-shuffle literal map:\n$p")
+  }
+
   test("scale ops are map-only: no Exchange in the plan") {
     val p = plan(SparkEntry.queries("scale_clip")(spark, sfDir))
     assert(!p.contains("Exchange"), s"scaling must not shuffle:\n$p")
