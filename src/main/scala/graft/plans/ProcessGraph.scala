@@ -662,6 +662,15 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "fit_quality_probe" =>
       graft.ml.RidgeProbe.qualityProbe(docsArg(args, evalNode))
 
+    // A13/A14 as graph nodes: the deterministic histogram-CART and
+    // md5-bootstrap forest fits — tree-model TRAINING declared in a
+    // graph, landing on the direct queries' rows (shared oracles).
+    case "fit_tree" =>
+      graft.ml.TreeProbe.treeQuery(docsArg(args, evalNode))
+
+    case "fit_forest" =>
+      graft.ml.TreeProbe.forestQuery(docsArg(args, evalNode))
+
     // embedding-space vocabulary: the vector table, IVF ANN search and
     // the D61 all-but-the-top PCA as graph nodes — the graph-declared
     // chains land on the direct queries' rows and share their oracles.

@@ -131,8 +131,6 @@ object MlQueries {
 
   /** A1–A3: configure → fit (85/15 split, metrics) → predict the full
     * table. Output one row per vector with label and prediction. */
-  private val treeXs = Seq("x1", "x2", "x3")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A13: deterministic histogram CART — the tree-family fit the driver
@@ -141,13 +139,7 @@ object MlQueries {
     // is one metadata-sized histogram aggregation per level; the fitted
     // tree scores as a zero-shuffle literal CASE chain.
     "ml_tree_fit" -> { (s, d) =>
-      import graft.ml.{RidgeProbe, TreeProbe}
-      val feats = RidgeProbe.qualityFeatures(Tables.documents(s, d))
-      val tree = TreeProbe.fit(feats, treeXs, "y", depth = 3,
-        weight = lit(1L), featSalt = None)
-      feats.withColumn("leaf", TreeProbe.leafCol(tree, treeXs, 3))
-        .withColumn("pred", TreeProbe.predCol(tree, col("leaf")))
-        .select("doc_id", "x1", "x2", "x3", "y", "leaf", "pred")
+      graft.ml.TreeProbe.treeQuery(Tables.documents(s, d))
     },
 
     // A14: md5-bootstrap bagged forest (4 trees × depth 3, per-node
@@ -156,28 +148,7 @@ object MlQueries {
     // (ml/random_forest.py:60). Every tree's training replays in the
     // oracle; the output pins each tree's leaf assignment AND the vote.
     "ml_forest_fit" -> { (s, d) =>
-      import graft.ml.{RidgeProbe, TreeProbe}
-      val feats = RidgeProbe.qualityFeatures(Tables.documents(s, d))
-      val trees = (1 to 4).map { b =>
-        TreeProbe.fit(feats, treeXs, "y", depth = 3,
-          weight = TreeProbe.bootstrapWeight(col("doc_id"), b),
-          featSalt = Some(s"t$b"))
-      }
-      val withLeaves = feats.select(
-        col("doc_id") +: col("y") +:
-          trees.zipWithIndex.map { case (t, i) =>
-            TreeProbe.leafCol(t, treeXs, 3).as(s"leaf${i + 1}")
-          }: _*)
-      val withPreds = trees.zipWithIndex.foldLeft(withLeaves) {
-        case (df, (t, i)) =>
-          df.withColumn(s"p${i + 1}", TreeProbe.predCol(t, col(s"leaf${i + 1}")))
-      }
-      withPreds
-        .withColumn("votes",
-          trees.indices.map(i => col(s"p${i + 1}")).reduce(_ + _))
-        .withColumn("pred", when(col("votes") >= 2, lit(1)).otherwise(lit(0)))
-        .select("doc_id", "y", "leaf1", "leaf2", "leaf3", "leaf4",
-          "votes", "pred")
+      graft.ml.TreeProbe.forestQuery(Tables.documents(s, d))
     },
 
     "ml_rf_fit_predict" -> { (s, d) =>

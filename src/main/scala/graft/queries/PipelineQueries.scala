@@ -394,6 +394,19 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // Forest TRAINING as a graph node (A14): load → bootstrap-fit 4 CARTs
+    // + vote in one declared chain; identical rows to ml_forest_fit →
+    // shares its hash oracle.
+    "process_graph_forest" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":    {"process_id": "load_documents", "arguments": {}},
+          |  "forest": {"process_id": "fit_forest",
+          |             "arguments": {"data": {"from_node": "src"}},
+          |             "result": true}
+          |}""".stripMargin)
+    },
+
     // Embedding-space chains through the graph vocabulary: IVF ANN search
     // and the D61 PCA projection — each shares its direct query's oracle.
     "process_graph_ann" -> { (s, d) =>
@@ -633,6 +646,8 @@ object PipelineQueries {
     "pipeline_curate_graph" -> TextQueries.oracle("pipeline_curate"),
     "process_graph_rag" -> TextQueries.oracle("pipeline_rag"),
     "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
+
+    "process_graph_forest" -> MlQueries.oracle("ml_forest_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
     "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),
