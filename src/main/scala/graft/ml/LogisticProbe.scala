@@ -1,0 +1,125 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Logistic-regression probe trained by fixed-iteration batch gradient
+  * descent — the hash-verifiable twin of the classic hashed/featurized
+  * LR quality classifier (the GPT-3/CCNet-style curation filter), built
+  * on the same playbook as [[RidgeProbe]] (closed form) and the seeded
+  * k-means: every data-dependent step is arithmetic both engines
+  * reproduce bit-for-bit, and the oracle generator REPLAYS the whole
+  * training as unrolled SQL.
+  *
+  * Determinism pins:
+  *  - the sigmoid is ALGEBRAIC — σ(z) = 0.5 + z/(2·(1+|z|)) — so scoring
+  *    uses only +,·,/,abs: no libm `exp`, whose last-bit behavior differs
+  *    between the JVM and DuckDB (the HLL estimate made the same move);
+  *  - per-iteration gradients are decimal-exact sums ([[Exact.esum]]), so
+  *    they are independent of row order and partitioning;
+  *  - the update `w − lr·(g/n)` is one IEEE expression, mirrored
+  *    operation-for-operation.
+  *
+  * Scale shape: each of the `iters` iterations is ONE scan with a
+  * map-side partial aggregation collapsing to a k+2-double row (gradient
+  * + count) — no data-row shuffle, no broadcast join; weights travel as
+  * plan literals. Scoring is a zero-shuffle literal map that applies to a
+  * batch scan or an ingest stream unchanged. At 100 TB you would fit on a
+  * sample or feature sketch; the per-iteration cost here is the same
+  * one-pass moment shape as the standardizer.
+  */
+object LogisticProbe {
+
+  /** σ(z) = 0.5 + z/(2·(1+|z|)) — smooth, (0,1), libm-free.
+    * DuckDB mirror: 0.5 + z / (2.0 * (1.0 + abs(z))). */
+  def sigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  private def zCol(xs: Seq[String], w: Seq[Double]): Column =
+    xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    }
+
+  /** Fit by `iters` full-batch GD steps from w = 0. Each step is one
+    * decimal-exact gradient aggregation; weights come back as plain
+    * doubles (plan literals for the next pass). */
+  def fit(feats: DataFrame, xs: Seq[String], yCol: String,
+          lr: Double, iters: Int): Seq[Double] = {
+    val k = xs.size
+    var w: Seq[Double] = Vector.fill(k + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val sg = sigmoid(zCol(xs, w))
+      val err = sg - col(yCol)
+      val aggs = (lit(1.0) +: xs.map(col)).zipWithIndex.map {
+        case (x, i) => Exact.esum(err * x).as(s"g$i")
+      } :+ count(lit(1)).as("n")
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(k + 1)
+      w = w.indices.map(i => w(i) - lr * (row.getDouble(i) / n))
+    }
+    w
+  }
+
+  /** Fit + score in one plan: per-row rnd4(σ(z)) under the FITTED literal
+    * weights, keep-verdict at `threshold`, rnd4'd weights riding along so
+    * the hash gate pins the TRAINING. */
+  def fitScore(feats: DataFrame, xs: Seq[String], yCol: String,
+               lr: Double, iters: Int, threshold: Double): DataFrame = {
+    val w = fit(feats, xs, yCol, lr, iters)
+    val scored = feats
+      .withColumn("score", Exact.rnd4(sigmoid(zCol(xs, w))))
+      .withColumn("kept", col("score") >= threshold)
+    w.indices.foldLeft(scored) { (df, i) =>
+      df.withColumn(s"w$i", Exact.rnd4(lit(w(i))))
+    }.select((Seq(col(feats.columns.head)) ++ xs.map(col) ++
+      Seq(col(yCol)) ++ w.indices.map(i => col(s"w$i")) ++
+      Seq(col("score"), col("kept"))): _*)
+  }
+
+  /** The D65 composed op over the shared D58 feature/label map. */
+  def qualityLogistic(docs: DataFrame): DataFrame =
+    fitScore(RidgeProbe.qualityFeatures(docs), Seq("x1", "x2", "x3"), "y",
+      lr = 4.0, iters = 12, threshold = 0.5)
+
+  /** Unrolled SQL replay of [[fit]]+[[fitScore]]: iteration t's gradient
+    * CTE aggregates under iteration t−1's weight CTE, every double op
+    * structurally identical to the Column DAG. `featsCte` must expose
+    * idCol, x1..xk and 0/1 y. */
+  def oracleSql(featsCte: String, idCol: String, k: Int,
+                lr: Double, iters: Int, threshold: Double): String = {
+    def z(wRef: String) =
+      (1 to k).foldLeft(s"$wRef.w0")((acc, i) => s"($acc + $wRef.w$i * x$i)")
+    val w0 = (0 to k).map(i => s"CAST(0.0 AS DOUBLE) AS w$i").mkString(", ")
+    val iterCtes = (1 to iters).map { t =>
+      val gs = (0 to k).map { i =>
+        val x = if (i == 0) "1.0" else s"x$i"
+        s"CAST(sum(CAST((sg - y) * $x AS DECIMAL(38,10))) AS DOUBLE) AS g$i"
+      }.mkString(",\n    ")
+      val ws = (0 to k).map(i =>
+        s"w.w$i - $lr * (g.g$i / g.n) AS w$i").mkString(", ")
+      s"""lg$t AS MATERIALIZED (
+         |  SELECT $gs, count(*) AS n
+         |  FROM (
+         |    SELECT y, ${(1 to k).map(i => s"x$i").mkString(", ")},
+         |      0.5 + z / (2.0 * (1.0 + abs(z))) AS sg
+         |    FROM (SELECT f.*, ${z("w")} AS z
+         |          FROM $featsCte f CROSS JOIN lw${t - 1} w) zf)),
+         |lw$t AS MATERIALIZED (
+         |  SELECT $ws FROM lw${t - 1} w CROSS JOIN lg$t g)""".stripMargin
+    }.mkString(",\n")
+    val wOut = (0 to k).map(i =>
+      s"floor((w.w$i) * 10000 + 0.5) / 10000.0 AS w$i").mkString(",\n    ")
+    s"""lw0 AS MATERIALIZED (SELECT $w0),
+       |$iterCtes,
+       |lscored AS (
+       |  SELECT f.$idCol, ${(1 to k).map(i => s"f.x$i").mkString(", ")}, f.y,
+       |    $wOut,
+       |    floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 10000 + 0.5) / 10000.0
+       |      AS score
+       |  FROM (SELECT f.*, ${z("w")} AS z
+       |        FROM $featsCte f CROSS JOIN lw$iters w) f
+       |  CROSS JOIN lw$iters w)""".stripMargin
+  }
+}

@@ -377,6 +377,15 @@ object TextQueries {
       graft.ml.RidgeProbe.qualityProbe(docs(s, d))
     },
 
+    // D65: logistic quality probe — 8 full-batch GD steps with an
+    // ALGEBRAIC sigmoid (no libm exp), decimal-exact gradients, weights
+    // as plan literals (LogisticProbe). The classic hashed-LR curation
+    // classifier, hash-gated end-to-end: one metadata-sized aggregation
+    // per iteration, zero-shuffle literal scoring.
+    "text_logistic_fit" -> { (s, d) =>
+      graft.ml.LogisticProbe.qualityLogistic(docs(s, d))
+    },
+
     // D59: BPE vocabulary training — K=8 merges learned from the corpus
     // word-frequency table (one corpus pass, then K compact-vocab
     // iterations; the driver only ever sees the K single-row argmaxes).
@@ -1034,6 +1043,20 @@ object TextQueries {
         |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
         |  score >= 0.5 AS kept
         |FROM scored""".stripMargin
+    },
+
+    // Mirror of text_logistic_fit: the same feature CTE, then the
+    // LogisticProbe-generated unrolled-GD replay — iteration t's gradient
+    // aggregates under iteration t−1's weight CTE, identical double DAG.
+    "text_logistic_fit" -> {
+      val gd = graft.ml.LogisticProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lr = 4.0, iters = 12, threshold = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$gd
+        |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
+        |  score >= 0.5 AS kept
+        |FROM lscored""".stripMargin
     },
 
     // Mirror of text_quality_calibrated: same quality replay, percent_rank
