@@ -119,6 +119,36 @@ object TextFunctions {
     }
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash the k-gram sequence, then in every window of `w`
+    * consecutive hashes keep the RIGHTMOST minimum; the distinct selected
+    * positions are the document's fingerprints. Guarantees every exact
+    * match of length ≥ w+k−1 shares a fingerprint, at ~2/(w+1) density —
+    * the provenance/plagiarism primitive between per-doc hashing (D11)
+    * and full span dedup (D27).
+    *
+    * Map-only higher-order column math over materialized gram hashes;
+    * returns array<struct<pos int, fp bigint>>. DuckDB mirror: the same
+    * list_transform over window starts with list_min/list_max slices. */
+  def winnowFingerprints(hs: Column, w: Int): Column = {
+    val sel = transform(sequence(lit(0), size(hs) - w), i => {
+      val m = array_min(slice(hs, i + 1, lit(w)))
+      array_max(filter(sequence(i, i + w - 1),
+        p => element_at(hs, p + 1) === m))
+    })
+    val dedup = array_distinct(sel)
+    when(size(hs) < w, array().cast("array<struct<pos:int,fp:bigint>>"))
+      .otherwise(transform(dedup, p =>
+        struct(p.as("pos"), element_at(hs, p + 1).as("fp"))))
+  }
+
+  /** 8-hex-digit md5 prefix of each gram as a bigint — the gram-hash
+    * sequence winnowing selects from. DuckDB mirror: the standard
+    * strpos-fold over `substr(md5(g), i, 1)`. */
+  def gramHashes(grams: Column): Column =
+    transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+
   /** Stratified variant: per-stratum rates with a default — the training-
     * data "rebalance by language/source" primitive. Still map-only. */
   def stratifiedSampleKeep(key: Column, stratum: Column,

@@ -494,6 +494,21 @@ object TextQueries {
         col("doc_id"),
         md5(norm).as("fp"),
         array_min(transform(sh, md5(_))).as("winnow_fp"))
+    },
+
+    // D66: MOSS winnowing — per-doc fingerprint SET selected as the
+    // rightmost window minimum over 3-gram hashes (window 4): every
+    // shared run of ≥6 tokens is guaranteed a shared fingerprint at
+    // ~2/(w+1) density. Map-side explode, zero shuffle; the exploded
+    // (doc, pos, fp) rows are the provenance index a lake would persist
+    // bucketed by fp.
+    "text_winnow" -> { (s, d) =>
+      val toks = tokens(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), gramHashes(shingles(toks, 3)).as("hs"))
+        .select(col("doc_id"),
+          explode(winnowFingerprints(col("hs"), 4)).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }
   )
 
@@ -1266,6 +1281,34 @@ object TextQueries {
          |  CAST(count(*) FILTER (WHERE bh) AS BIGINT) AS bloom_hits,
          |  CAST(count(*) FILTER (WHERE th) AS BIGINT) AS true_hits
          |FROM ck GROUP BY doc_id""".stripMargin
+    },
+
+    // Mirror of text_winnow: same 3-gram hash sequence (8-hex md5 fold),
+    // same rightmost-window-minimum selection over window starts, same
+    // distinct-position set — list math in both engines.
+    "text_winnow" -> {
+      val fold8 =
+        """CAST(list_sum(list_transform(generate_series(1, 8), fi ->
+          |      (strpos('0123456789abcdef', substr(md5(g), fi, 1)) - 1)
+          |      * power(16.0, 8 - fi))) AS BIGINT)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        |  FROM t WHERE len(tk) >= 3),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams, g -> $fold8) AS hs FROM g),
+        |s AS (
+        |  SELECT doc_id, hs,
+        |    list_distinct(list_transform(generate_series(0, len(hs) - 4),
+        |      i -> list_max(list_filter(generate_series(i, i + 3),
+        |             p -> hs[CAST(p AS INTEGER) + 1] = list_min(hs[i+1:i+4])))))
+        |      AS sel
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT doc_id, CAST(p AS INTEGER) AS pos,
+        |  hs[CAST(p AS INTEGER) + 1] AS fp
+        |FROM (SELECT doc_id, hs, unnest(sel) AS p FROM s)""".stripMargin
     },
 
     "text_redact" ->

@@ -273,4 +273,39 @@ class TextSpec extends SparkSpec {
     assert(r(1L).getAs[Int]("n_feats") == 1)
     assert(r(1L).getAs[Double]("feat_score") == rnd4(m1))
   }
+
+  test("winnowing: shared runs >= w+k-1 tokens guarantee a shared fingerprint") {
+    import spark.implicits._
+    val shared = "one two three four five six" // 6 tokens = w+k-1 (w=4, k=3)
+    val docs = Seq(
+      (0L, s"aa bb cc dd $shared ee ff gg hh"),
+      (1L, s"xx yy $shared zz ww vv uu tt")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextFunctions.gramHashes(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("hs"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("hs"), 4)).as("s"))
+      .select(col("doc_id"), col("s.fp"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "the winnowing guarantee: a 6-token shared run must share a fingerprint")
+  }
+
+  test("winnowing density is ~2/(w+1) and every window is covered") {
+    import spark.implicits._
+    val text = (0 until 500).map(i => s"tok${i * 7919 % 1003}").mkString(" ")
+    val doc = Seq((0L, text)).toDF("doc_id", "text")
+    val hs = doc.select(TextFunctions.gramHashes(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("hs"))
+    val sel = hs.select(explode(
+        TextFunctions.winnowFingerprints(col("hs"), 4)).as("s"))
+      .select(col("s.pos")).collect().map(_.getInt(0)).sorted
+    val nGrams = 500 - 2
+    val density = sel.length.toDouble / nGrams
+    assert(density > 0.25 && density < 0.55, s"density $density off 2/(w+1)=0.4")
+    // coverage: consecutive selections are at most w apart
+    assert(sel.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= 4),
+      "every window of 4 grams must contain a selected position")
+  }
 }
