@@ -503,16 +503,77 @@ object TextQueries {
     // (doc, pos, fp) rows are the provenance index a lake would persist
     // bucketed by fp.
     "text_winnow" -> { (s, d) =>
-      val toks = tokens(col("text"))
-      docs(s, d)
-        .select(col("doc_id"), gramHashes(shingles(toks, 3)).as("hs"))
-        .select(col("doc_id"),
-          explode(winnowFingerprints(col("hs"), 4)).as("s"))
+      winnowFps(docs(s, d))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    },
+
+    // D67: cross-document overlap from the winnowed fingerprints — the
+    // D66 consumer: pairs sharing ≥2 fingerprints ranked by containment
+    // (shared / smaller fingerprint set). Fingerprint buckets above the
+    // cap are dropped map-side BEFORE the pair explode (the D20 playbook:
+    // an O(buckets) aggregate-count join, never a window sort), so pair
+    // volume is O(matches), not O(corpus²) — boilerplate fingerprints
+    // shared by everything can't detonate the join at lake scale.
+    "text_winnow_overlap" -> { (s, d) =>
+      val fps = winnowFps(docs(s, d))
+        .select(col("doc_id"), col("s.fp").as("fp")).distinct()
+      val small = fps.groupBy("fp").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 16)
+      val capped = fps.join(broadcast(small.select("fp")), Seq("fp"))
+      val perDoc = capped.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val pairs = capped.as("a").join(capped.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pairs
+        .join(perDoc.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nfp", "nfp_a"), Seq("doc_a"))
+        .join(perDoc.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nfp", "nfp_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          Exact.rnd4(col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b"))).as("containment"))
     }
   )
 
+  /** Shared D66 fingerprint extraction: (doc_id, s{pos, fp}) rows. */
+  private def winnowFps(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    d.select(col("doc_id"), gramHashes(shingles(toks, 3)).as("hs"))
+      .select(col("doc_id"),
+        explode(winnowFingerprints(col("hs"), 4)).as("s"))
+  }
+
   private val stop7 = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  /** Shared D66/D67 winnowing CTE chain: terminal CTE `wfp` exposes one
+    * (doc_id, pos, fp) row per selected fingerprint. */
+  private val winnowSqlCtes: String = {
+    val fold8 =
+      """CAST(list_sum(list_transform(generate_series(1, 8), fi ->
+        |      (strpos('0123456789abcdef', substr(md5(g), fi, 1)) - 1)
+        |      * power(16.0, 8 - fi))) AS BIGINT)""".stripMargin
+    s"""wt AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents),
+      |wg AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
+      |    i -> array_to_string(tk[i:i+2], ' ')) AS grams
+      |  FROM wt WHERE len(tk) >= 3),
+      |wh AS (
+      |  SELECT doc_id, list_transform(grams, g -> $fold8) AS hs FROM wg),
+      |ws AS (
+      |  SELECT doc_id, hs,
+      |    list_distinct(list_transform(generate_series(0, len(hs) - 4),
+      |      i -> list_max(list_filter(generate_series(i, i + 3),
+      |             p -> hs[CAST(p AS INTEGER) + 1] = list_min(hs[i+1:i+4])))))
+      |      AS sel
+      |  FROM wh WHERE len(hs) >= 4),
+      |wfp AS (
+      |  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+      |    hs[CAST(p AS INTEGER) + 1] AS fp
+      |  FROM (SELECT doc_id, hs, unnest(sel) AS p FROM ws))""".stripMargin
+  }
 
   /** Unrolled BPE iteration chain shared by both D59/D60 oracles: v0 =
     * the word-frequency table with spaced symbols, then for each rank k:
@@ -1286,30 +1347,31 @@ object TextQueries {
     // Mirror of text_winnow: same 3-gram hash sequence (8-hex md5 fold),
     // same rightmost-window-minimum selection over window starts, same
     // distinct-position set — list math in both engines.
-    "text_winnow" -> {
-      val fold8 =
-        """CAST(list_sum(list_transform(generate_series(1, 8), fi ->
-          |      (strpos('0123456789abcdef', substr(md5(g), fi, 1)) - 1)
-          |      * power(16.0, 8 - fi))) AS BIGINT)""".stripMargin
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents),
-        |g AS (
-        |  SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
-        |    i -> array_to_string(tk[i:i+2], ' ')) AS grams
-        |  FROM t WHERE len(tk) >= 3),
-        |h AS (
-        |  SELECT doc_id, list_transform(grams, g -> $fold8) AS hs FROM g),
-        |s AS (
-        |  SELECT doc_id, hs,
-        |    list_distinct(list_transform(generate_series(0, len(hs) - 4),
-        |      i -> list_max(list_filter(generate_series(i, i + 3),
-        |             p -> hs[CAST(p AS INTEGER) + 1] = list_min(hs[i+1:i+4])))))
-        |      AS sel
-        |  FROM h WHERE len(hs) >= 4)
-        |SELECT doc_id, CAST(p AS INTEGER) AS pos,
-        |  hs[CAST(p AS INTEGER) + 1] AS fp
-        |FROM (SELECT doc_id, hs, unnest(sel) AS p FROM s)""".stripMargin
-    },
+    "text_winnow" ->
+      s"""WITH $winnowSqlCtes
+        |SELECT doc_id, pos, fp FROM wfp""".stripMargin,
+
+    // Mirror of text_winnow_overlap: distinct (doc, fp), ≤16-doc buckets,
+    // pair counts and min-side containment on the rnd4 grid.
+    "text_winnow_overlap" ->
+      s"""WITH $winnowSqlCtes,
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        |small AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 16),
+        |capped AS (SELECT d.doc_id, d.fp FROM dfp d JOIN small USING (fp)),
+        |perdoc AS (SELECT doc_id, count(*) AS nfp FROM capped GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM capped a JOIN capped b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  floor((CAST(p.n_shared AS DOUBLE) / least(na.nfp, nb.nfp))
+        |    * 10000 + 0.5) / 10000.0 AS containment
+        |FROM pairs p
+        |JOIN perdoc na ON p.doc_a = na.doc_id
+        |JOIN perdoc nb ON p.doc_b = nb.doc_id""".stripMargin,
 
     "text_redact" ->
       """WITH p AS (

@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
       s"tree scoring must be a zero-shuffle literal map:\n$p")
   }
 
+  test("winnow overlap: bucket cap broadcasts, no cartesian, no window sort") {
+    val p = plan(SparkEntry.queries("text_winnow_overlap")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"cap filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"pair generation must stay a keyed fp join:\n$p")
+  }
+
   test("scale ops are map-only: no Exchange in the plan") {
     val p = plan(SparkEntry.queries("scale_clip")(spark, sfDir))
     assert(!p.contains("Exchange"), s"scaling must not shuffle:\n$p")
