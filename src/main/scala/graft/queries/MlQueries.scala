@@ -151,6 +151,13 @@ object MlQueries {
       graft.ml.TreeProbe.forestQuery(Tables.documents(s, d))
     },
 
+    // A15: gradient-boosted regression trees (squared loss, 3 rounds of
+    // depth-2 trees, ν=0.5) — boosting with every round's tree structure
+    // and the final score hash-gated (BoostProbe).
+    "ml_boost_fit" -> { (s, d) =>
+      graft.ml.BoostProbe.boostQuery(Tables.documents(s, d))
+    },
+
     "ml_rf_fit_predict" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = MlProcesses.mlFit(
@@ -317,6 +324,22 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Replay of the 3-round boost: per round the decimal-exact residual
+    // histogram, the variance-reduction argmin, leaf means and the
+    // ν-damped residual update — same doubles end to end.
+    "ml_boost_fit" -> {
+      val boost = graft.ml.BoostProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3, depth = 2,
+        rounds = 3, nu = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$boost
+        |SELECT b.doc_id, f.x1, f.x2, f.x3, b.y,
+        |  b.leaf1, b.leaf2, b.leaf3,
+        |  floor((b.y - b.r) * 10000 + 0.5) / 10000.0 AS score,
+        |  floor((b.y - b.r) * 10000 + 0.5) / 10000.0 >= 0.5 AS pred
+        |FROM bst b JOIN f ON b.doc_id = f.doc_id""".stripMargin
+    },
 
     // Replay of the histogram-CART training (TreeProbe.oracleSql): per
     // level, the same unpivoted histogram, the same Gini-cost double DAG
