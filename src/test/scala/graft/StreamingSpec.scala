@@ -564,4 +564,47 @@ class StreamingSpec extends SparkSpec {
         "streamed probe verdicts diverge from the fit-time scoring")
     } finally q.stop()
   }
+
+  test("E15 forest scoring on an ingest stream equals the fit-time votes") {
+    import spark.implicits._
+    import graft.ml.{RidgeProbe, TreeProbe}
+    // trees fitted in batch; the fitted forest is pure literals, so the
+    // CASE-chain scorer applies to a streaming DataFrame unchanged and
+    // micro-batched arrival must reproduce the batch votes exactly
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchDf = docs.toDF("doc_id", "text")
+    val xs = Seq("x1", "x2", "x3")
+    val feats = RidgeProbe.qualityFeatures(batchDf)
+    val trees = (1 to 4).map { b =>
+      TreeProbe.fit(feats, xs, "y", 3,
+        TreeProbe.bootstrapWeight(col("doc_id"), b), Some(s"t$b"))
+    }
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val withPreds = trees.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+        d.withColumn(s"p${i + 1}",
+          TreeProbe.predCol(t, TreeProbe.leafCol(t, xs, 3)))
+      }
+      withPreds.withColumn("votes",
+          trees.indices.map(i => col(s"p${i + 1}")).reduce(_ + _))
+        .withColumn("pred", (col("votes") >= 2).cast("int"))
+        .select("doc_id", "votes", "pred")
+    }
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = score(RidgeProbe.qualityFeatures(ms.toDF().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("forest_scores")
+      .outputMode("append").start()
+    try {
+      docs.grouped(30).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("forest_scores")
+      assert(streamed.count() == 90)
+      val batch = score(feats)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streamed forest votes diverge from the fit-time scoring")
+    } finally q.stop()
+  }
 }
