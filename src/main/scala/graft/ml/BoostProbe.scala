@@ -77,7 +77,7 @@ object BoostProbe {
       splits ++= lvl
       val prev = nodeCol
       nodeCol = lvl.foldLeft(prev) { (acc, sp) =>
-        when(prev === sp.node,
+        when(if (level == 0) lit(true) else prev === sp.node,
           when(col(s"_b${sp.f}") <= sp.t, lit(2 * sp.node))
             .otherwise(lit(2 * sp.node + 1))).otherwise(acc)
       }
@@ -125,7 +125,7 @@ object BoostProbe {
       val lvl = tree.splits.filter(s => s.node >= lo && s.node < 2 * lo)
       val prev = node
       node = lvl.foldLeft(prev) { (acc, s) =>
-        when(prev === s.node,
+        when(if (level == 0) lit(true) else prev === s.node,
           when(col(s"_b${s.f}") <= s.t, lit(2 * s.node))
             .otherwise(lit(2 * s.node + 1))).otherwise(acc)
       }

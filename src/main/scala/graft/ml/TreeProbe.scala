@@ -152,7 +152,7 @@ object TreeProbe {
       }
       val prev = nodeCol
       nodeCol = lvl.foldLeft(prev) { (acc, s) =>
-        when(prev === s.node,
+        when(if (level == 0) lit(true) else prev === s.node,
           when(col(s"_b${s.f}") <= s.t, lit(2 * s.node))
             .otherwise(lit(2 * s.node + 1))).otherwise(acc)
       }
@@ -178,7 +178,7 @@ object TreeProbe {
       val lvl = tree.splits.filter(s => s.node >= lo && s.node < 2 * lo)
       val prev = node
       node = lvl.foldLeft(prev) { (acc, s) =>
-        when(prev === s.node,
+        when(if (level == 0) lit(true) else prev === s.node,
           when(bins(s.f - 1) <= s.t, lit(2 * s.node))
             .otherwise(lit(2 * s.node + 1))).otherwise(acc)
       }
