@@ -83,6 +83,31 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // A16: k-NN classification — exact top-5 cosine neighbors vote on the
+    // label (ties break on the smaller label), the lazy-learning baseline
+    // of the embedding-model family. Plan: the ann_topk broadcast-scan +
+    // heap prune, then the tiny neighbor table broadcasts BACK against
+    // the label projection — the corpus is scanned, never shuffled; the
+    // vote window runs on O(queries·labels) rows.
+    "ml_knn_predict" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val nn = Ann.bruteForceTopK(qset(s, d), emb, k = 5)
+      val labeled = emb.select(col("vec_id").as("c_id"), col("label"))
+        .join(broadcast(nn), Seq("c_id"))
+      val votes = labeled.groupBy("q_id", "label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label").asc)
+      val best = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      emb.select(col("vec_id").as("q_id"), col("label").as("true_label"))
+        .join(broadcast(best), Seq("q_id"))
+        .select(col("q_id"), col("label").as("pred_label"), col("votes"),
+          col("true_label"),
+          (col("label") === col("true_label")).as("correct"))
+    },
+
     // D61: hash-verified PCA — top component by distributed power
     // iteration (C·v as one dims-sum aggregate per pass, never a dims²
     // moment matrix), then the all-but-the-top projection/residual per
@@ -676,6 +701,33 @@ object SimQueries {
         |  FROM sims)
         |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Mirror of ml_knn_predict: the ann_topk ranking, then integer label
+    // votes with the same (votes DESC, label ASC) argmax.
+    "ml_knn_predict" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce, label FROM embeddings),
+        |sims AS (
+        |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM sims),
+        |votes AS (
+        |  SELECT r.q_id, c.label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked r JOIN c ON r.c_id = c.c_id
+        |  WHERE r.rank <= 5
+        |  GROUP BY r.q_id, c.label),
+        |best AS (
+        |  SELECT q_id, label AS pred_label, votes FROM (
+        |    SELECT q_id, label, votes, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT b.q_id, b.pred_label, b.votes, q.label AS true_label,
+        |  b.pred_label = q.label AS correct
+        |FROM best b JOIN q ON b.q_id = q.q_id""".stripMargin,
 
     // Mirror of Ann.sq8TopK: per-dim min/max (order-free exact aggs),
     // code = clamped round on the uniform grid, recon = mn + code·sc,
