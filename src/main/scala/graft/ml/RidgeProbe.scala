@@ -151,6 +151,77 @@ object RidgeProbe {
       |      AND stop_ratio >= 0.06 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
       |  FROM sig)""".stripMargin
 
+  /** md5-keyed fold id in [0, folds): the deterministic split every
+    * engine reproduces (salt "cv:" decorrelates from the forest's
+    * bootstrap hashing). */
+  def foldCol(id: Column, folds: Int): Column =
+    (conv(substring(md5(concat(lit("cv:"), id.cast("string"))), 1, 2),
+      16, 10).cast("int") % folds)
+
+  /** SQL mirror of [[foldCol]]. */
+  def foldSql(idSql: String, folds: Int): String = {
+    val h = s"md5('cv:' || CAST($idSql AS VARCHAR))"
+    s"(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1)) % $folds)"
+  }
+
+  /** A17: k-fold cross-validated ridge with OUT-OF-FOLD scoring — the
+    * model-selection primitive, gate-verifiable: each fold's weights are
+    * a closed-form fit on the complement (one moment aggregation per
+    * fold), every doc is scored by the fold that did NOT see it, and the
+    * per-fold weight literals pin all `folds` trainings in the hash.
+    * Scale: `folds` moment passes + one zero-shuffle scoring map. */
+  def cvRidge(docs: DataFrame, folds: Int, lambda: Double,
+              threshold: Double): DataFrame = {
+    val xs = Seq("x1", "x2", "x3")
+    val feats = qualityFeatures(docs).withColumn("fold",
+      foldCol(col("doc_id"), folds))
+    val ws = (0 until folds).map { f =>
+      val r = fit(feats.filter(col("fold") =!= f), xs, "y", lambda).head()
+      (0 to xs.size).map(r.getDouble)
+    }
+    val score = (0 until folds).foldLeft(lit(Double.NaN): Column) { (acc, f) =>
+      val z = xs.zipWithIndex.foldLeft(lit(ws(f)(0)): Column) {
+        case (a, (c, i)) => a + lit(ws(f)(i + 1)) * col(c)
+      }
+      when(col("fold") === f, Exact.rnd4(z)).otherwise(acc)
+    }
+    feats.withColumn("score", score)
+      .withColumn("kept", col("score") >= threshold)
+      .withColumn("correct", col("kept") === (col("y") === 1.0))
+      .select("doc_id", "x1", "x2", "x3", "y", "fold", "score",
+        "kept", "correct")
+  }
+
+  /** Oracle mirror of [[cvRidge]]: fold CTE + one [[oracleSql]] chain per
+    * fold (suffixes _cv0.._cvN over complement CTEs), then the same
+    * fold-CASE scoring from the per-fold weight CTEs. Terminal CTE
+    * `cvsc` has (idCol, x1..x3, y, fold, score). */
+  def cvRidgeOracleSql(featsCte: String, idCol: String, folds: Int,
+                       lambda: Double): String = {
+    val k = 3
+    val foldCtes = (0 until folds).map { f =>
+      s"""fv$f AS (SELECT * FROM fv WHERE fold <> $f),
+         |${oracleSql(s"fv$f", idCol, k, lambda, 0.5, s"_cv$f")}""".stripMargin
+    }.mkString(",\n")
+    val wJoins = (0 until folds).map(f => s"CROSS JOIN wts_cv$f w$f")
+      .mkString("\n  ")
+    val scoreCase = (0 until folds).map { f =>
+      val z = (1 to k).foldLeft(s"w$f.w0")((a, i) => s"($a + w$f.w$i * x$i)")
+      s"WHEN $f THEN floor(($z) * 10000 + 0.5) / 10000.0"
+    }.mkString("\n      ")
+    s"""fv AS MATERIALIZED (
+       |  SELECT f.*, ${foldSql(idCol, folds)} AS fold FROM $featsCte f),
+       |$foldCtes,
+       |cvsc AS (
+       |  SELECT $idCol, x1, x2, x3, y, fold,
+       |    CASE fold
+       |      $scoreCase
+       |    END AS score
+       |  FROM fv
+       |  $wJoins)""".stripMargin
+  }
+
   /** Oracle-side mirror of [[fit]]+[[score]]: given SQL text for each
     * feature atom (`xsSql`, same order) and the label, emits the moment
     * CTE + Cramer solve + scoring SELECT, every double op structurally
@@ -158,9 +229,11 @@ object RidgeProbe {
     * one row per input with columns `idCol`, the features (named x1..xk),
     * and `y`. */
   def oracleSql(featsCte: String, idCol: String, k: Int,
-                lambda: Double, threshold: Double): String = {
+                lambda: Double, threshold: Double,
+                suffix: String = ""): String = {
     require(k >= 1 && k <= 3)
     val n = k + 1
+    val (g, wts, scored) = (s"g$suffix", s"wts$suffix", s"scored$suffix")
     def x(i: Int): String = if (i == 0) "1.0" else s"x$i"
     val moments =
       (for (i <- 0 until n; j <- i until n) yield
@@ -179,16 +252,16 @@ object RidgeProbe {
     }
     val wOut = (0 to k).map(i =>
       s"floor((w$i) * 10000 + 0.5) / 10000.0 AS w$i")
-    s"""g AS (
+    s"""$g AS (
       |  SELECT ${moments.mkString(",\n    ")}
       |  FROM $featsCte),
-      |wts AS (
+      |$wts AS (
       |  SELECT ${wDefs.mkString(",\n    ")}
-      |  FROM g),
-      |scored AS (
+      |  FROM $g),
+      |$scored AS (
       |  SELECT $idCol, ${(1 to k).map(i => s"x$i").mkString(", ")}, y,
       |    ${wOut.mkString(",\n    ")},
       |    floor(($scoreSql) * 10000 + 0.5) / 10000.0 AS score
-      |  FROM $featsCte CROSS JOIN wts)""".stripMargin
+      |  FROM $featsCte CROSS JOIN $wts)""".stripMargin
   }
 }

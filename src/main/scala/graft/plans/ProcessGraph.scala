@@ -671,6 +671,20 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "fit_forest" =>
       graft.ml.TreeProbe.forestQuery(docsArg(args, evalNode))
 
+    // A15/A17/D65 as graph nodes: boosted trees, CV ridge and the
+    // logistic probe — the full hash-verified trainer family on the
+    // declarative surface.
+    case "fit_boost_trees" =>
+      graft.ml.BoostProbe.boostQuery(docsArg(args, evalNode))
+
+    case "fit_cv_ridge" =>
+      graft.ml.RidgeProbe.cvRidge(docsArg(args, evalNode),
+        folds = args.path("folds").asInt(4),
+        lambda = 0.001, threshold = 0.5)
+
+    case "fit_logistic_probe" =>
+      graft.ml.LogisticProbe.qualityLogistic(docsArg(args, evalNode))
+
     // embedding-space vocabulary: the vector table, IVF ANN search and
     // the D61 all-but-the-top PCA as graph nodes — the graph-declared
     // chains land on the direct queries' rows and share their oracles.

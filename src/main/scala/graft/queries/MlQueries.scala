@@ -158,6 +158,14 @@ object MlQueries {
       graft.ml.BoostProbe.boostQuery(Tables.documents(s, d))
     },
 
+    // A17: 4-fold cross-validated ridge with out-of-fold scoring — every
+    // doc scored by the fold that did NOT see it; the fold split is an
+    // md5 hash both engines reproduce and the 4 trainings pin in the hash.
+    "ml_cv_ridge" -> { (s, d) =>
+      graft.ml.RidgeProbe.cvRidge(Tables.documents(s, d), folds = 4,
+        lambda = 0.001, threshold = 0.5)
+    },
+
     "ml_rf_fit_predict" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = MlProcesses.mlFit(
@@ -324,6 +332,19 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Replay of the 4-fold CV: fold CTE, four ridge chains over the
+    // complements, fold-CASE out-of-fold scoring.
+    "ml_cv_ridge" -> {
+      val cv = graft.ml.RidgeProbe.cvRidgeOracleSql(
+        featsCte = "f", idCol = "doc_id", folds = 4, lambda = 0.001)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$cv
+        |SELECT doc_id, x1, x2, x3, y, fold, score,
+        |  score >= 0.5 AS kept,
+        |  (score >= 0.5) = (y = 1.0) AS correct
+        |FROM cvsc""".stripMargin
+    },
 
     // Replay of the 3-round boost: per round the decimal-exact residual
     // histogram, the variance-reduction argmin, leaf means and the

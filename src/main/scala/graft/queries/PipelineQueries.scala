@@ -407,6 +407,18 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // Boosted-tree TRAINING as a graph node (A15) — identical rows to
+    // ml_boost_fit → shares its hash oracle.
+    "process_graph_boost" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "boost": {"process_id": "fit_boost_trees",
+          |            "arguments": {"data": {"from_node": "src"}},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
     // Embedding-space chains through the graph vocabulary: IVF ANN search
     // and the D61 PCA projection — each shares its direct query's oracle.
     "process_graph_ann" -> { (s, d) =>
@@ -648,6 +660,8 @@ object PipelineQueries {
     "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
 
     "process_graph_forest" -> MlQueries.oracle("ml_forest_fit"),
+
+    "process_graph_boost" -> MlQueries.oracle("ml_boost_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
     "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),
