@@ -141,7 +141,7 @@ object BoostProbe {
     val feats = RidgeProbe.qualityFeatures(docs)
     val base = (1 to k).foldLeft(feats) { (df, i) =>
       df.withColumn(s"_b$i", bin(col(s"x$i")))
-    }
+    }.persist()
     val (f0, trees) = fit(base, k, "y", depth = 2, rounds = 3, nu = 0.5)
     var r: Column = col("y") - lit(f0)
     val withLeaves = trees.zipWithIndex.foldLeft(base) {
@@ -150,11 +150,13 @@ object BoostProbe {
         r = r - lit(0.5) * valueCol(t, col(s"leaf${i + 1}"))
         withL
     }
-    withLeaves
+    val out = withLeaves
       .withColumn("score", graft.core.Exact.rnd4(col("y") - r))
       .withColumn("pred", col("score") >= 0.5)
       .select("doc_id", "x1", "x2", "x3", "y",
         "leaf1", "leaf2", "leaf3", "score", "pred")
+    base.unpersist(false)
+    out
   }
 
   // ------------------------------------------------------------------

@@ -67,15 +67,18 @@ object LogisticProbe {
     * the hash gate pins the TRAINING. */
   def fitScore(feats: DataFrame, xs: Seq[String], yCol: String,
                lr: Double, iters: Int, threshold: Double): DataFrame = {
+    feats.persist()
     val w = fit(feats, xs, yCol, lr, iters)
     val scored = feats
       .withColumn("score", Exact.rnd4(sigmoid(zCol(xs, w))))
       .withColumn("kept", col("score") >= threshold)
-    w.indices.foldLeft(scored) { (df, i) =>
+    val out = w.indices.foldLeft(scored) { (df, i) =>
       df.withColumn(s"w$i", Exact.rnd4(lit(w(i))))
     }.select((Seq(col(feats.columns.head)) ++ xs.map(col) ++
       Seq(col(yCol)) ++ w.indices.map(i => col(s"w$i")) ++
       Seq(col("score"), col("kept"))): _*)
+    feats.unpersist(false)
+    out
   }
 
   /** The D65 composed op over the shared D58 feature/label map. */

@@ -175,7 +175,7 @@ object RidgeProbe {
               threshold: Double): DataFrame = {
     val xs = Seq("x1", "x2", "x3")
     val feats = qualityFeatures(docs).withColumn("fold",
-      foldCol(col("doc_id"), folds))
+      foldCol(col("doc_id"), folds)).persist()
     val ws = (0 until folds).map { f =>
       val r = fit(feats.filter(col("fold") =!= f), xs, "y", lambda).head()
       (0 to xs.size).map(r.getDouble)
@@ -186,11 +186,13 @@ object RidgeProbe {
       }
       when(col("fold") === f, Exact.rnd4(z)).otherwise(acc)
     }
-    feats.withColumn("score", score)
+    val out = feats.withColumn("score", score)
       .withColumn("kept", col("score") >= threshold)
       .withColumn("correct", col("kept") === (col("y") === 1.0))
       .select("doc_id", "x1", "x2", "x3", "y", "fold", "score",
         "kept", "correct")
+    feats.unpersist(false)
+    out
   }
 
   /** Oracle mirror of [[cvRidge]]: fold CTE + one [[oracleSql]] chain per

@@ -199,18 +199,23 @@ object TreeProbe {
     * scoring. ONE definition shared by the `ml_tree_fit` query and the
     * process-graph `fit_tree` node, so both hash against the same oracle. */
   def treeQuery(docs: DataFrame): DataFrame = {
-    val feats = RidgeProbe.qualityFeatures(docs)
+    // features persist across the plan-time histogram passes (text
+    // featurization dominates each pass); the returned scoring plan
+    // recomputes them once at execution
+    val feats = RidgeProbe.qualityFeatures(docs).persist()
     val tree = fit(feats, qualityXs, "y", depth = 3, lit(1L), None)
-    feats.withColumn("leaf", leafCol(tree, qualityXs, 3))
+    val out = feats.withColumn("leaf", leafCol(tree, qualityXs, 3))
       .withColumn("pred", predCol(tree, col("leaf")))
       .select("doc_id", "x1", "x2", "x3", "y", "leaf", "pred")
+    feats.unpersist(false)
+    out
   }
 
   /** The A14 composed op: 4-tree md5-bootstrap forest with per-node
     * 2-of-3 feature subsets and majority vote — shared by `ml_forest_fit`
     * and the `fit_forest` graph node. */
   def forestQuery(docs: DataFrame): DataFrame = {
-    val feats = RidgeProbe.qualityFeatures(docs)
+    val feats = RidgeProbe.qualityFeatures(docs).persist()
     val trees = (1 to 4).map { b =>
       fit(feats, qualityXs, "y", depth = 3,
         bootstrapWeight(col("doc_id"), b), Some(s"t$b"))
@@ -224,12 +229,14 @@ object TreeProbe {
       case (df, (t, i)) =>
         df.withColumn(s"p${i + 1}", predCol(t, col(s"leaf${i + 1}")))
     }
-    withPreds
+    val out = withPreds
       .withColumn("votes",
         trees.indices.map(i => col(s"p${i + 1}")).reduce(_ + _))
       .withColumn("pred", when(col("votes") >= 2, lit(1)).otherwise(lit(0)))
       .select("doc_id", "y", "leaf1", "leaf2", "leaf3", "leaf4",
         "votes", "pred")
+    feats.unpersist(false)
+    out
   }
 
   // ------------------------------------------------------------------

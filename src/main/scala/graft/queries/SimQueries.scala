@@ -83,6 +83,12 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // D68: clustering QC — simplified silhouette against the seeded
+    // k-means cells; one zero-shuffle literal-centroid map.
+    "embed_silhouette" -> { (s, d) =>
+      Ann.silhouette(Tables.embeddings(s, d), nlist = 16)
+    },
+
     // A16: k-NN classification — exact top-5 cosine neighbors vote on the
     // label (ties break on the smaller label), the lazy-learning baseline
     // of the embedding-model family. Plan: the ann_topk broadcast-scan +
@@ -594,6 +600,44 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY cell
         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell_rank
         |  FROM corp) WHERE cell_rank <= 16""".stripMargin
+        .replaceAll("AS \\(", "AS MATERIALIZED ("),
+
+    // Mirrors Ann.silhouette(nlist=16): the ann_ivf k-means replay, both
+    // nearest cells per vector via the same (score, cell) ranking, then
+    // d = sqrt(max(‖x‖² + score, 0)) and (b−a)/max(a,b) on the rnd4 grid.
+    "embed_silhouette" ->
+      s"""WITH ${kmeansSql(
+           "nc AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+           16, 256, 5, 64)},
+        |ee AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      AS xx
+        |  FROM embeddings),
+        |csc AS (
+        |  SELECT ee.vec_id, cent.cell,
+        |    ${assignScoreSql("ee.e", 64)} AS score
+        |  FROM ee CROSS JOIN cent),
+        |rk AS (
+        |  SELECT vec_id, cell, score,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS r
+        |  FROM csc),
+        |ab AS (
+        |  SELECT a.vec_id, a.cell,
+        |    sqrt(greatest(ee.xx + a.score, 0.0)) AS ad,
+        |    sqrt(greatest(ee.xx + b.score, 0.0)) AS bd
+        |  FROM rk a
+        |  JOIN rk b ON a.vec_id = b.vec_id AND b.r = 2
+        |  JOIN ee ON a.vec_id = ee.vec_id
+        |  WHERE a.r = 1)
+        |SELECT vec_id, cell,
+        |  floor((ad) * 10000 + 0.5) / 10000.0 AS a_dist,
+        |  floor((bd) * 10000 + 0.5) / 10000.0 AS b_dist,
+        |  floor((CASE WHEN greatest(ad, bd) = 0.0 THEN 0.0
+        |         ELSE (bd - ad) / greatest(ad, bd) END) * 10000 + 0.5)
+        |    / 10000.0 AS sil
+        |FROM ab""".stripMargin
         .replaceAll("AS \\(", "AS MATERIALIZED ("),
 
     // Mirrors Ann.pqTopK(k=5, m=4, ksub=16, dims=64, rerank=64) — see

@@ -515,8 +515,12 @@ object TextQueries {
     // volume is O(matches), not O(corpus²) — boilerplate fingerprints
     // shared by everything can't detonate the join at lake scale.
     "text_winnow_overlap" -> { (s, d) =>
+      // the fingerprint set feeds the cap filter, both pair sides and the
+      // per-doc totals — persist it so the md5 gram hashing runs once
+      // (caller-owned, the jaccardAuto convention; Bench sweeps state)
       val fps = winnowFps(docs(s, d))
         .select(col("doc_id"), col("s.fp").as("fp")).distinct()
+        .persist()
       val small = fps.groupBy("fp").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= 16)
       val capped = fps.join(broadcast(small.select("fp")), Seq("fp"))

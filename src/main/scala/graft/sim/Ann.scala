@@ -195,6 +195,36 @@ object Ann {
       .filter(col("cell_rank") <= perCell)
   }
 
+  /** D68: simplified silhouette over the seeded k-means cells — the
+    * clustering-QC step that validates an IVF/diversity-sample layout
+    * (low mean silhouette ⇒ nlist is wrong for the corpus). Per vector:
+    * a = distance to its own centroid, b = distance to the next-nearest
+    * centroid, s = (b−a)/max(a,b) (Hruschka et al.'s simplified form —
+    * O(n·k) instead of O(n²)).
+    *
+    * Scale shape: centroids are plan literals, so the whole op is ONE
+    * zero-shuffle codegen map over the corpus (distance folds + an
+    * array_sort over nlist structs per row). Determinism: ‖x‖² is the
+    * same i-ascending double fold as the verified dot expressions;
+    * d² = ‖x‖² + (|c|²−2xc) clamps at 0 before the IEEE-exact sqrt; cell
+    * ties resolve (score, cell) in both engines. */
+  def silhouette(corpus: DataFrame, nlist: Int = 16,
+                 idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
+    val emb = col(embCol)
+    val xx = VectorFunctions.dot(emb, emb)
+    val sorted = array_sort(array(centScores(cents, emb): _*))
+    val aD = sqrt(greatest(xx + element_at(sorted, 1).getField("d"), lit(0.0)))
+    val bD = sqrt(greatest(xx + element_at(sorted, 2).getField("d"), lit(0.0)))
+    val sil = when(greatest(aD, bD) === 0.0, lit(0.0))
+      .otherwise((bD - aD) / greatest(aD, bD))
+    corpus.select(col(idCol),
+      element_at(sorted, 1).getField("i").as("cell"),
+      Exact.rnd4(aD).as("a_dist"), Exact.rnd4(bD).as("b_dist"),
+      Exact.rnd4(sil).as("sil"))
+  }
+
   // nearest-centroid score per cell: |c|² − 2·e·c (monotone in distance);
   // |c|² folds dimension-ascending at plan time — the same sequential
   // double fold the oracle's list_sum performs over the same centroid
