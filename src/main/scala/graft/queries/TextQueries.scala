@@ -496,6 +496,38 @@ object TextQueries {
         array_min(transform(sh, md5(_))).as("winnow_fp"))
     },
 
+    // D69: χ² feature selection — the most English-discriminative terms
+    // by chi-square over the per-term 2×2 presence/label contingency
+    // (the classic supervised vocab/feature-selection step). Counts are
+    // exact integers; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) evaluates in
+    // doubles identically cross-engine. Shuffle shape: distinct
+    // (doc, term) explode → one O(doc-terms) term aggregation → the
+    // final rank runs on O(vocab) rows (term-level, corpus-independent).
+    "text_chi2_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("en"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val tot = docs(s, d).agg(count(lit(1)).as("n"),
+        sum((col("lang") === "en").cast("long")).as("n_en"))
+      val byTerm = base.groupBy("term")
+        .agg(count(lit(1)).as("ab"), sum("en").as("a"))
+        .filter(col("ab") >= 5)
+        .crossJoin(broadcast(tot))
+      val (a, b) = (col("a").cast("double"),
+        (col("ab") - col("a")).cast("double"))
+      val c = (col("n_en") - col("a")).cast("double")
+      val dd = (col("n") - col("n_en") - (col("ab") - col("a"))).cast("double")
+      val chi2 = col("n").cast("double") * (a * dd - b * c) * (a * dd - b * c) /
+        ((a + b) * (c + dd) * (a + c) * (b + dd))
+      val scored = byTerm.withColumn("chi2", Exact.rnd4(chi2))
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("chi2").desc, col("term").asc)))
+        .filter(col("rank") <= 32)
+        .select(col("rank"), col("term"), col("a").as("en_docs"),
+          (col("ab") - col("a")).as("other_docs"), col("chi2"))
+    },
+
     // D66: MOSS winnowing — per-doc fingerprint SET selected as the
     // rightmost window minimum over 3-gram hashes (window 4): every
     // shared run of ≥6 tokens is guaranteed a shared fingerprint at
@@ -1347,6 +1379,38 @@ object TextQueries {
          |  CAST(count(*) FILTER (WHERE th) AS BIGINT) AS true_hits
          |FROM ck GROUP BY doc_id""".stripMargin
     },
+
+    // Mirror of text_chi2_terms: same distinct-presence contingency,
+    // same double χ² DAG, same (chi2 DESC, term ASC) rank.
+    "text_chi2_terms" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS en,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(lang = 'en' AS BIGINT)) AS n_en
+        |  FROM documents),
+        |bt AS (
+        |  SELECT term, count(*) AS ab, sum(en) AS a
+        |  FROM base GROUP BY term HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT term, a, ab - a AS other_docs,
+        |    floor((CAST(n AS DOUBLE)
+        |      * (CAST(a AS DOUBLE) * CAST(n - n_en - (ab - a) AS DOUBLE)
+        |         - CAST(ab - a AS DOUBLE) * CAST(n_en - a AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(n - n_en - (ab - a) AS DOUBLE)
+        |         - CAST(ab - a AS DOUBLE) * CAST(n_en - a AS DOUBLE))
+        |      / ((CAST(a AS DOUBLE) + CAST(ab - a AS DOUBLE))
+        |         * (CAST(n_en - a AS DOUBLE) + CAST(n - n_en - (ab - a) AS DOUBLE))
+        |         * (CAST(a AS DOUBLE) + CAST(n_en - a AS DOUBLE))
+        |         * (CAST(ab - a AS DOUBLE) + CAST(n - n_en - (ab - a) AS DOUBLE))))
+        |      * 10000 + 0.5) / 10000.0 AS chi2
+        |  FROM bt CROSS JOIN tot)
+        |SELECT rank, term, en_docs, other_docs, chi2 FROM (
+        |  SELECT term, a AS en_docs, other_docs, chi2,
+        |    row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rank
+        |  FROM sc) WHERE rank <= 32""".stripMargin,
 
     // Mirror of text_winnow: same 3-gram hash sequence (8-hex md5 fold),
     // same rightmost-window-minimum selection over window starts, same
