@@ -47,19 +47,28 @@ object LogisticProbe {
     * doubles (plan literals for the next pass). */
   def fit(feats: DataFrame, xs: Seq[String], yCol: String,
           lr: Double, iters: Int): Seq[Double] = {
-    val k = xs.size
-    var w: Seq[Double] = Vector.fill(k + 1)(0.0)
-    for (_ <- 0 until iters) {
-      val sg = sigmoid(zCol(xs, w))
-      val err = sg - col(yCol)
-      val aggs = (lit(1.0) +: xs.map(col)).zipWithIndex.map {
-        case (x, i) => Exact.esum(err * x).as(s"g$i")
-      } :+ count(lit(1)).as("n")
-      val row = feats.agg(aggs.head, aggs.tail: _*).head()
-      val n = row.getLong(k + 1)
-      w = w.indices.map(i => w(i) - lr * (row.getDouble(i) / n))
-    }
+    var w: Seq[Double] = Vector.fill(xs.size + 1)(0.0)
+    for (_ <- 0 until iters) w = step(feats, xs, yCol, lr, w)
     w
+  }
+
+  /** One mini-batch GD step from weights `w` over `batch` — the unit the
+    * batch loop ([[fit]]) and a foreachBatch STREAM trainer (E16) share:
+    * same gradient aggregation, same update arithmetic, so an ordered
+    * micro-batched pass lands on the identical weights as a driver loop
+    * over the same chunks. Returns `w` unchanged on an empty batch. */
+  def step(batch: DataFrame, xs: Seq[String], yCol: String,
+           lr: Double, w: Seq[Double]): Seq[Double] = {
+    val k = xs.size
+    val sg = sigmoid(zCol(xs, w))
+    val err = sg - col(yCol)
+    val aggs = (lit(1.0) +: xs.map(col)).zipWithIndex.map {
+      case (x, i) => Exact.esum(err * x).as(s"g$i")
+    } :+ count(lit(1)).as("n")
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(k + 1)
+    if (n == 0) w
+    else w.indices.map(i => w(i) - lr * (row.getDouble(i) / n))
   }
 
   /** Fit + score in one plan: per-row rnd4(σ(z)) under the FITTED literal

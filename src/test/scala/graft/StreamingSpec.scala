@@ -565,6 +565,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E16 online GD training via foreachBatch equals the driver chunk loop") {
+    import spark.implicits._
+    import graft.ml.{LogisticProbe, RidgeProbe}
+    // mini-batch GD as a STREAMING query: foreachBatch folds one
+    // LogisticProbe.step per micro-batch into driver-held weights — the
+    // online-learning seam. With ordered arrival the result must equal a
+    // driver loop over the same chunks, bit for bit (step is ONE
+    // decimal-exact aggregation + an IEEE update, so chunk boundaries are
+    // the only thing that matters, and they're identical).
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val xs = Seq("x1", "x2", "x3")
+    val chunks = docs.grouped(30).toSeq
+    // reference: driver loop over the chunks
+    var wRef: Seq[Double] = Vector.fill(4)(0.0)
+    chunks.foreach { c =>
+      wRef = LogisticProbe.step(
+        RidgeProbe.qualityFeatures(c.toDF("doc_id", "text")),
+        xs, "y", 4.0, wRef)
+    }
+    // stream: the same chunks as micro-batches
+    var wStream: Seq[Double] = Vector.fill(4)(0.0)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        wStream = LogisticProbe.step(
+          RidgeProbe.qualityFeatures(batch), xs, "y", 4.0, wStream)
+      }
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    wRef.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(wRef(i)) ==
+        java.lang.Double.doubleToLongBits(wStream(i)),
+        s"w$i: stream ${wStream(i)} != loop ${wRef(i)}")
+    }
+    // and the online pass actually learned something
+    assert(wRef.exists(_ != 0.0))
+  }
+
   test("E15 forest scoring on an ingest stream equals the fit-time votes") {
     import spark.implicits._
     import graft.ml.{RidgeProbe, TreeProbe}
