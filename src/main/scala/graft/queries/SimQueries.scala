@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Exact, Tables}
 import graft.sim.{Ann, Retrieval, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
@@ -87,6 +87,24 @@ object SimQueries {
     // k-means cells; one zero-shuffle literal-centroid map.
     "embed_silhouette" -> { (s, d) =>
       Ann.silhouette(Tables.embeddings(s, d), nlist = 16)
+    },
+
+    // D70: recall@k as a first-class measurement — the IVF(4/16) probe's
+    // top-5 against the exact top-5, per query. Index QC belongs in the
+    // pipeline, not just in specs: this is the query a lake runs after
+    // every index rebuild. Both sides are the already-verified plans;
+    // the overlap join runs on O(queries·k) rows.
+    "ann_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = qset(s, d)
+      val exact = Ann.bruteForceTopK(qs, emb, k = 5).select("q_id", "c_id")
+      val approx = Ann.ivfTopK(qs, emb, k = 5, nlist = 16, nProbe = 4,
+        coarse = Some(coarse16(s, d))).select("q_id", "c_id")
+      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall",
+          Exact.rnd4(col("n_hit").cast("double") / col("n_true")))
     },
 
     // A16: k-NN classification — exact top-5 cosine neighbors vote on the
@@ -563,7 +581,42 @@ object SimQueries {
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
+  /** The exact-top-5 SQL shared by the ann_topk oracle and ann_recall's
+    * ground-truth side. */
+  private lazy val annTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+      |sims AS (
+      |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
+      |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+      |  FROM sims)
+      |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    // Mirror of ann_recall: exact and IVF top-5 as subqueries (each a
+    // self-contained WITH), left-join overlap, recall on the rnd4 grid.
+    "ann_recall" -> {
+      val ivf = ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
+        dims = 64, k = 5, nProbe = 4)
+      s"""WITH ex AS (SELECT q_id, c_id FROM ($annTopkSql)),
+        |ap AS (SELECT q_id, c_id FROM ($ivf)),
+        |ov AS (
+        |  SELECT ex.q_id, count(*) AS n_true,
+        |    CAST(count(ap.c_id) AS BIGINT) AS n_hit
+        |  FROM ex LEFT JOIN ap
+        |    ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id
+        |  GROUP BY ex.q_id)
+        |SELECT q_id, n_true, n_hit,
+        |  floor((CAST(n_hit AS DOUBLE) / n_true) * 10000 + 0.5) / 10000.0
+        |    AS recall
+        |FROM ov""".stripMargin
+    },
 
     "embed_pca" -> graft.ml.Pca.oracleSql(dims = 64, iters = 10),
     "embed_pca2" -> graft.ml.Pca.oracleSql2(dims = 64, iters = 6),
@@ -732,19 +785,7 @@ object SimQueries {
         |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-        |           WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
-        |sims AS (
-        |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
-        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
-        |ranked AS (
-        |  SELECT q_id, c_id, sim,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
-        |  FROM sims)
-        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_topk" -> annTopkSql,
 
     // Mirror of ml_knn_predict: the ann_topk ranking, then integer label
     // votes with the same (votes DESC, label ASC) argmax.
