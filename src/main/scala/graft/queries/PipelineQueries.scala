@@ -311,6 +311,37 @@ object PipelineQueries {
           Exact.rnd4(col("col")).as("value"))
     },
 
+    // D71: media dedup — exact (content md5) + perceptual (per-bin
+    // 32-level quantization of the histogram features as the LSH key:
+    // near-identical media land in the same cell). Same-key buckets
+    // (≤64 cap, the D20 aggregate-count guard) explode to pairs verified
+    // by L1 histogram distance ≤ 0.01 — candidates O(matches), never
+    // O(corpus²); the decode/feature stage is the same seam a real
+    // perceptual hash (pHash/blockhash) fills.
+    "multimodal_dedup" -> { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val h = Multimodal.embedStub(decode(col("payload"), "utf-8"))
+      val qkey = concat_ws(",",
+        transform(col("h"), v => floor(v * 32).cast("int").cast("string")))
+      val base = media.select(col("media_id"),
+          md5(col("payload")).as("chash"), h.as("h"))
+        .withColumn("qk", qkey)
+      val sizes = base.groupBy("qk").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 64).select("qk")
+      val capped = base.join(broadcast(sizes), Seq("qk"))
+      val a = capped.select(col("qk"), col("media_id").as("media_a"),
+        col("chash").as("ch_a"), col("h").as("h_a"))
+      val b = capped.select(col("qk"), col("media_id").as("media_b"),
+        col("chash").as("ch_b"), col("h").as("h_b"))
+      val l1 = aggregate(zip_with(col("h_a"), col("h_b"),
+        (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
+      a.join(b, Seq("qk")).filter(col("media_a") < col("media_b"))
+        .withColumn("l1r", l1).filter(col("l1r") <= 0.01)
+        .select(col("media_a"), col("media_b"),
+          (col("ch_a") === col("ch_b")).as("exact_dup"),
+          Exact.rnd4(col("l1r")).as("l1"))
+    },
+
     // D17 with real weights: the same histogram features routed through
     // the graft-mlp encoder asset (load_stac_ml → batched MlpSession
     // matmuls) — media → embedding with an ACTUAL model deciding the
@@ -575,6 +606,42 @@ object PipelineQueries {
         |         / CAST(greatest(len(cs), 1) AS DOUBLE)) * 10000 + 0.5)
         |    / 10000.0 AS value
         |FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bins""".stripMargin,
+
+    // Mirror of multimodal_dedup: the ord()-histogram CTE (the verified
+    // multimodal_embed mirror), threshold phash bits, same bucket cap,
+    // pair L1 via the same sequential list fold.
+    "multimodal_dedup" ->
+      """WITH codes AS (
+        |  SELECT doc_id AS media_id, md5(text) AS chash,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> ord(substr(text, i, 1))) AS cs
+        |  FROM documents),
+        |hist AS (
+        |  SELECT media_id, chash,
+        |    list_transform(generate_series(0, 15), b ->
+        |      len(list_filter(cs, c -> c // 16 = b))
+        |        / CAST(greatest(len(cs), 1) AS DOUBLE)) AS h
+        |  FROM codes),
+        |ph AS (
+        |  SELECT media_id, chash, h,
+        |    array_to_string(list_transform(h, v ->
+        |      CAST(CAST(floor(v * 32) AS INTEGER) AS VARCHAR)), ',') AS qk
+        |  FROM hist),
+        |ok AS (SELECT qk FROM ph GROUP BY qk HAVING count(*) <= 64),
+        |cap AS (SELECT ph.* FROM ph JOIN ok USING (qk)),
+        |pr AS (
+        |  SELECT a.media_a, b.media_b,
+        |    a.ch_a = b.ch_b AS exact_dup,
+        |    list_sum(list_transform(generate_series(1, 16),
+        |      i -> abs(a.h_a[i] - b.h_b[i]))) AS l1r
+        |  FROM (SELECT qk, media_id AS media_a, chash AS ch_a, h AS h_a
+        |        FROM cap) a
+        |  JOIN (SELECT qk, media_id AS media_b, chash AS ch_b, h AS h_b
+        |        FROM cap) b
+        |    ON a.qk = b.qk AND a.media_a < b.media_b)
+        |SELECT media_a, media_b, exact_dup,
+        |  floor((l1r) * 10000 + 0.5) / 10000.0 AS l1
+        |FROM pr WHERE l1r <= 0.01""".stripMargin,
 
     // Mirrors embedStub → ExternalModel.predict(MlpSession) neuron-for-
     // neuron from the same weight literals (the ml_predict_mlp playbook):
