@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
       s"tree scoring must be a zero-shuffle literal map:\n$p")
   }
 
+  test("forest and boost scoring are map-only literal CASE chains") {
+    Seq("ml_forest_fit", "ml_boost_fit", "ml_cv_ridge").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q scoring must be a zero-shuffle literal map:\n$p")
+    }
+  }
+
   test("winnow overlap: bucket cap broadcasts, no cartesian, no window sort") {
     val p = plan(SparkEntry.queries("text_winnow_overlap")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"cap filter must broadcast:\n$p")
