@@ -151,6 +151,26 @@ object MlQueries {
       graft.ml.TreeProbe.forestQuery(Tables.documents(s, d))
     },
 
+    // A13 × A4/A5: the fitted CART through a save→load roundtrip — the
+    // persisted sidecar (graft-tree JSON, toString-exact doubles) must
+    // score IDENTICALLY, proven by sharing ml_tree_fit's hash oracle.
+    "ml_tree_roundtrip" -> { (s, d) =>
+      import graft.ml.{ProbeModels, RidgeProbe, TreeProbe}
+      val xs = Seq("x1", "x2", "x3")
+      val feats = RidgeProbe.qualityFeatures(Tables.documents(s, d)).persist()
+      val fitted = TreeProbe.fit(feats, xs, "y", depth = 3, lit(1L), None)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tree_model_").toString + "/probe.json"
+      ProbeModels.write(s, path, ProbeModels.treeJson(fitted))
+      val tree = ProbeModels.treeFromJson(ProbeModels.read(s, path))
+      require(tree == fitted, "tree roundtrip must be lossless")
+      val out = feats.withColumn("leaf", TreeProbe.leafCol(tree, xs, 3))
+        .withColumn("pred", TreeProbe.predCol(tree, col("leaf")))
+        .select("doc_id", "x1", "x2", "x3", "y", "leaf", "pred")
+      feats.unpersist(false)
+      out
+    },
+
     // A15: gradient-boosted regression trees (squared loss, 3 rounds of
     // depth-2 trees, ν=0.5) — boosting with every round's tree structure
     // and the final score hash-gated (BoostProbe).
@@ -332,6 +352,18 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // The roundtrip scores with the LOADED model; lossless serialization
+    // means the fitted tree's oracle is its oracle.
+    "ml_tree_roundtrip" -> {
+      val tree = graft.ml.TreeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3, depth = 3,
+        suffix = "", weightSql = "1", featSalt = None)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$tree
+        |SELECT f.doc_id, f.x1, f.x2, f.x3, f.y, pr.leaf, pr.pred
+        |FROM f JOIN pr ON f.doc_id = pr.doc_id""".stripMargin
+    },
 
     // Replay of the 4-fold CV: fold CTE, four ridge chains over the
     // complements, fold-CASE out-of-fold scoring.
