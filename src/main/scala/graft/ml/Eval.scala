@@ -1,0 +1,138 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Exact model-evaluation metrics over a scored table — ROC-AUC via the
+  * Mann-Whitney rank statistic (average-rank tie handling) plus the
+  * threshold confusion metrics (precision / recall / F1 / accuracy).
+  *
+  * The reference records accuracy and Cohen's kappa when it fits a model
+  * (scikit_learn_model.py:160 via ml_fit); this is the same model-QC
+  * seam as a first-class GATE-VERIFIED query: because the probe scores it
+  * evaluates are already bit-identical cross-engine (RidgeProbe), and AUC
+  * is a pure RANK statistic, every metric here is integer-exact counts +
+  * a handful of pinned IEEE divisions — no libm, no approximation, so the
+  * whole evaluation replays in DuckDB.
+  *
+  * AUC with ties: group rows by (already rnd4-gridded) score; for a group
+  * g with n_g rows of which pos_g are positive, the average rank of its
+  * members is cum_before(g) + (n_g + 1)/2, so
+  *   U = Σ_g pos_g · (cum_before(g) + (n_g+1)/2) − n⁺(n⁺+1)/2
+  *   AUC = U / (n⁺ · n⁻)
+  * — half-integer arithmetic, exact in doubles far past any corpus size.
+  *
+  * Scale shape: ONE groupBy(score) collapses the corpus to at most
+  * ~10⁴·range rows (scores live on the rnd4 grid, so the distinct-score
+  * set is BOUNDED regardless of corpus size), then one single-partition
+  * window + final aggregate over that bounded table — the corpus itself
+  * is scanned once and never shuffled beyond the score-key partial agg.
+  */
+object Eval {
+
+  /** Metrics report over per-row scores: `scoreCol` (double, expected on
+    * the rnd4 grid), `yCol` (0/1 label). One output row. */
+  def aucReport(scored: DataFrame, scoreCol: String, yCol: String,
+                threshold: Double): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(yCol).cast("long")).as("pos"))
+    val w = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+    val a = c.agg(
+      sum(col("n")).as("n"),
+      sum(col("pos")).as("n_pos"),
+      // pos·(cb + (n+1)/2) is a half-integer: exact in double AND in the
+      // decimal image, so the sum is order-independent.
+      Exact.esum(col("pos").cast("double") *
+        (col("cb").cast("double") +
+          (col("n").cast("double") + lit(1.0)) / lit(2.0))).as("rank_sum"),
+      sum(when(col("score") >= threshold, col("pos")).otherwise(0L)).as("tp"),
+      sum(when(col("score") >= threshold, col("n")).otherwise(0L))
+        .as("pred_pos"))
+    val nPos = col("n_pos").cast("double")
+    val nNeg = (col("n") - col("n_pos")).cast("double")
+    val u = col("rank_sum") - nPos * (nPos + lit(1.0)) / lit(2.0)
+    val auc = when(col("n_pos") === 0 || col("n") === col("n_pos"), lit(0.5))
+      .otherwise(u / (nPos * nNeg))
+    val tp = col("tp").cast("double")
+    val prec = when(col("pred_pos") === 0, lit(0.0))
+      .otherwise(tp / col("pred_pos").cast("double"))
+    val rec = when(col("n_pos") === 0, lit(0.0)).otherwise(tp / nPos)
+    val f1 = when(prec + rec === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    val acc = (tp + (col("n") - col("pred_pos") -
+      (col("n_pos") - col("tp"))).cast("double")) / col("n").cast("double")
+    a.select(
+      col("n"), col("n_pos"), col("tp"),
+      (col("pred_pos") - col("tp")).as("fp"),
+      (col("n_pos") - col("tp")).as("fn"),
+      (col("n") - col("pred_pos") - (col("n_pos") - col("tp"))).as("tn"),
+      Exact.rnd4(auc).as("auc"),
+      Exact.rnd4(prec).as("prec"),
+      Exact.rnd4(rec).as("rec"),
+      Exact.rnd4(f1).as("f1"),
+      Exact.rnd4(acc).as("acc"))
+  }
+
+  /** DuckDB mirror of [[aucReport]] as a CTE suffix over a `scoredCte`
+    * exposing `score` and 0/1 `y`. Terminal CTE: `eval_out`. Every double
+    * op is structurally identical to the Column DAG above; count sums are
+    * CAST to BIGINT (DuckDB sums to HUGEINT). */
+  def oracleSql(scoredCte: String, threshold: Double): String = {
+    val th = threshold.toString
+    s"""eg AS (
+       |  SELECT score, count(*) AS n, CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+       |  FROM $scoredCte GROUP BY score),
+       |ec AS (
+       |  SELECT score, n, pos,
+       |    coalesce(CAST(sum(n) OVER (ORDER BY score ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cb
+       |  FROM eg),
+       |ea AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(CAST(CAST(pos AS DOUBLE) * (CAST(cb AS DOUBLE)
+       |      + (CAST(n AS DOUBLE) + 1.0) / 2.0) AS DECIMAL(38,10)))
+       |      AS DOUBLE) AS rank_sum,
+       |    CAST(sum(CASE WHEN score >= $th THEN pos ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN score >= $th THEN n ELSE 0 END) AS BIGINT)
+       |      AS pred_pos
+       |  FROM ec),
+       |eval_out AS (
+       |  SELECT n, n_pos, tp, pred_pos - tp AS fp, n_pos - tp AS fn,
+       |    n - pred_pos - (n_pos - tp) AS tn,
+       |    floor((CASE WHEN n_pos = 0 OR n = n_pos THEN 0.5
+       |      ELSE (rank_sum - CAST(n_pos AS DOUBLE)
+       |              * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       |           / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+       |      END) * 10000 + 0.5) / 10000.0 AS auc,
+       |    floor((CASE WHEN pred_pos = 0 THEN 0.0
+       |      ELSE CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END)
+       |      * 10000 + 0.5) / 10000.0 AS prec,
+       |    floor((CASE WHEN n_pos = 0 THEN 0.0
+       |      ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END)
+       |      * 10000 + 0.5) / 10000.0 AS rec,
+       |    floor((CASE WHEN (CASE WHEN pred_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END)
+       |      + (CASE WHEN n_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END) = 0.0
+       |      THEN 0.0
+       |      ELSE 2.0 * (CASE WHEN pred_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END)
+       |        * (CASE WHEN n_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END)
+       |        / ((CASE WHEN pred_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END)
+       |        + (CASE WHEN n_pos = 0 THEN 0.0
+       |        ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END))
+       |      END) * 10000 + 0.5) / 10000.0 AS f1,
+       |    floor(((CAST(tp AS DOUBLE) + CAST(n - pred_pos - (n_pos - tp)
+       |      AS DOUBLE)) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS acc
+       |  FROM ea)""".stripMargin
+  }
+}

@@ -186,6 +186,18 @@ object MlQueries {
         lambda = 0.001, threshold = 0.5)
     },
 
+    // A19: gate-verified model evaluation — exact ROC-AUC (Mann-Whitney
+    // rank statistic, average-rank ties) + threshold confusion metrics of
+    // the D58 ridge probe against its curation label. The reference's
+    // ml_fit metric report (accuracy/kappa, scikit_learn_model.py:160) as
+    // a first-class query: a pure rank statistic over already-bit-exact
+    // scores, so the WHOLE evaluation replays in DuckDB.
+    "ml_eval_auc" -> { (s, d) =>
+      graft.ml.Eval.aucReport(
+        graft.ml.RidgeProbe.qualityProbe(Tables.documents(s, d)),
+        "score", "y", threshold = 0.5)
+    },
+
     "ml_rf_fit_predict" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = MlProcesses.mlFit(
@@ -352,6 +364,21 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Mirror of ml_eval_auc: the ridge-probe replay (RidgeProbe.oracleSql
+    // — identical weights and scores) followed by the Eval rank-statistic
+    // chain (Eval.oracleSql): grouped score table, cumulative-rank window,
+    // half-integer U statistic and pinned-division metrics.
+    "ml_eval_auc" -> {
+      val probe = graft.ml.RidgeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lambda = 0.001, threshold = 0.5)
+      val eval = graft.ml.Eval.oracleSql("scored", threshold = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$probe,
+        |$eval
+        |SELECT * FROM eval_out""".stripMargin
+    },
 
     // The roundtrip scores with the LOADED model; lossless serialization
     // means the fitted tree's oracle is its oracle.

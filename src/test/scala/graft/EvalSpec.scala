@@ -1,0 +1,57 @@
+package graft
+
+import graft.ml.Eval
+
+/** Exact ROC-AUC + threshold metrics (A19): hand-computed fixtures
+  * including ties, the degenerate one-class case, and partition
+  * invariance of the rank statistic. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(rows: Seq[(Double, Double)], th: Double = 0.5) =
+    Eval.aucReport(rows.toDF("score", "y"), "score", "y", th).head()
+
+  test("perfect separation gives AUC 1, random flip gives 0") {
+    val perfect = report(Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)))
+    assert(perfect.getAs[Double]("auc") == 1.0)
+    assert(perfect.getAs[Double]("prec") == 1.0 &&
+      perfect.getAs[Double]("rec") == 1.0 && perfect.getAs[Double]("f1") == 1.0)
+    val inverted = report(Seq((0.9, 0.0), (0.8, 0.0), (0.2, 1.0), (0.1, 1.0)))
+    assert(inverted.getAs[Double]("auc") == 0.0)
+  }
+
+  test("ties use average ranks: hand-computed AUC") {
+    // scores: 0.3(y0), 0.5(y0), 0.5(y1), 0.7(y1)
+    // ranks: 0.3→1, the two 0.5s→2.5 avg, 0.7→4
+    // U = (2.5 + 4) − 2·3/2 = 3.5 ; AUC = 3.5/(2·2) = 0.875
+    val r = report(Seq((0.3, 0.0), (0.5, 0.0), (0.5, 1.0), (0.7, 1.0)))
+    assert(r.getAs[Double]("auc") == 0.875, s"auc=${r.getAs[Double]("auc")}")
+    // at threshold 0.5: tp=2, fp=1, fn=0, tn=1
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 0 && r.getAs[Long]("tn") == 1)
+    assert(r.getAs[Double]("prec") == 0.6667) // rnd4(2/3)
+    assert(r.getAs[Double]("rec") == 1.0)
+    assert(r.getAs[Double]("acc") == 0.75)
+  }
+
+  test("one-class input degrades to AUC 0.5, metrics defined") {
+    val r = report(Seq((0.9, 1.0), (0.2, 1.0)))
+    assert(r.getAs[Double]("auc") == 0.5)
+    assert(r.getAs[Double]("rec") == 0.5) // one of two positives ≥ 0.5
+    val n = report(Seq((0.9, 0.0), (0.2, 0.0)))
+    assert(n.getAs[Double]("auc") == 0.5 && n.getAs[Double]("rec") == 0.0)
+  }
+
+  test("rank statistic is partition-invariant (exact sums)") {
+    val rows = (0 until 256).map { i =>
+      (math.floor(i % 37 / 37.0 * 10000 + 0.5) / 10000.0,
+        if ((i * 7) % 3 == 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("score", "y")
+    val a = Eval.aucReport(df.repartition(17), "score", "y", 0.5).head()
+    val b = Eval.aucReport(df.coalesce(1), "score", "y", 0.5).head()
+    assert(java.lang.Double.doubleToLongBits(a.getAs[Double]("auc")) ==
+      java.lang.Double.doubleToLongBits(b.getAs[Double]("auc")))
+    assert(a.getAs[Long]("tp") == b.getAs[Long]("tp"))
+  }
+}
