@@ -25,6 +25,38 @@ object TextQueries {
   private val mixDefaultWeight = 0.025
   private val mixBudget = 8000L
 
+  /** D72 collocation mining over any (doc_id, text) corpus — see the
+    * `text_collocations` entry for the design notes. */
+  private[graft] def collocations(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val uni = corpus.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = corpus.select(explode(shingles(t, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val tot = corpus.agg(
+      sum(size(t).cast("long")).as("tt"),
+      sum(when(size(t) >= 2, size(t) - 1).otherwise(0).cast("long"))
+        .as("bt"))
+    val joined = bi
+      .withColumn("wa", split(col("bigram"), " ").getItem(0))
+      .withColumn("wb", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("wa"), col("cw").as("ca"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))), "wb")
+      .crossJoin(broadcast(tot))
+    val lift = col("cab").cast("double") * col("tt").cast("double") *
+      col("tt").cast("double") /
+      (col("bt").cast("double") * col("ca").cast("double") *
+        col("cb").cast("double"))
+    joined.withColumn("lift", Exact.rnd4(lift))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("bigram").asc)))
+      .filter(col("rank") <= 32)
+      .select(col("rank"), col("bigram"), col("cab"), col("ca"),
+        col("cb"), col("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D10: whitespace + BPE-ish token counting, chars/4 estimator.
@@ -527,6 +559,19 @@ object TextQueries {
         .select(col("rank"), col("term"), col("a").as("en_docs"),
           (col("ab") - col("a")).as("other_docs"), col("chi2"))
     },
+
+    // D72: collocation mining — the corpus's most-associated bigrams by
+    // PMI in its LOG-FREE lift form: lift(a,b) = (c(ab)/B)/((c(a)/T)²-ish
+    // = c(ab)·T²/(B·c(a)·c(b)), a strictly monotone transform of PMI
+    // (PMI = ln lift), so the ranking is identical while every number
+    // stays exact integer counts + pinned IEEE multiply/divide (the D51
+    // rational-idf lesson — no libm ln anywhere). The phrase-discovery
+    // step of corpus curation (multi-word-expression vocab, tokenizer
+    // seeding). Shuffle shape: one O(tokens) bigram explode collapsed by
+    // partial agg to O(distinct bigrams), unigram counts broadcast back,
+    // final rank on term-level rows — corpus scanned twice, never joined
+    // row-wise.
+    "text_collocations" -> { (s, d) => collocations(docs(s, d)) },
 
     // D66: MOSS winnowing — per-doc fingerprint SET selected as the
     // rightmost window minimum over 3-gram hashes (window 4): every
@@ -1411,6 +1456,38 @@ object TextQueries {
         |  SELECT term, a AS en_docs, other_docs, chi2,
         |    row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rank
         |  FROM sc) WHERE rank <= 32""".stripMargin,
+
+    // Mirror of text_collocations: same counts, the same multiply/divide
+    // DAG for the lift, the same (lift DESC, bigram ASC) rank.
+    "text_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |bi AS (
+        |  SELECT bigram, count(*) AS cab FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        |    FROM toks) GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS tt,
+        |    CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END)
+        |      AS BIGINT) AS bt
+        |  FROM toks),
+        |j AS (
+        |  SELECT bi.bigram, bi.cab, a.cw AS ca, b.cw AS cb,
+        |    floor((CAST(bi.cab AS DOUBLE) * CAST(tot.tt AS DOUBLE)
+        |      * CAST(tot.tt AS DOUBLE)
+        |      / (CAST(tot.bt AS DOUBLE) * CAST(a.cw AS DOUBLE)
+        |         * CAST(b.cw AS DOUBLE))) * 10000 + 0.5) / 10000.0 AS lift
+        |  FROM bi
+        |  JOIN uni a ON a.w = string_split(bi.bigram, ' ')[1]
+        |  JOIN uni b ON b.w = string_split(bi.bigram, ' ')[2]
+        |  CROSS JOIN tot)
+        |SELECT rank, bigram, cab, ca, cb, lift FROM (
+        |  SELECT bigram, cab, ca, cb, lift,
+        |    row_number() OVER (ORDER BY lift DESC, bigram ASC) AS rank
+        |  FROM j) WHERE rank <= 32""".stripMargin,
 
     // Mirror of text_winnow: same 3-gram hash sequence (8-hex md5 fold),
     // same rightmost-window-minimum selection over window starts, same

@@ -292,6 +292,26 @@ class TextSpec extends SparkSpec {
       "the winnowing guarantee: a 6-token shared run must share a fingerprint")
   }
 
+  test("collocations: hand-computed lift values and the min-count floor") {
+    import spark.implicits._
+    // 10 docs of "x y z x y w": T=60 tokens, B=50 bigrams;
+    // c(x y)=20, c(x)=c(y)=20 -> lift = 20*60^2/(50*20*20) = 3.6;
+    // "q r" appears in only 4 docs -> under the >=5 floor, dropped.
+    val docs = ((0 until 10).map(i => (i.toLong, "x y z x y w")) ++
+      (10 until 14).map(i => (i.toLong, "q r")) ++
+      Seq((14L, "y k y m"))).toDF("doc_id", "text")
+    val rows = graft.queries.TextQueries.collocations(docs).collect()
+    val byBigram = rows.map(r => r.getAs[String]("bigram") -> r).toMap
+    // T=72 tokens, B=57 bigrams; c(x y)=20, c(x)=20, c(y)=22
+    val expected = math.floor(20.0 * 72 * 72 / (57.0 * 20 * 22) * 10000 + 0.5) / 10000
+    assert(byBigram("x y").getAs[Double]("lift") == expected)
+    assert(byBigram("x y").getAs[Long]("cab") == 20)
+    assert(!byBigram.contains("q r"), "4 occurrences is under the >=5 floor")
+    // perfect association at lower frequency out-lifts: z always precedes x
+    assert(byBigram("z x").getAs[Double]("lift") >
+      byBigram("x y").getAs[Double]("lift"))
+  }
+
   test("winnowing density is ~2/(w+1) and every window is covered") {
     import spark.implicits._
     val text = (0 until 500).map(i => s"tok${i * 7919 % 1003}").mkString(" ")
