@@ -199,6 +199,14 @@ object SimQueries {
         nlist = 16, coarse = Some(coarse16(s, d)))
     },
 
+    // D73: Johnson-Lindenstrauss ±1 projection (Achlioptas) — 64 floats →
+    // 16 doubles as a pure zero-shuffle map; signs are md5-parity plan
+    // literals the oracle generator recomputes, every coordinate a
+    // left-associated ±x fold. norm_ratio shows the JL distortion.
+    "embed_project" -> { (s, d) =>
+      graft.sim.Project.jlProject(Tables.embeddings(s, d))
+    },
+
     // D63: embedding-space outlier scoring — diagonal-Mahalanobis norm
     // from one exact moment pass; means/stds as plan literals, zero
     // shuffle. τ=9 ≈ the 64-dim z-norm envelope.
@@ -617,6 +625,13 @@ object SimQueries {
         |    AS recall
         |FROM ov""".stripMargin
     },
+
+    // Mirror of embed_project: the generator re-derives the md5-parity
+    // signs and emits the identical left-associated ±x chains.
+    "embed_project" ->
+      s"""SELECT vec_id,
+        |  ${graft.sim.Project.jlOracleSelect("embedding")}
+        |FROM embeddings""".stripMargin,
 
     "embed_pca" -> graft.ml.Pca.oracleSql(dims = 64, iters = 10),
     "embed_pca2" -> graft.ml.Pca.oracleSql2(dims = 64, iters = 6),
