@@ -186,6 +186,16 @@ object MlQueries {
         lambda = 0.001, threshold = 0.5)
     },
 
+    // A20: multinomial Naive Bayes over token counts — count-based text
+    // routing (language/domain classification), hash-gated end-to-end:
+    // training is two exact count aggregations, scoring a pinned ln DAG
+    // with decimal-exact per-class sums, prediction an argmax on the rnd4
+    // grid with class-name tie-break. Class list is a pinned model
+    // parameter, so the oracle stays static SQL.
+    "ml_nb_fit" -> { (s, d) =>
+      graft.ml.NaiveBayesProbe.fitScore(Tables.documents(s, d))
+    },
+
     // A19: gate-verified model evaluation — exact ROC-AUC (Mann-Whitney
     // rank statistic, average-rank ties) + threshold confusion metrics of
     // the D58 ridge probe against its curation label. The reference's
@@ -364,6 +374,9 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Mirror of ml_nb_fit: identical count CTEs and score DAG (generator).
+    "ml_nb_fit" -> graft.ml.NaiveBayesProbe.oracleSql(),
 
     // Mirror of ml_eval_auc: the ridge-probe replay (RidgeProbe.oracleSql
     // — identical weights and scores) followed by the Eval rank-statistic
