@@ -1,0 +1,132 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** D74: PageRank centrality over the near-duplicate candidate graph —
+  * graph importance as a curation signal: within a duplication
+  * neighborhood the most-connected document is the canonical carrier
+  * (template hubs, boilerplate centers, heavily-mirrored originals), the
+  * graph twin of the quality-based keep-best policy (D47) and a crawl
+  * re-prioritization signal.
+  *
+  * Fixed-iteration power method (iters = 4, damping 0.85) with uniform
+  * dangling-mass redistribution:
+  *
+  *   r₀ = 1/N;  rₜ₊₁(v) = (1−α)/N + α·(Σ_{u→v} rₜ(u)/deg(u) + Dₜ/N)
+  *
+  * where Dₜ is the total rank on isolated nodes. Every per-node sum is
+  * decimal-exact ([[Exact.esum]]) so each iterate is partition-invariant,
+  * divisions are pinned IEEE ops, and the oracle unrolls the identical
+  * recurrence (CTEs MATERIALIZED — each iterate is referenced twice, and
+  * inlined it would re-run the minhash chain exponentially). Output is
+  * r·N (relative centrality, mean 1) on the rnd4 grid.
+  *
+  * Scale shape: the canonical distributed PageRank — per iteration ONE
+  * ranks⋈edges join (both sides keyed on the node id; at lake scale the
+  * edge set is pre-partitioned by src once and every iteration reuses
+  * that partitioning) and one O(edges) partial-agg shuffle; the dangling
+  * term is a 1-row aggregate. Iterates persist round-to-round with the
+  * previous round explicitly unpersisted (the star-contraction loop's
+  * lineage discipline); the final iterate stays cached for the consumer
+  * (caller-owned, the jaccardAuto convention).
+  */
+object GraphRank {
+
+  /** PageRank over undirected candidate `pairs` (doc_a, doc_b) among
+    * `nodes` (single id column). Returns (id, deg, rank_score). */
+  def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
+               damping: Double = 0.85): DataFrame = {
+    val idCol = nodes.columns.head
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.select(col(idCol).as("id"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
+      .persist()
+    for (_ <- 0 until iters) {
+      val dangling = ranks.join(deg, Seq("id"), "left_anti")
+        .agg(coalesce(Exact.esum(col("r")), lit(0.0)).as("d"))
+      val contrib = ranks.join(deg, "id")
+        .select(col("id"), (col("r") / col("deg").cast("double")).as("m"))
+        .join(edges, col("id") === col("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(Exact.esum(col("m")).as("c"))
+      val next = nodes.select(col(idCol).as("id"))
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n").cast("double") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("d") / col("n").cast("double"))).as("r"))
+        .persist()
+      next.count() // materialize before dropping the previous iterate
+      ranks.unpersist(false)
+      ranks = next
+    }
+    val out = ranks
+      .join(deg, Seq("id"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("id").as("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        Exact.rnd4(col("r") * col("n").cast("double")).as("rank_score"))
+    edges.unpersist(false)
+    deg.unpersist(false)
+    out
+  }
+
+  /** Oracle CTE suffix over `cand` (doc_a, doc_b) and `corpus` (doc_id)
+    * CTEs: unrolled fixed-iteration replay. Terminal CTE: `pr_out`. */
+  def oracleSql(iters: Int = 4, damping: Double = 0.85): String = {
+    val a = damping.toString
+    val oneMinus = (1.0 - damping).toString
+    val iterCtes = (1 to iters).map { t =>
+      s"""prd$t AS MATERIALIZED (
+         |  SELECT coalesce(CAST(sum(CAST(r.r AS DECIMAL(38,10))) AS DOUBLE),
+         |    0.0) AS d
+         |  FROM prr${t - 1} r LEFT JOIN prdeg dg ON dg.id = r.id
+         |  WHERE dg.id IS NULL),
+         |prc$t AS MATERIALIZED (
+         |  SELECT e.dst AS id,
+         |    CAST(sum(CAST(r.r / CAST(dg.deg AS DOUBLE) AS DECIMAL(38,10)))
+         |      AS DOUBLE) AS c
+         |  FROM prr${t - 1} r
+         |  JOIN prdeg dg ON dg.id = r.id
+         |  JOIN predges e ON e.src = r.id
+         |  GROUP BY e.dst),
+         |prr$t AS MATERIALIZED (
+         |  SELECT nd.id,
+         |    $oneMinus / CAST(nn.n AS DOUBLE)
+         |      + $a * (coalesce(c.c, 0.0) + d.d / CAST(nn.n AS DOUBLE)) AS r
+         |  FROM prnodes nd
+         |  LEFT JOIN prc$t c ON c.id = nd.id
+         |  CROSS JOIN prn nn CROSS JOIN prd$t d)""".stripMargin
+    }.mkString(",\n")
+    s"""predges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |prnodes AS MATERIALIZED (SELECT doc_id AS id FROM corpus),
+       |prn AS (SELECT count(*) AS n FROM prnodes),
+       |prdeg AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS deg FROM predges GROUP BY 1),
+       |prr0 AS MATERIALIZED (
+       |  SELECT id, 1.0 / CAST(nn.n AS DOUBLE) AS r
+       |  FROM prnodes CROSS JOIN prn nn),
+       |$iterCtes,
+       |pr_out AS (
+       |  SELECT r.id AS doc_id, coalesce(dg.deg, 0) AS deg,
+       |    floor((r.r * CAST(nn.n AS DOUBLE)) * 10000 + 0.5) / 10000.0
+       |      AS rank_score
+       |  FROM prr$iters r
+       |  LEFT JOIN prdeg dg ON dg.id = r.id
+       |  CROSS JOIN prn nn)""".stripMargin
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, GraphRank}
 
 /** Deduplication operators exercised on the `documents` / `embeddings`
   * tables (SURVEY.md §2D1–D5).
@@ -198,6 +198,18 @@ object DedupQueries {
         Dedup.minhashStarEdges(Dedup.minhashSignatures(clusterCorpus(s, d))))
     },
 
+    // D74: PageRank centrality over the near-dup candidate graph — the
+    // most-connected member of a duplication neighborhood is its
+    // canonical carrier (the graph twin of keep-best); fixed-iteration
+    // power method with exact per-node sums, output = r·N on the rnd4
+    // grid.
+    "dedup_graph_rank" -> { (s, d) =>
+      val corpus = nearCorpus(s, d)
+      GraphRank.pageRank(corpus.select("doc_id"),
+        Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+          .select("doc_a", "doc_b"))
+    },
+
     // D54: leakage-guarded split — split assignment hashes the CLUSTER
     // root, not the doc id, so a truncated mirror of a train doc can
     // never land in test (held-out contamination). Same component map as
@@ -308,6 +320,13 @@ object DedupQueries {
         |  1 - max(CASE WHEN s.doc_id <> o.owner THEN 1 ELSE 0 END) AS kept
         |FROM s JOIN owners o ON s.band = o.band AND s.sig = o.sig
         |GROUP BY s.doc_id""".stripMargin,
+
+    // Mirror of dedup_graph_rank: the same candidate chain, then the
+    // unrolled fixed-iteration PageRank replay (GraphRank.oracleSql).
+    "dedup_graph_rank" ->
+      s"""WITH $minhashSigSql,
+        |${GraphRank.oracleSql()}
+        |SELECT doc_id, deg, rank_score FROM pr_out""".stripMargin,
 
     // exact components via a recursive reachability CTE (min label over
     // everything reachable = component minimum) — the Spark side converges
