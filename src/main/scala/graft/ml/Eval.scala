@@ -79,6 +79,65 @@ object Eval {
       Exact.rnd4(acc).as("acc"))
   }
 
+  /** Cohen's kappa over multi-class (pred, actual) pairs — the metric the
+    * reference records at ml_fit time (scikit_learn_model.py:160)
+    * alongside accuracy. κ = (p_o − p_e)/(1 − p_e) with the chance
+    * agreement p_e from the row/column marginals. Exact counts, pinned
+    * divisions; marginal products go through doubles (no long overflow at
+    * lake-scale N²) with a decimal-exact sum over the O(classes) rows. */
+  def kappaReport(preds: DataFrame, predCol: String,
+                  actualCol: String): DataFrame = {
+    val totals = preds.agg(count(lit(1)).as("n"),
+      sum(when(col(predCol) === col(actualCol), 1L).otherwise(0L))
+        .as("agree"))
+    val rowM = preds.groupBy(col(actualCol).as("k"))
+      .agg(count(lit(1)).as("ra"))
+    val colM = preds.groupBy(col(predCol).as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val peSum = rowM.join(colM, Seq("k"), "outer")
+      .agg(Exact.esum(coalesce(col("ra"), lit(0L)).cast("double") *
+        coalesce(col("ca"), lit(0L)).cast("double")).as("s"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val pe = col("s") / (nD * nD)
+    val kappa = when(lit(1.0) - pe === 0.0, lit(0.0))
+      .otherwise((po - pe) / (lit(1.0) - pe))
+    totals.crossJoin(broadcast(peSum)).select(
+      col("n"), col("agree"),
+      Exact.rnd4(po).as("po"),
+      Exact.rnd4(pe).as("pe"),
+      Exact.rnd4(kappa).as("kappa"))
+  }
+
+  /** DuckDB mirror of [[kappaReport]] as a CTE suffix over a `predsCte`
+    * exposing pred `cls` and `actual`. Terminal CTE: `kappa_out`. */
+  def kappaOracleSql(predsCte: String): String =
+    s"""kn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN cls = actual THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS agree
+       |  FROM $predsCte),
+       |kr AS (SELECT actual AS k, count(*) AS ra FROM $predsCte GROUP BY 1),
+       |kc AS (SELECT cls AS k, count(*) AS ca FROM $predsCte GROUP BY 1),
+       |kp AS (
+       |  SELECT CAST(sum(CAST(CAST(coalesce(ra, 0) AS DOUBLE)
+       |    * CAST(coalesce(ca, 0) AS DOUBLE) AS DECIMAL(38,10)))
+       |    AS DOUBLE) AS s
+       |  FROM kr FULL OUTER JOIN kc ON kr.k = kc.k),
+       |kappa_out AS (
+       |  SELECT n, agree,
+       |    floor((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 10000 + 0.5) / 10000.0 AS po,
+       |    floor((s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      * 10000 + 0.5) / 10000.0 AS pe,
+       |    floor((CASE WHEN 1.0 - s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |        = 0.0 THEN 0.0
+       |      ELSE (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |            - s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |           / (1.0 - s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      END) * 10000 + 0.5) / 10000.0 AS kappa
+       |  FROM kn CROSS JOIN kp)""".stripMargin
+
   /** DuckDB mirror of [[aucReport]] as a CTE suffix over a `scoredCte`
     * exposing `score` and 0/1 `y`. Terminal CTE: `eval_out`. Every double
     * op is structurally identical to the Column DAG above; count sums are

@@ -85,10 +85,17 @@ object NaiveBayesProbe {
 
   /** DuckDB mirror: the identical count CTEs and score DAG. */
   def oracleSql(classes: Seq[String] = defaultClasses,
-                alpha: Double = 1.0): String = {
+                alpha: Double = 1.0): String =
+    s"""WITH ${oracleCtes(classes, alpha)}
+       |SELECT doc_id, cls, score, is_pred, actual FROM nbout""".stripMargin
+
+  /** CTE chain ending in `nbout` (doc_id, cls, score, is_pred, actual) —
+    * shared by the fit oracle and metric consumers (kappa). */
+  def oracleCtes(classes: Seq[String] = defaultClasses,
+                 alpha: Double = 1.0): String = {
     val clsList = classes.map(c => s"'$c'").mkString("[", ", ", "]")
     val a = alpha.toString
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
        |  FROM documents),
        |tok_c AS (SELECT lang AS cls, count(*) AS tot FROM toks GROUP BY 1),
@@ -117,11 +124,12 @@ object NaiveBayesProbe {
        |      + ln(CAST(d.nd AS DOUBLE) / CAST(n.n AS DOUBLE)))
        |      * 10000 + 0.5) / 10000.0 AS score
        |  FROM contrib c JOIN doc_c d ON d.cls = c.cls CROSS JOIN n
-       |  GROUP BY c.doc_id, c.cls, d.nd, n.n)
-       |SELECT sc.doc_id, sc.cls, sc.score,
-       |  row_number() OVER (PARTITION BY sc.doc_id
-       |    ORDER BY sc.score DESC, sc.cls ASC) = 1 AS is_pred,
-       |  doc.lang AS actual
-       |FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id""".stripMargin
+       |  GROUP BY c.doc_id, c.cls, d.nd, n.n),
+       |nbout AS (
+       |  SELECT sc.doc_id, sc.cls, sc.score,
+       |    row_number() OVER (PARTITION BY sc.doc_id
+       |      ORDER BY sc.score DESC, sc.cls ASC) = 1 AS is_pred,
+       |    doc.lang AS actual
+       |  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id)""".stripMargin
   }
 }

@@ -196,6 +196,17 @@ object MlQueries {
       graft.ml.NaiveBayesProbe.fitScore(Tables.documents(s, d))
     },
 
+    // A21: Cohen's kappa + accuracy over the NB router's predictions —
+    // the multi-class metric report the reference emits at ml_fit time,
+    // as a gate query: exact counts, chance agreement from the marginals,
+    // pinned divisions.
+    "ml_eval_kappa" -> { (s, d) =>
+      graft.ml.Eval.kappaReport(
+        graft.ml.NaiveBayesProbe.fitScore(Tables.documents(s, d))
+          .filter(col("is_pred")),
+        "cls", "actual")
+    },
+
     // A19: gate-verified model evaluation — exact ROC-AUC (Mann-Whitney
     // rank statistic, average-rank ties) + threshold confusion metrics of
     // the D58 ridge probe against its curation label. The reference's
@@ -377,6 +388,14 @@ object MlQueries {
 
     // Mirror of ml_nb_fit: identical count CTEs and score DAG (generator).
     "ml_nb_fit" -> graft.ml.NaiveBayesProbe.oracleSql(),
+
+    // Mirror of ml_eval_kappa: the NB chain, prediction rows, then the
+    // marginal-product kappa CTEs.
+    "ml_eval_kappa" ->
+      s"""WITH ${graft.ml.NaiveBayesProbe.oracleCtes()},
+        |kpred AS (SELECT cls, actual FROM nbout WHERE is_pred),
+        |${graft.ml.Eval.kappaOracleSql("kpred")}
+        |SELECT n, agree, po, pe, kappa FROM kappa_out""".stripMargin,
 
     // Mirror of ml_eval_auc: the ridge-probe replay (RidgeProbe.oracleSql
     // — identical weights and scores) followed by the Eval rank-statistic

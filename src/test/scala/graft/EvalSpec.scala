@@ -42,6 +42,27 @@ class EvalSpec extends SparkSpec {
     assert(n.getAs[Double]("auc") == 0.5 && n.getAs[Double]("rec") == 0.0)
   }
 
+  test("kappa: hand-computed confusion, perfect and chance agreement") {
+    // pred/actual over 2 classes: a,a  a,a  a,b  b,b -> po=3/4
+    // marginals: pred a=3,b=1; actual a=2,b=2
+    // pe = (2*3 + 2*1)/16 = 0.5 ; kappa = (0.75-0.5)/0.5 = 0.5
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("cls", "actual")
+    val r = Eval.kappaReport(df, "cls", "actual").head()
+    assert(r.getAs[Long]("agree") == 3)
+    assert(r.getAs[Double]("po") == 0.75 && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.5)
+    val perfect = Eval.kappaReport(
+      Seq(("a", "a"), ("b", "b")).toDF("cls", "actual"), "cls", "actual")
+      .head()
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    // constant predictions AND labels: pe = 1 -> defined as 0
+    val const = Eval.kappaReport(
+      Seq(("a", "a"), ("a", "a")).toDF("cls", "actual"), "cls", "actual")
+      .head()
+    assert(const.getAs[Double]("kappa") == 0.0)
+  }
+
   test("rank statistic is partition-invariant (exact sums)") {
     val rows = (0 until 256).map { i =>
       (math.floor(i % 37 / 37.0 * 10000 + 0.5) / 10000.0,
