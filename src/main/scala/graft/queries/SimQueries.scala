@@ -199,6 +199,14 @@ object SimQueries {
         nlist = 16, coarse = Some(coarse16(s, d)))
     },
 
+    // D75: farthest-first k-center selection (Gonzalez) — the greedy
+    // coverage-maximizing coreset: 8 centers, every vector assigned to
+    // its nearest center with the true distance; the whole greedy
+    // trajectory (seed, every argmax round) replays in the oracle.
+    "embed_kcenter" -> { (s, d) =>
+      graft.sim.KCenter.coverQuery(Tables.embeddings(s, d), k = 8)
+    },
+
     // D73: Johnson-Lindenstrauss ±1 projection (Achlioptas) — 64 floats →
     // 16 doubles as a pure zero-shuffle map; signs are md5-parity plan
     // literals the oracle generator recomputes, every coordinate a
@@ -625,6 +633,14 @@ object SimQueries {
         |    AS recall
         |FROM ov""".stripMargin
     },
+
+    // Mirror of embed_kcenter: the greedy trajectory replayed round for
+    // round (KCenter.oracleSql), then the same (score, idx) assignment.
+    "embed_kcenter" ->
+      s"""WITH knc AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        |${graft.sim.KCenter.oracleSql(k = 8, dims = 64)}
+        |SELECT id AS vec_id, center_idx, center_id, dist, is_center
+        |FROM kc_out""".stripMargin,
 
     // Mirror of embed_project: the generator re-derives the md5-parity
     // signs and emits the identical left-associated ±x chains.
