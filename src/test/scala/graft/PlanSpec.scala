@@ -66,6 +66,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("JL projection is a pure map: signs are literals, no Exchange") {
+    val p = plan(SparkEntry.queries("embed_project")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection must be a zero-shuffle literal map:\n$p")
+    assert(p.contains("*("), "projection must be whole-stage codegen")
+  }
+
+  test("collocations: unigram/total tables broadcast back to the bigrams") {
+    val full = plan(SparkEntry.queries("text_collocations")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized join allowed:\n$p")
+  }
+
+  test("naive bayes: corpus joins only broadcast sides, no row-to-row join") {
+    val full = plan(SparkEntry.queries("ml_nb_fit")(spark, sfDir))
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"the NB grid and marginals must broadcast:\n$p")
+  }
+
+  test("k-center assignment is map-only over center literals") {
+    val p = plan(SparkEntry.queries("embed_kcenter")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must be a zero-shuffle literal map:\n$p")
+  }
+
   test("winnow overlap: bucket cap broadcasts, no cartesian, no window sort") {
     val p = plan(SparkEntry.queries("text_winnow_overlap")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"cap filter must broadcast:\n$p")
