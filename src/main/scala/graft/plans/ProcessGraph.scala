@@ -575,8 +575,10 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     // appear only at the dedup bucket hops and the pack window).
 
     case "load_documents" =>
+      // lang rides along for label-consuming nodes (classify_nb); the
+      // curation nodes project it away in their own selects.
       Tables.documents(spark, dataDir)
-        .select(col("doc_id"), col("source"), col("text"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
 
     case "filter_language" =>
       val d = docsArg(args, evalNode)
@@ -703,6 +705,28 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       graft.ml.Pca.fitProject(docsArg(args, evalNode),
         dims = args.path("dims").asInt(64),
         iters = args.path("iterations").asInt(10))
+
+    // A20/A21 as graph nodes: the NB router fit+score and its kappa
+    // report — multi-class classification + evaluation declared in a
+    // graph, landing on the direct queries' rows (shared oracles).
+    case "classify_nb" =>
+      graft.ml.NaiveBayesProbe.fitScore(docsArg(args, evalNode))
+
+    case "evaluate_kappa" =>
+      val preds = docsArg(args, evalNode)
+      graft.ml.Eval.kappaReport(preds.filter(col("is_pred")),
+        args.path("pred").asText("cls"), args.path("actual").asText("actual"))
+
+    // D73/D75 as graph nodes: JL projection and k-center coverage over
+    // any embedding-typed node value.
+    case "project_embeddings" =>
+      graft.sim.Project.jlProject(docsArg(args, evalNode),
+        outDims = args.path("out_dims").asInt(16),
+        dims = args.path("dims").asInt(64))
+
+    case "kcenter_cover" =>
+      graft.sim.KCenter.coverQuery(docsArg(args, evalNode),
+        k = args.path("k").asInt(8))
 
     // D59/D60 as graph nodes: learn a BPE merge table from the corpus, or
     // train-and-tokenize in one declared step.

@@ -425,6 +425,34 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // NB routing + evaluation as a TWO-model-node graph (A20 → A21):
+    // classify then kappa-report the predictions — identical rows to
+    // ml_eval_kappa → shares its hash oracle.
+    "process_graph_nb" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "route": {"process_id": "classify_nb",
+          |            "arguments": {"data": {"from_node": "src"}}},
+          |  "eval":  {"process_id": "evaluate_kappa",
+          |            "arguments": {"data": {"from_node": "route"}},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
+    // Coverage selection as a graph chain (D75): k-center cover declared
+    // over the embedding node — identical rows to embed_kcenter → shares
+    // its hash oracle.
+    "process_graph_kcenter" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb": {"process_id": "load_embeddings", "arguments": {}},
+          |  "cov": {"process_id": "kcenter_cover",
+          |          "arguments": {"data": {"from_node": "emb"}, "k": 8},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // Forest TRAINING as a graph node (A14): load → bootstrap-fit 4 CARTs
     // + vote in one declared chain; identical rows to ml_forest_fit →
     // shares its hash oracle.
@@ -727,6 +755,8 @@ object PipelineQueries {
     "process_graph_probe" -> TextQueries.oracle("text_quality_fit"),
 
     "process_graph_forest" -> MlQueries.oracle("ml_forest_fit"),
+    "process_graph_nb" -> MlQueries.oracle("ml_eval_kappa"),
+    "process_graph_kcenter" -> SimQueries.oracle("embed_kcenter"),
 
     "process_graph_boost" -> MlQueries.oracle("ml_boost_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
