@@ -448,7 +448,8 @@ class PipelineSpec extends SparkSpec {
         |                     "default_weight": 0.1, "budget": 4000},
         |       "result": true}}""".stripMargin)
     assert(mixed.columns.toSeq ==
-      Seq("doc_id", "source", "text"), "mix node must keep the doc table")
+      Seq("doc_id", "source", "lang", "text"),
+      "mix node must keep the doc table (incl. the lang label column)")
     assert(mixed.count() > 0 && mixed.count() < docs.count())
     // unknown curation argument types fail loudly, not silently
     val ex = intercept[IllegalArgumentException] {
