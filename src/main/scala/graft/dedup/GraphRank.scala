@@ -36,51 +36,60 @@ import graft.core.Exact
 object GraphRank {
 
   /** PageRank over undirected candidate `pairs` (doc_a, doc_b) among
-    * `nodes` (single id column). Returns (id, deg, rank_score). */
+    * `nodes` (single id column). Returns (id, deg, rank_score).
+    *
+    * N and each round's dangling mass Dₜ are DRIVER literals (one count
+    * job up front, one decimal-exact 1-row aggregate per round — the
+    * probe-fit convention); the update expression keeps the exact IEEE
+    * DAG the oracle mirrors, only with the two scalars inlined. The edge
+    * set and degree table are force-materialized once and stay cached
+    * for the returned plan (caller-owned, the jaccardAuto convention) —
+    * without that the terminal consumer would recompute the whole
+    * candidate chain for the final degree join. */
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
                damping: Double = 0.85): DataFrame = {
     val idCol = nodes.columns.head
-    val n = nodes.agg(count(lit(1)).as("n"))
+    val ids = nodes.select(col(idCol).as("id")).persist()
+    val nD = ids.count().toDouble
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg")).persist()
-    var ranks = nodes.select(col(idCol).as("id"))
-      .crossJoin(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
-      .persist()
+    deg.count() // materialize edges + deg once, before the rounds
+    var ranks = ids.select(col("id"), lit(1.0 / nD).as("r")).persist()
+    // the dangling aggregate doubles as the round's materializing action:
+    // one job per iteration computes Dₜ for the NEXT round and pins the
+    // current iterate in the cache
+    def danglingOf(r: DataFrame): Double = r
+      .join(deg, Seq("id"), "left_anti")
+      .agg(coalesce(Exact.esum(col("r")), lit(0.0)).as("d"))
+      .head().getDouble(0)
+    var dVal = danglingOf(ranks)
     for (_ <- 0 until iters) {
-      val dangling = ranks.join(deg, Seq("id"), "left_anti")
-        .agg(coalesce(Exact.esum(col("r")), lit(0.0)).as("d"))
       val contrib = ranks.join(deg, "id")
         .select(col("id"), (col("r") / col("deg").cast("double")).as("m"))
         .join(edges, col("id") === col("src"))
         .groupBy(col("dst").as("id"))
         .agg(Exact.esum(col("m")).as("c"))
-      val next = nodes.select(col(idCol).as("id"))
+      val next = ids
         .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(n))
-        .crossJoin(broadcast(dangling))
         .select(col("id"),
-          (lit(1.0 - damping) / col("n").cast("double") +
+          (lit(1.0 - damping) / lit(nD) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("d") / col("n").cast("double"))).as("r"))
+              lit(dVal) / lit(nD))).as("r"))
         .persist()
-      next.count() // materialize before dropping the previous iterate
+      dVal = danglingOf(next) // materializes `next`, feeds the next round
       ranks.unpersist(false)
       ranks = next
     }
-    val out = ranks
+    ids.unpersist(false)
+    ranks
       .join(deg, Seq("id"), "left")
-      .crossJoin(broadcast(n))
       .select(col("id").as("doc_id"),
         coalesce(col("deg"), lit(0L)).as("deg"),
-        Exact.rnd4(col("r") * col("n").cast("double")).as("rank_score"))
-    edges.unpersist(false)
-    deg.unpersist(false)
-    out
+        Exact.rnd4(col("r") * lit(nD)).as("rank_score"))
   }
 
   /** Oracle CTE suffix over `cand` (doc_a, doc_b) and `corpus` (doc_id)
