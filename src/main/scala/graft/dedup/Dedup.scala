@@ -233,6 +233,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
   }
 
+  /** D76: asymmetric containment on the LSH candidates — C(A→B) =
+    * |A∩B|/|A|. Symmetric Jaccard under-rates asymmetric duplication (a
+    * tweet-length quote inside an article, a truncated mirror of a long
+    * original: J can sit far below any dedup threshold while the smaller
+    * side is ~fully contained), so curation pipelines score containment
+    * alongside resemblance (Broder's original pair of estimators). Same
+    * single-corpus-pass plan as [[jaccard]] — the pair regroup shuffle is
+    * O(candidates) — emitting both directions plus Jaccard, keeping pairs
+    * where either direction reaches `threshold`.
+    */
+  def containment(docs: DataFrame, candidates: DataFrame, w: Int = 4,
+                  threshold: Double = 0.9, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+    val tagged = candidates.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val agg = sh.join(broadcast(tagged), Seq(idCol))
+      .groupBy("doc_a", "doc_b").agg(
+        first(when(col(idCol) === col("doc_a"), col("_shs")),
+          ignoreNulls = true).as("_sha"),
+        first(when(col(idCol) === col("doc_b"), col("_shs")),
+          ignoreNulls = true).as("_shb"))
+    val nInter = size(array_intersect(col("_sha"), col("_shb")))
+    val cAb = nInter.cast("double") / size(col("_sha"))
+    val cBa = nInter.cast("double") / size(col("_shb"))
+    val j = nInter.cast("double") /
+      (size(col("_sha")) + size(col("_shb")) - nInter)
+    agg.filter(greatest(cAb, cBa) >= threshold)
+      .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"),
+        Exact.rnd4(cAb).as("contain_ab"), Exact.rnd4(cBa).as("contain_ba"),
+        Exact.rnd4(j).as("jaccard"))
+  }
+
   // ---- D23: first-wins (online) near-dedup --------------------------------
 
   /** First-wins near-dedup verdict per document: a document is KEPT iff it

@@ -163,6 +163,16 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D76: asymmetric containment — the truncated variants are ~fully
+    // contained in their originals even where symmetric Jaccard dips, the
+    // quote/truncation signal a resemblance threshold alone misses.
+    "dedup_containment" -> { (s, d) =>
+      val corpus = nearCorpus(s, d)
+      Dedup.containment(corpus,
+        Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+          .select("doc_a", "doc_b"))
+    },
+
     // D23: the per-document first-wins verdict (the streaming contract in
     // its whole-corpus batch form; DedupStreams is the incremental twin,
     // batch≡stream pinned in StreamingSpec).
@@ -427,6 +437,32 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
+
+    // Mirror of dedup_containment: same shingle sets and intersection,
+    // both directed ratios plus Jaccard, greatest() threshold.
+    "dedup_containment" ->
+      s"""WITH $minhashSigSql,
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.doc_a
+        |  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, CAST(n_inter AS INTEGER) AS n_inter,
+        |  floor((CAST(n_inter AS DOUBLE) / sa.n_sh) * 10000 + 0.5)
+        |    / 10000.0 AS contain_ab,
+        |  floor((CAST(n_inter AS DOUBLE) / sb.n_sh) * 10000 + 0.5)
+        |    / 10000.0 AS contain_ba,
+        |  floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter))
+        |        * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+        |               CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.9""".stripMargin,
 
     // Mirrors Dedup.dupSpans(w=8): the same md5-prefix gram hash, per
     // (doc, gram) multiplicities, cross-doc carrier counts, and the

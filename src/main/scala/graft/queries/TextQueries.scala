@@ -25,6 +25,25 @@ object TextQueries {
   private val mixDefaultWeight = 0.025
   private val mixBudget = 8000L
 
+  /** D77 token-distribution entropy over any (doc_id, text) corpus — see
+    * the `text_entropy` entry for the design notes. */
+  private[graft] def entropy(corpus: DataFrame): DataFrame = {
+    val dt = corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    val ag = dt.groupBy("doc_id").agg(
+      sum(col("k")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      Exact.esum(col("k").cast("double") * log(col("k").cast("double")))
+        .as("s"))
+    val nD = col("n_tokens").cast("double")
+    val h = log(nD) - col("s") / nD
+    ag.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      Exact.rnd4(h).as("entropy"),
+      Exact.rnd4(when(col("n_tokens") <= 1, lit(0.0))
+        .otherwise(lit(1.0) - h / log(nD))).as("redundancy"))
+  }
+
   /** D72 collocation mining over any (doc_id, text) corpus — see the
     * `text_collocations` entry for the design notes. */
   private[graft] def collocations(corpus: DataFrame): DataFrame = {
@@ -559,6 +578,16 @@ object TextQueries {
         .select(col("rank"), col("term"), col("a").as("en_docs"),
           (col("ab") - col("a")).as("other_docs"), col("chi2"))
     },
+
+    // D77: token-distribution Shannon entropy — the compressibility
+    // quality proxy (low entropy relative to length = repetitive,
+    // templated or looping text; the signal a gzip-ratio filter
+    // approximates). entropy = ln(n) − Σ k·ln(k)/n from exact per-term
+    // counts (ln on the D30 precedent; the k·ln(k) sum is decimal-exact
+    // so the per-doc value is partition-invariant); `redundancy` =
+    // 1 − H/ln(n) normalizes to [0,1]. One O(doc-terms) partial-agg
+    // shuffle + one per-doc regroup — the tf-idf shape.
+    "text_entropy" -> { (s, d) => entropy(docs(s, d)) },
 
     // D72: collocation mining — the corpus's most-associated bigrams by
     // PMI in its LOG-FREE lift form: lift(a,b) = (c(ab)/B)/((c(a)/T)²-ish
@@ -1456,6 +1485,29 @@ object TextQueries {
         |  SELECT term, a AS en_docs, other_docs, chi2,
         |    row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rank
         |  FROM sc) WHERE rank <= 32""".stripMargin,
+
+    // Mirror of text_entropy: same per-term counts, the same ln DAG and
+    // decimal k·ln(k) sum, redundancy from the unrounded entropy.
+    "text_entropy" ->
+      """WITH etk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |edt AS (SELECT doc_id, term, count(*) AS k FROM etk GROUP BY 1, 2),
+        |eag AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CAST(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+        |      AS DECIMAL(38,10))) AS DOUBLE) AS s
+        |  FROM edt GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  floor((ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE))
+        |    * 10000 + 0.5) / 10000.0 AS entropy,
+        |  floor((CASE WHEN n_tokens <= 1 THEN 0.0
+        |    ELSE 1.0 - (ln(CAST(n_tokens AS DOUBLE))
+        |                - s / CAST(n_tokens AS DOUBLE))
+        |               / ln(CAST(n_tokens AS DOUBLE)) END)
+        |    * 10000 + 0.5) / 10000.0 AS redundancy
+        |FROM eag""".stripMargin,
 
     // Mirror of text_collocations: same counts, the same multiply/divide
     // DAG for the lift, the same (lift DESC, bigram ASC) rank.

@@ -223,6 +223,25 @@ class DedupSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("containment flags a full quote that Jaccard under-rates") {
+    import spark.implicits._
+    val long = (0 until 80).map(i => s"w$i").mkString(" ")
+    val quote = (0 until 20).map(i => s"w$i").mkString(" ") // 25% of long
+    val docs = Seq((1L, long), (2L, quote)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containment(docs, pairs).head()
+    // quote's 17 shingles all inside long's 77
+    assert(r.getAs[Double]("contain_ba") == 1.0, "quote fully contained")
+    assert(r.getAs[Double]("jaccard") < 0.5,
+      "jaccard alone would miss this pair")
+    assert(r.getAs[Int]("n_inter") == 17)
+    // below-threshold overlap in BOTH directions yields no row
+    val disjoint = Seq((3L, (80 until 160).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.containment(docs.unionByName(disjoint),
+      Seq((1L, 3L)).toDF("doc_a", "doc_b")).count() == 0)
+  }
+
   test("novelty: later copies score 0, first carriers score 1, mixes in between") {
     import spark.implicits._
     val base = "a b c d e f g h i j"

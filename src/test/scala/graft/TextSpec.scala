@@ -292,6 +292,28 @@ class TextSpec extends SparkSpec {
       "the winnowing guarantee: a 6-token shared run must share a fingerprint")
   }
 
+  test("entropy: uniform text maxes out, constant text hits zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // uniform: H = ln 4, redundancy 0
+      (2L, "a a a a"),            // constant: H = 0, redundancy 1
+      (3L, "a a b b")             // H = ln 2 over n=4
+    ).toDF("doc_id", "text")
+    val got = entropyOf(docs)
+    def rnd(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got(1L)._1 == rnd(math.log(4.0)))
+    assert(got(1L)._2 == 0.0)
+    assert(got(2L)._1 == rnd(math.log(4.0) - 4.0 * math.log(4.0) / 4.0))
+    assert(got(2L)._2 == 1.0)
+    assert(got(3L)._1 == rnd(math.log(4.0) - (2 * 2.0 * math.log(2.0)) / 4.0))
+  }
+
+  private def entropyOf(docs: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Double, Double)] =
+    graft.queries.TextQueries.entropy(docs).collect()
+      .map(x => (x.getLong(0),
+        (x.getAs[Double]("entropy"), x.getAs[Double]("redundancy")))).toMap
+
   test("collocations: hand-computed lift values and the min-count floor") {
     import spark.implicits._
     // 10 docs of "x y z x y w": T=60 tokens, B=50 bigrams;
