@@ -36,15 +36,17 @@ object NaiveBayesProbe {
 
   val defaultClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
-  /** Fit + score in one plan over a (doc_id, lang, text) corpus. Output:
-    * one row per (doc, class) with the rnd4 log-posterior `score`,
-    * `is_pred` on the argmax row, and the true label `actual`. */
-  def fitScore(docs: DataFrame, classes: Seq[String] = defaultClasses,
-               alpha: Double = 1.0): DataFrame = {
+  /** Fitted model tables: the smoothed (cls, term, cnt, tot, v) grid and
+    * the (cls, nd) priors with the corpus total — static DataFrames a
+    * scoring pass (batch or per-micro-batch, E17) joins against. */
+  case class NbModel(grid: DataFrame, docC: DataFrame, nTot: DataFrame)
+
+  /** Train on a (doc_id, lang, text) corpus: two exact count
+    * aggregations over one token explode. */
+  def fit(docs: DataFrame, classes: Seq[String] = defaultClasses): NbModel = {
     val s = docs.sparkSession
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-      .persist()
     val tokC = toks.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).as("tot"))
     val docC = docs.groupBy(col("lang").as("cls"))
@@ -60,8 +62,20 @@ object NaiveBayesProbe {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .join(broadcast(tokC), "cls")
       .crossJoin(broadcast(vCnt))
-    val dt = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
-    val contrib = dt.join(broadcast(grid), "term")
+    NbModel(grid, docC, nTot)
+  }
+
+  /** Score any (doc_id, lang, text) table against a fitted model — a
+    * per-batch join + aggregate with no state, so it applies unchanged
+    * inside a foreachBatch ingest stream (E17: train offline, score on
+    * the stream — the NB twin of E13/E15). Output: one row per
+    * (doc, class) with the rnd4 log-posterior, `is_pred` on the argmax
+    * row, and the true label `actual`. */
+  def score(docs: DataFrame, m: NbModel, alpha: Double = 1.0): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    val contrib = dt.join(broadcast(m.grid), "term")
       .select(col("doc_id"), col("cls"),
         (col("k").cast("double") *
           log((col("cnt").cast("double") + lit(alpha)) /
@@ -69,19 +83,21 @@ object NaiveBayesProbe {
               lit(alpha) * col("v").cast("double")))).as("c"))
     val sc = contrib.groupBy("doc_id", "cls")
       .agg(Exact.esum(col("c")).as("ll"))
-      .join(broadcast(docC), "cls")
-      .crossJoin(broadcast(nTot))
+      .join(broadcast(m.docC), "cls")
+      .crossJoin(broadcast(m.nTot))
       .withColumn("score", Exact.rnd4(col("ll") +
         log(col("nd").cast("double") / col("n").cast("double"))))
-    val out = sc
-      .withColumn("is_pred", row_number().over(
+    sc.withColumn("is_pred", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("cls").asc)) === 1)
       .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
       .select("doc_id", "cls", "score", "is_pred", "actual")
-    toks.unpersist(false)
-    out
   }
+
+  /** Fit + score in one plan over a (doc_id, lang, text) corpus. */
+  def fitScore(docs: DataFrame, classes: Seq[String] = defaultClasses,
+               alpha: Double = 1.0): DataFrame =
+    score(docs, fit(docs, classes), alpha)
 
   /** DuckDB mirror: the identical count CTEs and score DAG. */
   def oracleSql(classes: Seq[String] = defaultClasses,

@@ -565,6 +565,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E17 NB scoring on an ingest stream equals the fit-time verdicts") {
+    import spark.implicits._
+    import graft.ml.NaiveBayesProbe
+    // model trained offline on the static corpus; each micro-batch is
+    // scored by the same stateless join+aggregate (foreachBatch — the
+    // per-doc argmax needs a per-batch window, which is batch-shaped
+    // state like E9/E16), so micro-batched arrival must reproduce the
+    // fit-time verdicts exactly
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val batchDf = docs.toDF("doc_id", "lang", "text")
+    val model = NaiveBayesProbe.fit(batchDf)
+    val got = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, Double, Boolean, String)]
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val q = ms.toDF().toDF("doc_id", "lang", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= NaiveBayesProbe.score(batch, model).collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getBoolean(3), r.getString(4)))
+        ()
+      }.start()
+    try {
+      docs.grouped(30).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = got.toSeq
+        .toDF("doc_id", "cls", "score", "is_pred", "actual")
+      assert(streamed.count() == 90 * 5)
+      val batch = NaiveBayesProbe.fitScore(batchDf)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streamed NB verdicts diverge from the fit-time scoring")
+    } finally q.stop()
+  }
+
   test("E16 online GD training via foreachBatch equals the driver chunk loop") {
     import spark.implicits._
     import graft.ml.{LogisticProbe, RidgeProbe}
