@@ -79,6 +79,26 @@ object Eval {
       Exact.rnd4(acc).as("acc"))
   }
 
+  /** A22: calibration (reliability) table — per predicted-probability
+    * decile: count, mean prediction, empirical positive rate, gap. Exact
+    * counts + decimal-exact sums; O(10) output rows regardless of corpus
+    * size. */
+  def calibration(scored: DataFrame, scoreCol: String = "score",
+                  yCol: String = "y"): DataFrame = {
+    val binned = scored.select(
+      least(floor(col(scoreCol) * 10).cast("int"), lit(9)).as("bin"),
+      col(scoreCol).as("score"), col(yCol).as("y"))
+    val g = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      Exact.esum(col("score")).as("sp"),
+      Exact.esum(col("y")).as("spos"))
+    val nD = col("n").cast("double")
+    g.select(col("bin"), col("n"),
+      Exact.rnd4(col("sp") / nD).as("mean_pred"),
+      Exact.rnd4(col("spos") / nD).as("pos_rate"),
+      Exact.rnd4(col("sp") / nD - col("spos") / nD).as("gap"))
+  }
+
   /** Cohen's kappa over multi-class (pred, actual) pairs — the metric the
     * reference records at ml_fit time (scikit_learn_model.py:160)
     * alongside accuracy. κ = (p_o − p_e)/(1 − p_e) with the chance

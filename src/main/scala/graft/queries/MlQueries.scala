@@ -207,6 +207,17 @@ object MlQueries {
         "cls", "actual")
     },
 
+    // A22: calibration (reliability) table for the logistic probe — per
+    // predicted-probability decile: count, mean prediction, empirical
+    // positive rate, and the gap. The model-QC diagnostic that tells a
+    // curation pipeline whether a probe's scores can be thresholded as
+    // probabilities. Exact counts + decimal-exact sums over the already
+    // bit-exact sigmoid scores; O(10) output rows.
+    "ml_eval_calibration" -> { (s, d) =>
+      graft.ml.Eval.calibration(
+        graft.ml.LogisticProbe.qualityLogistic(Tables.documents(s, d)))
+    },
+
     // A19: gate-verified model evaluation — exact ROC-AUC (Mann-Whitney
     // rank statistic, average-rank ties) + threshold confusion metrics of
     // the D58 ridge probe against its curation label. The reference's
@@ -396,6 +407,33 @@ object MlQueries {
         |kpred AS (SELECT cls, actual FROM nbout WHERE is_pred),
         |${graft.ml.Eval.kappaOracleSql("kpred")}
         |SELECT n, agree, po, pe, kappa FROM kappa_out""".stripMargin,
+
+    // Mirror of ml_eval_calibration: the logistic replay, the same decile
+    // binning and decimal-exact per-bin means.
+    "ml_eval_calibration" -> {
+      val gd = graft.ml.LogisticProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lr = 4.0, iters = 12, threshold = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$gd,
+        |calb AS (
+        |  SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+        |    score, y
+        |  FROM lscored),
+        |calg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(score AS DECIMAL(38,10))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS spos
+        |  FROM calb GROUP BY 1)
+        |SELECT bin, n,
+        |  floor((sp / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0
+        |    AS mean_pred,
+        |  floor((spos / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0
+        |    AS pos_rate,
+        |  floor((sp / CAST(n AS DOUBLE) - spos / CAST(n AS DOUBLE))
+        |    * 10000 + 0.5) / 10000.0 AS gap
+        |FROM calg""".stripMargin
+    },
 
     // Mirror of ml_eval_auc: the ridge-probe replay (RidgeProbe.oracleSql
     // — identical weights and scores) followed by the Eval rank-statistic

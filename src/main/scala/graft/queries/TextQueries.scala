@@ -25,6 +25,39 @@ object TextQueries {
   private val mixDefaultWeight = 0.025
   private val mixBudget = 8000L
 
+  /** D78 Zipf rank-frequency least-squares fit over any (doc_id, text)
+    * corpus — see the `text_zipf` entry for the design notes. */
+  private[graft] def zipf(corpus: DataFrame, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = corpus
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      Exact.esum(col("x")).as("sx"), Exact.esum(col("y")).as("sy"),
+      Exact.esum(col("x") * col("x")).as("sxx"),
+      Exact.esum(col("y") * col("y")).as("syy"),
+      Exact.esum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val slope = (col("sxy") - col("sx") * col("sy") / nD) /
+      (col("sxx") - col("sx") * col("sx") / nD)
+    val icept = (col("sy") - slope * col("sx")) / nD
+    val r2num = (nD * col("sxy") - col("sx") * col("sy")) *
+      (nD * col("sxy") - col("sx") * col("sy"))
+    val r2den = (nD * col("sxx") - col("sx") * col("sx")) *
+      (nD * col("syy") - col("sy") * col("sy"))
+    m.select(col("n").as("n_terms"),
+      Exact.rnd4(slope).as("slope"),
+      Exact.rnd4(icept).as("intercept"),
+      Exact.rnd4(when(col("n") <= 1 || r2den === 0.0, lit(0.0))
+        .otherwise(r2num / r2den)).as("r2"))
+  }
+
   /** D77 token-distribution entropy over any (doc_id, text) corpus — see
     * the `text_entropy` entry for the design notes. */
   private[graft] def entropy(corpus: DataFrame): DataFrame = {
@@ -578,6 +611,16 @@ object TextQueries {
         .select(col("rank"), col("term"), col("a").as("en_docs"),
           (col("ab") - col("a")).as("other_docs"), col("chi2"))
     },
+
+    // D78: Zipf rank-frequency fit — the corpus-health diagnostic (a
+    // natural-language corpus follows ln(freq) ≈ a + s·ln(rank) with
+    // s ≈ −1; machine-generated or templated corpora bend the curve):
+    // closed-form least squares of ln(cnt) on ln(rank) over the top-1000
+    // vocabulary. Exact counts → deterministic (cnt DESC, term ASC) rank
+    // → ln pairs → decimal-exact moment sums over ≤1000 term-level rows →
+    // pinned-division slope/intercept/r². The corpus is scanned once into
+    // an O(vocab) aggregate; everything after is corpus-size-independent.
+    "text_zipf" -> { (s, d) => zipf(docs(s, d)) },
 
     // D77: token-distribution Shannon entropy — the compressibility
     // quality proxy (low entropy relative to length = repetitive,
@@ -1485,6 +1528,44 @@ object TextQueries {
         |  SELECT term, a AS en_docs, other_docs, chi2,
         |    row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rank
         |  FROM sc) WHERE rank <= 32""".stripMargin,
+
+    // Mirror of text_zipf: same rank, ln pairs, decimal moments, and the
+    // identical slope/intercept/r² double DAG.
+    "text_zipf" ->
+      """WITH zc AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |zr AS (
+        |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM (SELECT cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        |        FROM zc)
+        |  WHERE rank <= 1000),
+        |zm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+        |  FROM zr)
+        |SELECT n AS n_terms,
+        |  floor(((sxy - sx * sy / CAST(n AS DOUBLE))
+        |    / (sxx - sx * sx / CAST(n AS DOUBLE))) * 10000 + 0.5)
+        |    / 10000.0 AS slope,
+        |  floor(((sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+        |    / (sxx - sx * sx / CAST(n AS DOUBLE))) * sx)
+        |    / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS intercept,
+        |  floor((CASE WHEN n <= 1
+        |      OR (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n AS DOUBLE) * syy - sy * sy) = 0.0 THEN 0.0
+        |    ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |         * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |         / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |            * (CAST(n AS DOUBLE) * syy - sy * sy))
+        |    END) * 10000 + 0.5) / 10000.0 AS r2
+        |FROM zm""".stripMargin,
 
     // Mirror of text_entropy: same per-term counts, the same ln DAG and
     // decimal k·ln(k) sum, redundancy from the unrounded entropy.

@@ -42,6 +42,24 @@ class EvalSpec extends SparkSpec {
     assert(n.getAs[Double]("auc") == 0.5 && n.getAs[Double]("rec") == 0.0)
   }
 
+  test("calibration: perfectly calibrated bins show zero gap") {
+    // bin 2 (0.25): 4 rows, 1 positive -> pos_rate 0.25 = mean_pred
+    // bin 7 (0.75): 4 rows, 3 positive -> pos_rate 0.75 = mean_pred
+    val rows = Seq.fill(3)((0.25, 0.0)) ++ Seq((0.25, 1.0)) ++
+      Seq.fill(3)((0.75, 1.0)) ++ Seq((0.75, 0.0))
+    val out = Eval.calibration(rows.toDF("score", "y")).collect()
+      .map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(out(2).getAs[Long]("n") == 4 &&
+      out(2).getAs[Double]("mean_pred") == 0.25 &&
+      out(2).getAs[Double]("pos_rate") == 0.25 &&
+      out(2).getAs[Double]("gap") == 0.0)
+    assert(out(7).getAs[Double]("gap") == 0.0)
+    // over-confident scores produce a positive gap
+    val over = Eval.calibration(
+      Seq((0.95, 0.0), (0.95, 1.0)).toDF("score", "y")).head()
+    assert(over.getAs[Int]("bin") == 9 && over.getAs[Double]("gap") > 0)
+  }
+
   test("kappa: hand-computed confusion, perfect and chance agreement") {
     // pred/actual over 2 classes: a,a  a,a  a,b  b,b -> po=3/4
     // marginals: pred a=3,b=1; actual a=2,b=2

@@ -292,6 +292,19 @@ class TextSpec extends SparkSpec {
       "the winnowing guarantee: a 6-token shared run must share a fingerprint")
   }
 
+  test("zipf: an exact power law recovers slope -1 with r2 ~ 1") {
+    import spark.implicits._
+    // term t_r repeated floor(1200/r) times: cnt ~ 1200/r -> slope -1
+    val text = (1 to 40).flatMap(r => Seq.fill(1200 / r)(s"t$r"))
+      .mkString(" ")
+    val out = graft.queries.TextQueries.zipf(
+      Seq((1L, text)).toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("n_terms") == 40)
+    val slope = out.getAs[Double]("slope")
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope should be ~ -1")
+    assert(out.getAs[Double]("r2") > 0.99)
+  }
+
   test("entropy: uniform text maxes out, constant text hits zero") {
     import spark.implicits._
     val docs = Seq(
