@@ -717,6 +717,103 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_docs"))
   }
 
+  // ---- D79: banded-Hamming SimHash near-dup pairs -------------------------
+
+  /** 64-bit SimHash signature as FOUR 16-bit integer blocks (b0..b3).
+    *
+    * Bit (16b + j) is the sign of Σ_tokens (hex digit (16b+j+1) of
+    * md5(token) ‖ md5("x:"+token) ≥ '8' ? +1 : −1) — the D3 recipe widened
+    * to 64 bits via the minhash double-digest convention. Keeping the
+    * signature as four small ints rather than one packed Long sidesteps
+    * every signed-shift / two's-complement divergence between engines:
+    * all values live in [0, 65535] and Hamming distance is
+    * Σ_b bit_count(a_b XOR b_b) — pure integer math, identical everywhere.
+    *
+    * Map-side like D3: one double-md5 transform per document, then 64
+    * codegen'd filter-counts over the hash array. Zero shuffle.
+    */
+  def simhashBlockSigs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        transform(TextFunctions.tokens(col(textCol)),
+          t => concat(md5(t), md5(concat(lit("x:"), t)))).as("_hs"))
+    val n = size(col("_hs"))
+    def block(b: Int): Column =
+      (0 until 16).map { j =>
+        val i = b * 16 + j + 1 // 1-based hex-digit position
+        val hits = size(filter(col("_hs"), h => substring(h, i, 1) >= "8"))
+        when(hits * 2 > n, lit(1 << (15 - j))).otherwise(lit(0))
+      }.reduce(_ + _)
+    hashed.select(col(idCol), block(0).as("b0"), block(1).as("b1"),
+      block(2).as("b2"), block(3).as("b3"))
+  }
+
+  /** All document pairs within Hamming distance `maxDist` of each other's
+    * 64-bit SimHash — the published SimHash near-dup algorithm (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07; reference analog: the dedup family of SURVEY §2D). D3 groups
+    * EXACT-equal signatures; real near-dups differ in a few bits, and this
+    * finds them with a pigeonhole guarantee: distance ≤ 3 across 4 blocks
+    * forces at least one block to match exactly, so an equi-join per block
+    * is a COMPLETE candidate generator — no recall loss, unlike LSH.
+    *
+    * Scale shape: signatures map-side; each doc emits 4 (block, key) rows
+    * (O(docs) shuffle, never O(tokens)); candidate volume is governed by
+    * the 16-bit key space — expected bucket size n/2^16 per block, and at
+    * lake scale the block count/width grows with the corpus (Manku's
+    * permuted-table knob) while the ≤`maxBucket` guard bounds degenerate
+    * boilerplate buckets exactly like D20. Verification is two-instruction
+    * integer math (bit_count over XOR) on the pair rows only.
+    *
+    * `n_blocks` (how many of the 4 blocks agree exactly) is emitted as
+    * evidence alongside the distance — both are pure functions of the two
+    * signatures, so the bucket cap can drop candidates without making the
+    * surviving rows ambiguous.
+    */
+  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
+                          maxBucket: Int = 1024, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val sigs = simhashBlockSigs(docs, idCol, textCol)
+    val blocks = sigs.select(col(idCol).as("id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
+    // the D20 aggregate-count guard: sizes collapse map-side to at most
+    // 4·2^16 rows regardless of corpus size; singleton buckets can't form
+    // a pair and are dropped before the join ever sees them
+    val sizes = blocks.groupBy("blk", "key")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .select(col("blk"), col("key"))
+    val bounded = blocks.join(sizes.hint("shuffle_hash"), Seq("blk", "key"))
+    val a = bounded.select(col("blk"), col("key"), col("id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+      col("b3").as("a3"))
+    val b = bounded.select(col("blk").as("_blkb"), col("key").as("_keyb"),
+      col("id").as("doc_b"),
+      col("b0").as("v0"), col("b1").as("v1"), col("b2").as("v2"),
+      col("b3").as("v3"))
+    val ham = (0 until 4).map { i =>
+      bit_count(col(s"a$i").bitwiseXOR(col(s"v$i")))
+    }.reduce(_ + _)
+    val agree = (0 until 4).map { i =>
+      when(col(s"a$i") === col(s"v$i"), lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    a.join(b, col("blk") === col("_blkb") && col("key") === col("_keyb") &&
+        col("doc_a") < col("doc_b"))
+      // a close pair collides in several blocks — collapse to one row per
+      // pair BEFORE the (cheap) distance math; the groupBy keys carry the
+      // signatures so hamming/n_blocks stay pure functions of the pair
+      .groupBy("doc_a", "doc_b", "a0", "a1", "a2", "a3",
+        "v0", "v1", "v2", "v3")
+      .agg(count(lit(1)).as("_hits"))
+      .select(col("doc_a"), col("doc_b"),
+        ham.cast("int").as("hamming"), agree.cast("int").as("n_blocks"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   // ---- D5: embedding cosine near-dup --------------------------------------
 
   /** Sign-LSH bucket signature for an embedding: bit p = sign of the

@@ -182,6 +182,13 @@ object DedupQueries {
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
 
+    // D79: banded-Hamming SimHash pairs (Manku WWW'07) — the truncated
+    // variants land a few bits from their originals, so the distance ≤ 3
+    // battery finds them where D3's exact-signature grouping cannot.
+    "dedup_simhash_band" -> { (s, d) =>
+      Dedup.simhashHammingPairs(nearCorpus(s, d))
+    },
+
     // D27: span-level exact duplication — the truncated variants share
     // their whole prefix with their originals, so their 8-token windows
     // are flagged nearly wall-to-wall.
@@ -560,6 +567,56 @@ object DedupQueries {
         |sigs AS (SELECT doc_id, $sigExpr AS sig FROM bits)
         |SELECT sig, min(doc_id) AS survivor, count(*) AS n_docs
         |FROM sigs GROUP BY 1""".stripMargin
+    },
+
+    "dedup_simhash_band" -> {
+      // 64 sign sums over the double digest, then each 16-bit block as
+      // integer arithmetic with literal weights — no shifts, so signedness
+      // can never diverge between engines (mirrors simhashBlockSigs).
+      val bitSums = (1 to 64).map { i =>
+        s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s_$i"
+      }.mkString(",\n    ")
+      def blockExpr(b: Int) = (0 until 16).map { j =>
+        val i = b * 16 + j + 1
+        s"(CASE WHEN s_$i > 0 THEN ${1 << (15 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      val blockCols = (0 until 4).map(b => s"${blockExpr(b)} AS b$b")
+        .mkString(",\n    ")
+      val hamSql = (0 until 4)
+        .map(i => s"bit_count(xor(CAST(a$i AS BIGINT), CAST(v$i AS BIGINT)))")
+        .mkString(" + ")
+      val agreeSql = (0 until 4)
+        .map(i => s"(CASE WHEN a$i = v$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $nearCorpusSql,
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+        |hs AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id,
+        |    $bitSums
+        |  FROM hs GROUP BY 1),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $blockCols
+        |  FROM bits),
+        |blk AS (
+        |  SELECT doc_id, b0, b1, b2, b3, g.j AS blk,
+        |    CASE g.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+        |  FROM sigs CROSS JOIN generate_series(0, 3) AS g(j)),
+        |bsz AS (
+        |  SELECT blk, key, count(*) AS n FROM blk GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |    b.b0 AS v0, b.b1 AS v1, b.b2 AS v2, b.b3 AS v3
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  JOIN bsz ON bsz.blk = a.blk AND bsz.key = a.key
+        |    AND bsz.n > 1 AND bsz.n <= 1024)
+        |SELECT doc_a, doc_b,
+        |  CAST($hamSql AS INT) AS hamming,
+        |  CAST($agreeSql AS INT) AS n_blocks
+        |FROM pairs
+        |WHERE $hamSql <= 3""".stripMargin
     },
 
     "text_decontaminate" ->

@@ -279,4 +279,43 @@ class DedupSpec extends SparkSpec {
     assert(m(("alien", "twinA"))._1 == 0L && m(("alien", "twinA"))._3 == 0.0)
     assert(m(("alien", "twinB"))._2 == 0.0)
   }
+
+  test("banded-Hamming simhash: complete and exact vs brute force at d<=3") {
+    import spark.implicits._
+    // variant-chained corpus: base docs + one-word and three-word edits
+    val base = (0 until 30).map { i =>
+      (i.toLong,
+        (0 until 40).map(k => s"tok${(i * 7 + k * 3) % 60}").mkString(" "))
+    }
+    val edited = base.map { case (id, t) =>
+      (id + 100L, t.split(" ").drop(2).mkString(" "))
+    }
+    val docs = (base ++ edited).toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    // brute force over the full 64-bit signatures
+    val sigs = Dedup.simhashBlockSigs(docs)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map { case (id, b0, b1, b2, b3) => id -> Array(b0, b1, b2, b3) }
+      .toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = (0 until 4).map(i =>
+        Integer.bitCount(sigs(a)(i) ^ sigs(b)(i))).sum
+      if h <= 3
+    } yield (a, b) -> h).toMap
+    // pigeonhole completeness: every true d<=3 pair found, none invented,
+    // distances exact
+    assert(got == brute,
+      s"banded join diverges from brute force: got ${got.size}, " +
+        s"true ${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain close pairs")
+    // a verbatim duplicate sits at distance 0
+    val twin = Seq((500L, base.head._2), (501L, base.head._2))
+      .toDF("doc_id", "text")
+    val zero = Dedup.simhashHammingPairs(twin).as[(Long, Long, Int, Int)]
+      .collect()
+    assert(zero.toSeq == Seq((500L, 501L, 0, 4)))
+  }
 }
