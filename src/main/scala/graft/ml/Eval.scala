@@ -214,4 +214,67 @@ object Eval {
        |      AS DOUBLE)) / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS acc
        |  FROM ea)""".stripMargin
   }
+
+  /** A23: regression-metric report — n, MSE, RMSE, MAE and R² of a
+    * predicted numeric column against its label, completing the evaluation
+    * family (A19 AUC, A21 kappa, A22 calibration) for the REGRESSION
+    * trainers (A15 boost, the curve fits). The reference records fit-time
+    * metrics at ml_fit (scikit_learn_model.py:160); this is the regression
+    * twin of that report as a first-class gate query.
+    *
+    * Per-row error math is pinned IEEE doubles over already-bit-exact
+    * scores; all five sums go through the decimal image (order-independent,
+    * so the single output row is partition-invariant); R² = 1 − SSE/SST
+    * with the SST ≤ 0 degenerate (constant label) defined as 0, mirrored
+    * in the oracle. One aggregate over one corpus scan — O(1) output. */
+  def regressionReport(scored: DataFrame, scoreCol: String = "score",
+                       yCol: String = "y"): DataFrame = {
+    val err = col(yCol).cast("double") - col(scoreCol).cast("double")
+    val rows = scored.select(col(yCol).cast("double").as("_y"),
+      (err * err).as("_se"), abs(err).as("_ae"))
+    val a = rows.agg(
+      count(lit(1)).as("n"),
+      Exact.esum(col("_se")).as("sse"),
+      Exact.esum(col("_ae")).as("sae"),
+      Exact.esum(col("_y")).as("sy"),
+      Exact.esum(col("_y") * col("_y")).as("syy"))
+    val nD = col("n").cast("double")
+    val mse = col("sse") / nD
+    a.withColumn("sst", col("syy") - col("sy") * col("sy") / nD)
+      .select(col("n"),
+        Exact.rnd4(mse).as("mse"),
+        Exact.rnd4(sqrt(mse)).as("rmse"),
+        Exact.rnd4(col("sae") / nD).as("mae"),
+        Exact.rnd4(when(col("sst") <= 0.0, lit(0.0))
+          .otherwise(lit(1.0) - col("sse") / col("sst"))).as("r2"))
+  }
+
+  /** DuckDB mirror of [[regressionReport]] as a CTE suffix over a
+    * `scoredCte` exposing `score` and numeric `y`. Terminal CTE:
+    * `reg_out`. */
+  def regressionOracleSql(scoredCte: String): String =
+    s"""regr AS (
+       |  SELECT CAST(y AS DOUBLE) AS yy,
+       |    CAST(y AS DOUBLE) - CAST(score AS DOUBLE) AS err
+       |  FROM $scoredCte),
+       |rega AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(err * err AS DECIMAL(38,10))) AS DOUBLE) AS sse,
+       |    CAST(sum(CAST(abs(err) AS DECIMAL(38,10))) AS DOUBLE) AS sae,
+       |    CAST(sum(CAST(yy AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(yy * yy AS DECIMAL(38,10))) AS DOUBLE) AS syy
+       |  FROM regr),
+       |rego AS (
+       |  SELECT n, sse, sae,
+       |    syy - sy * sy / CAST(n AS DOUBLE) AS sst
+       |  FROM rega),
+       |reg_out AS (
+       |  SELECT n,
+       |    floor((sse / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS mse,
+       |    floor(sqrt(sse / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0
+       |      AS rmse,
+       |    floor((sae / CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS mae,
+       |    floor((CASE WHEN sst <= 0.0 THEN 0.0
+       |      ELSE 1.0 - sse / sst END) * 10000 + 0.5) / 10000.0 AS r2
+       |  FROM rego)""".stripMargin
 }

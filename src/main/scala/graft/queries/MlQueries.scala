@@ -230,6 +230,15 @@ object MlQueries {
         "score", "y", threshold = 0.5)
     },
 
+    // A23: regression metrics (MSE/RMSE/MAE/R²) of the gradient-boost
+    // probe's fitted scores against the curation label — the regression
+    // twin of the A19/A21 classification reports, over an already
+    // bit-exact score column so the whole report replays in the oracle.
+    "ml_eval_regression" -> { (s, d) =>
+      graft.ml.Eval.regressionReport(
+        graft.ml.BoostProbe.boostQuery(Tables.documents(s, d)))
+    },
+
     "ml_rf_fit_predict" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = MlProcesses.mlFit(
@@ -489,6 +498,23 @@ object MlQueries {
         |  floor((b.y - b.r) * 10000 + 0.5) / 10000.0 AS score,
         |  floor((b.y - b.r) * 10000 + 0.5) / 10000.0 >= 0.5 AS pred
         |FROM bst b JOIN f ON b.doc_id = f.doc_id""".stripMargin
+    },
+
+    // Mirror of ml_eval_regression: the boost replay down to the same
+    // rnd4 scores, then the decimal-exact moment sums and pinned-division
+    // metric DAG (Eval.regressionOracleSql).
+    "ml_eval_regression" -> {
+      val boost = graft.ml.BoostProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3, depth = 2,
+        rounds = 3, nu = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$boost,
+        |bscored AS (
+        |  SELECT b.y AS y,
+        |    floor((b.y - b.r) * 10000 + 0.5) / 10000.0 AS score
+        |  FROM bst b),
+        |${graft.ml.Eval.regressionOracleSql("bscored")}
+        |SELECT n, mse, rmse, mae, r2 FROM reg_out""".stripMargin
     },
 
     // Replay of the histogram-CART training (TreeProbe.oracleSql): per

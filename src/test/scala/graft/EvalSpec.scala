@@ -93,4 +93,33 @@ class EvalSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(b.getAs[Double]("auc")))
     assert(a.getAs[Long]("tp") == b.getAs[Long]("tp"))
   }
+
+  test("regression report: hand-computed MSE/MAE/R2, degenerates, invariance") {
+    // y: 0,1,1,2 ; score: 0,1,0,2  → errors 0,0,1,0
+    // MSE = 1/4, RMSE = 0.5, MAE = 1/4
+    // ȳ = 1, SST = 1+0+0+1 = 2, R² = 1 − 0.25·4/2 = 0.5
+    val r = Eval.regressionReport(
+      Seq((0.0, 0.0), (1.0, 1.0), (0.0, 1.0), (2.0, 2.0))
+        .toDF("score", "y")).head()
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mse") == 0.25 && r.getAs[Double]("rmse") == 0.5)
+    assert(r.getAs[Double]("mae") == 0.25 && r.getAs[Double]("r2") == 0.5)
+    // perfect fit: zero errors, R² = 1
+    val p = Eval.regressionReport(
+      Seq((0.3, 0.3), (0.7, 0.7), (0.9, 0.9)).toDF("score", "y")).head()
+    assert(p.getAs[Double]("mse") == 0.0 && p.getAs[Double]("r2") == 1.0)
+    // constant label: SST = 0 → R² pinned at the defined 0
+    val c = Eval.regressionReport(
+      Seq((0.4, 1.0), (0.6, 1.0)).toDF("score", "y")).head()
+    assert(c.getAs[Double]("r2") == 0.0 && c.getAs[Double]("mse") == 0.26)
+    // partition invariance of the decimal-exact sums
+    val big = (0 until 500).map(i => (i / 500.0, (i % 3).toDouble))
+    val df = big.toDF("score", "y")
+    val x = Eval.regressionReport(df.repartition(17)).head()
+    val z = Eval.regressionReport(df.coalesce(1)).head()
+    Seq("mse", "rmse", "mae", "r2").foreach { m =>
+      assert(java.lang.Double.doubleToLongBits(x.getAs[Double](m)) ==
+        java.lang.Double.doubleToLongBits(z.getAs[Double](m)), m)
+    }
+  }
 }
