@@ -473,6 +473,63 @@ object TextFunctions {
           .as("lm_score"))
   }
 
+  /** D80: interpolated bigram language-model fluency score — the D30
+    * unigram filter upgraded to the KenLM shape CCNet actually ships:
+    * p(wᵢ | wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/T, with the
+    * unigram OOV floor at 1/T and a document's first token scored by the
+    * context-free unigram term alone. Unseen bigrams (or OOV context)
+    * back off to the unigram leg with p_bi = 0 — plain Jelinek-Mercer
+    * interpolation, no external artifact needed.
+    *
+    * Scale shape: the bigram stream is built MAP-SIDE (zip_with over the
+    * token array against its shifted self — no positional window, no
+    * per-doc sort); unigram vocabulary and context totals are the bounded
+    * O(vocab) artifacts and broadcast; the bigram count table is O(distinct
+    * bigrams) — too big to broadcast at lake scale — so the stream joins
+    * it with a shuffle_hash keyed on (prev, cur): ONE bigram-keyed corpus
+    * shuffle, the same cost class as tf-idf's doc-term aggregation. The
+    * per-document mean is a decimal-exact sum, so no order anywhere.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, minCount: Long = 2,
+                    lambda: Double = 0.75, idCol: String = "doc_id",
+                    textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && lambda > 0.0 && lambda < 1.0,
+      s"bigramLmScore: need minCount >= 1 and 0 < lambda < 1")
+    val toks = tokens(col(textCol))
+    val prevArr = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), size(toks) - 1))
+    val pairs = docs.filter(size(toks) > 0)
+      .select(col(idCol), explode(zip_with(toks, prevArr,
+        (c, p) => struct(c.as("cur"), p.as("prev")))).as("_bg"))
+      .select(col(idCol), col("_bg.cur").as("cur"), col("_bg.prev").as("prev"))
+    val uni = pairs.groupBy("cur").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu")).head().getLong(0)
+    val vocab = uni.filter(col("cu") >= minCount)
+    val ctx = vocab.select(col("cur").as("prev"), col("cu").as("cp"))
+    val bc = pairs.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val pUni = coalesce(col("cu"), lit(1L)).cast("double") /
+      lit(total.toDouble)
+    val pBi = when(col("cb").isNotNull && col("cp").isNotNull,
+      col("cb").cast("double") / col("cp").cast("double")).otherwise(lit(0.0))
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    pairs
+      .join(broadcast(vocab), Seq("cur"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(bc.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .select(col(idCol), (-log(p)).as("_lp"), col("cu").isNull.as("_oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.core.Exact.rnd4(
+          sum(col("_oov").cast("int")).cast("double") / count(lit(1)))
+          .as("oov_rate"),
+        graft.core.Exact.rnd4(graft.core.Exact.eavg(col("_lp")))
+          .as("lm_score"))
+  }
+
   /** D35: DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"), reduced
     * to the unigram feature space: score each document by how much more

@@ -226,6 +226,11 @@ object TextQueries {
     // corpus-trained unigram counts broadcast back over the corpus.
     "text_lm_score" -> { (s, d) => unigramLmScore(docs(s, d)) },
 
+    // D80: the interpolated bigram LM — the KenLM-shaped fluency filter;
+    // unseen bigrams back off to the unigram leg, the first token scores
+    // context-free.
+    "text_lm_bigram" -> { (s, d) => bigramLmScore(docs(s, d)) },
+
     // D31: source mixing to a token budget — up-weighted, down-weighted,
     // defaulted and excluded sources in one mix.
     "text_mix" -> { (s, d) =>
@@ -1234,6 +1239,42 @@ object TextQueries {
         |      AS lp,
         |    v.cnt IS NULL AS oov
         |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((CAST(sum(CAST(oov AS INT)) AS DOUBLE) / count(*))
+        |    * 10000 + 0.5) / 10000.0 AS oov_rate,
+        |  floor((CAST(sum(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+        |    * 10000 + 0.5) / 10000.0 AS lm_score
+        |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // Mirror of TextFunctions.bigramLmScore(minCount=2, lambda=0.75):
+    // identical vocab/bigram cuts, backoff CASE and interpolation DAG.
+    "text_lm_bigram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, toks[k] AS cur,
+        |    CASE WHEN k > 1 THEN toks[k-1] END AS prev
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |    LATERAL unnest(generate_series(1, len(toks))) AS g(k)),
+        |uni AS (SELECT cur AS w, count(*) AS cu FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cu) AS total FROM uni),
+        |voc AS (SELECT w, cu FROM uni WHERE cu >= 2),
+        |bg AS (
+        |  SELECT prev, cur, count(*) AS cb FROM tok
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 2),
+        |lp AS (
+        |  SELECT t.doc_id, v.cu IS NULL AS oov,
+        |    -ln(CASE WHEN t.prev IS NULL
+        |      THEN CAST(COALESCE(v.cu, 1) AS DOUBLE) / CAST(total AS DOUBLE)
+        |      ELSE 0.75 * (CASE WHEN b.cb IS NOT NULL AND c.cu IS NOT NULL
+        |          THEN CAST(b.cb AS DOUBLE) / CAST(c.cu AS DOUBLE)
+        |          ELSE 0.0 END)
+        |        + 0.25 * (CAST(COALESCE(v.cu, 1) AS DOUBLE)
+        |                  / CAST(total AS DOUBLE)) END) AS lp
+        |  FROM tok t
+        |  LEFT JOIN voc v ON t.cur = v.w
+        |  LEFT JOIN voc c ON t.prev = c.w
+        |  LEFT JOIN bg b ON t.prev = b.prev AND t.cur = b.cur
+        |  CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |  floor((CAST(sum(CAST(oov AS INT)) AS DOUBLE) / count(*))
         |    * 10000 + 0.5) / 10000.0 AS oov_rate,

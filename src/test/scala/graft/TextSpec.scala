@@ -185,6 +185,39 @@ class TextSpec extends SparkSpec {
     assert(r(0L).getAs[Double]("lm_score") < r(1L).getAs[Double]("lm_score"))
   }
 
+  test("bigram lm score: interpolation, backoff and first-token handling") {
+    import spark.implicits._
+    // unigrams: a×3, b×3, c×1 → T=7; vocab(≥2) = {a:3, b:3}, c OOV
+    // bigrams: (a,b)×3, (b,a)×1, (b,c)×1 → only (a,b) survives minCount
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val r = TextFunctions.bigramLmScore(docs, minCount = 2, lambda = 0.75)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val t = 7.0
+    val pFirstA = 3.0 / t                    // first token: unigram only
+    val pAB = 0.75 * (3.0 / 3.0) + 0.25 * (3.0 / t) // seen bigram
+    val pBA = 0.75 * 0.0 + 0.25 * (3.0 / t) // (b,a) cut → backoff
+    val pBC = 0.75 * 0.0 + 0.25 * (1.0 / t) // OOV cur + cut bigram
+    val lm0 = (-math.log(pFirstA) - math.log(pAB) - math.log(pBA) -
+      math.log(pAB)) / 4
+    val lm1 = (-math.log(pFirstA) - math.log(pAB) - math.log(pBC)) / 3
+    assert(r(0L).getAs[Double]("lm_score") == rnd4(lm0))
+    assert(r(0L).getAs[Double]("oov_rate") == 0.0)
+    assert(r(1L).getAs[Double]("lm_score") == rnd4(lm1))
+    assert(r(1L).getAs[Double]("oov_rate") == rnd4(1.0 / 3))
+    // the high-probability chain is the more fluent one
+    assert(r(0L).getAs[Double]("lm_score") < r(1L).getAs[Double]("lm_score"))
+    // partition invariance: decimal-exact sums, no positional state
+    val many = (0 until 200).map(i => (i.toLong,
+      (0 until 20).map(k => s"w${(i + k * 3) % 17}").mkString(" ")))
+    val df = many.toDF("doc_id", "text")
+    val x1 = TextFunctions.bigramLmScore(df.repartition(13))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val x2 = TextFunctions.bigramLmScore(df.coalesce(1))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(x1 == x2)
+  }
+
   test("dsir: hand-computed importance scores and stratified selection") {
     import spark.implicits._
     // target = src0 = {a a b}; other = src1 = {a c, c c}
