@@ -83,6 +83,13 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // D81: MMR diversified re-ranking — exact top-8 retrieval, then the
+    // greedy λ-relevance / (1−λ)-redundancy selection of 4; all sims on
+    // the rnd4 grid before the MMR arithmetic so the greedy replays.
+    "ann_mmr" -> { (s, d) =>
+      Ann.mmrRerank(qset(s, d), Tables.embeddings(s, d))
+    },
+
     // D68: clustering QC — simplified silhouette against the seeded
     // k-means cells; one zero-shuffle literal-centroid map.
     "embed_silhouette" -> { (s, d) =>
@@ -613,7 +620,64 @@ object SimQueries {
       |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Mirror of [[Ann.mmrRerank]]: exact top-8 CTE, candidate pair sims on
+    * the rnd4 grid, then the greedy unrolled round by round — each round a
+    * penalty aggregate over the selections so far plus a window argmax on
+    * the identical 0.75·sim − 0.25·pen DAG. MATERIALIZED: the selu chain
+    * is referenced three times per round and would re-run the retrieval
+    * exponentially if inlined (the k-means-replay lesson). */
+  private lazy val annMmrSql: String = {
+    val rounds = (2 to 4).map { r =>
+      val prev = s"selu${r - 1}"
+      s"""pen$r AS (
+         |  SELECT p.q_id, p.c_id, t.sim, max(p.psim) AS pen
+         |  FROM ps p
+         |  JOIN $prev s ON s.q_id = p.q_id AND s.c_id = p.o_id
+         |  JOIN top8 t ON t.q_id = p.q_id AND t.c_id = p.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+         |    WHERE s2.q_id = p.q_id AND s2.c_id = p.c_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$r AS (
+         |  SELECT q_id, c_id, $r AS round, sim,
+         |    floor((0.75 * sim - 0.25 * pen) * 10000 + 0.5) / 10000.0 AS mmr
+         |  FROM (SELECT q_id, c_id, sim, pen, row_number() OVER (
+         |      PARTITION BY q_id
+         |      ORDER BY 0.75 * sim - 0.25 * pen DESC, c_id ASC) AS rn
+         |    FROM pen$r) WHERE rn = 1),
+         |selu$r AS (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+      |sims AS (
+      |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
+      |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+      |top8 AS (
+      |  SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+      |  FROM (SELECT q_id, c_id, sim, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+      |    FROM sims)
+      |  WHERE rank <= 8),
+      |cv AS (SELECT DISTINCT t.c_id, e.embedding AS ce
+      |  FROM top8 t JOIN embeddings e ON e.vec_id = t.c_id),
+      |ps AS (
+      |  SELECT a.q_id, a.c_id, b.c_id AS o_id,
+      |    floor((${cosSql("x.ce", "y.ce")}) * 10000 + 0.5) / 10000.0 AS psim
+      |  FROM top8 a JOIN top8 b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+      |  JOIN cv x ON x.c_id = a.c_id JOIN cv y ON y.c_id = b.c_id),
+      |selu1 AS (
+      |  SELECT q_id, c_id, 1 AS round, sim,
+      |    floor((0.75 * sim) * 10000 + 0.5) / 10000.0 AS mmr
+      |  FROM top8 WHERE rank = 1),
+      |$rounds
+      |SELECT q_id, round, c_id, sim, mmr FROM selu4""".stripMargin
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "ann_mmr" -> annMmrSql,
 
     // Mirror of ann_recall: exact and IVF top-5 as subqueries (each a
     // self-contained WITH), left-join overlap, recall on the rnd4 grid.

@@ -39,6 +39,71 @@ object Ann {
     rankPruned(exactSims(queries, corpus, idCol, embCol).as[Scored], k)
   }
 
+  /** D81: Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) — the retrieve-then-diversify seam of RAG/search
+    * result pages: from each query's exact top-`kCand` shortlist, greedily
+    * select `kOut` results maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`, so near-duplicate
+    * hits can't crowd out coverage (the per-query twin of the corpus-level
+    * k-center coreset D75).
+    *
+    * Scale shape: retrieval is the broadcast-scan [[bruteForceTopK]] (any
+    * pruned ANN path can stand in); everything after runs on
+    * O(|Q|·kCand²) rows — query-batch-bounded, corpus-size-independent.
+    * The greedy is `kOut−1` window-argmax rounds over those rows. All
+    * similarities land on the rnd4 grid BEFORE the MMR arithmetic and
+    * λ = 0.75 keeps (1−λ) IEEE-exact, so selection replays bit-for-bit
+    * cross-engine. The shortlist and pair-sim tables are persisted
+    * (caller-owned, the jaccardAuto convention) so the greedy rounds
+    * don't rescan the corpus.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, kCand: Int = 8,
+                kOut: Int = 4, lam: Double = 0.75,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    require(kOut >= 1 && kOut <= kCand, s"mmrRerank: need 1 <= kOut <= kCand")
+    val top = bruteForceTopK(queries, corpus, kCand, idCol, embCol).persist()
+    val cvec = corpus
+      .join(broadcast(top.select(col("c_id")).distinct()),
+        corpus(idCol) === col("c_id"))
+      .select(col("c_id"), col(embCol).as("_ce"))
+    val pairSims = top.select(col("q_id"), col("c_id"))
+      .join(top.select(col("q_id"), col("c_id").as("o_id")), Seq("q_id"))
+      .filter(col("c_id") =!= col("o_id"))
+      .join(broadcast(cvec), Seq("c_id"))
+      .join(broadcast(cvec.select(col("c_id").as("o_id"),
+        col("_ce").as("_oe"))), Seq("o_id"))
+      .select(col("q_id"), col("c_id"), col("o_id"),
+        Exact.rnd4(VectorFunctions.cosine(col("_ce"), col("_oe")))
+          .as("psim"))
+      .persist()
+    var selected = top.filter(col("rank") === 1)
+      .select(col("q_id"), col("c_id"), lit(1).as("round"), col("sim"),
+        Exact.rnd4(lit(lam) * col("sim")).as("mmr"))
+    var remaining = top.filter(col("rank") > 1)
+      .select(col("q_id"), col("c_id"), col("sim"))
+    for (r <- 2 to kOut) {
+      val mraw = lit(lam) * col("sim") - lit(1.0 - lam) * col("pen")
+      val w = Window.partitionBy("q_id")
+        .orderBy(mraw.desc, col("c_id").asc)
+      val pick = remaining
+        .join(pairSims, Seq("q_id", "c_id"))
+        .join(selected.select(col("q_id"), col("c_id").as("o_id")),
+          Seq("q_id", "o_id"))
+        .groupBy("q_id", "c_id", "sim")
+        .agg(max(col("psim")).as("pen"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(r).as("round"), col("sim"),
+          Exact.rnd4(mraw).as("mmr"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+    }
+    selected.select(col("q_id"), col("round"), col("c_id"), col("sim"),
+      col("mmr"))
+  }
+
   /** D42: hard-negative mining for contrastive training — per query the
     * top `n` corpus vectors whose exact cosine falls in [lo, hi): related
     * enough to be informative negatives, below the near-duplicate band

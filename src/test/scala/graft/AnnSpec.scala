@@ -339,4 +339,29 @@ class AnnSpec extends SparkSpec {
       "a near-duplicate leaked into the negatives")
     assert(neg.count() > 0)
   }
+
+  test("mmr rerank: diversity beats a redundant twin, greedy is deterministic") {
+    import spark.implicits._
+    // c1 and c2 are the same direction (pair cosine exactly 1); c3 is
+    // equally relevant but diverse. Pure relevance ties all three at 0.8
+    // (round 1 falls to c1 by id); MMR's round 2 must skip the twin.
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.8f, 0.6f, 0f, 0f)),
+      (2L, Array(1.6f, 1.2f, 0f, 0f)), // 2·c1 → cosine(c1, c2) = 1
+      (3L, Array(0.8f, -0.6f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Ann.mmrRerank(q, corpus, kCand = 3, kOut = 2, lam = 0.5)
+      .select("round", "c_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1, 1L), (2, 3L)),
+      s"expected (1,c1),(2,c3), got ${r.toSeq}")
+    // selections come from the shortlist, one per round, per query
+    val full = Ann.mmrRerank(q, corpus, kCand = 3, kOut = 3, lam = 0.5)
+      .collect()
+    assert(full.map(_.getAs[Int]("round")).sorted.toSeq == Seq(1, 2, 3))
+    // partition invariance of the whole greedy
+    val a = Ann.mmrRerank(q, corpus.repartition(7), kCand = 3, kOut = 2,
+      lam = 0.5).select("round", "c_id").as[(Int, Long)].collect().toSet
+    assert(a == r.toSet)
+  }
 }
