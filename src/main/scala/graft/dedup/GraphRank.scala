@@ -138,4 +138,60 @@ object GraphRank {
        |  LEFT JOIN prdeg dg ON dg.id = r.id
        |  CROSS JOIN prn nn)""".stripMargin
   }
+
+  /** D82: per-node triangle count + local clustering coefficient over the
+    * candidate graph — the graph-QC twin of PageRank: high clustering
+    * marks tight mirror cliques (every copy pairs with every copy), low
+    * clustering at high degree marks template hubs that chain unrelated
+    * documents (the bucket pathology the cap guards). A curation pipeline
+    * reads this to decide cluster-collapse vs hub-investigation.
+    *
+    * Degree-oriented wedge counting (the standard distributed shape):
+    * orient every edge from its (deg, id)-smaller endpoint, generate
+    * wedges only at each node's out-neighbors, close them against the
+    * oriented edge set — each triangle is found exactly once at its
+    * smallest member, and wedge volume is bounded by O(E^{3/2})
+    * regardless of hub degree (id-ordered wedges would explode
+    * quadratically at a high-degree hub). Joins are integer equi-joins;
+    * counts exact; the coefficient 2T/(d(d−1)) is one pinned double DAG.
+    * The oracle counts the same triangles by the simpler a<b<c id-order
+    * three-way join — algorithm-independent set equality.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val w1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val w2 = o.select(col("src").as("_s2"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    val wedges = w1.join(w2, col("src") === col("_s2") &&
+        (col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("src"), col("v"), col("w"))
+    val tri = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w"))
+        .hint("shuffle_hash"), Seq("v", "w"))
+      .select(col("src").as("x"), col("v"), col("w"))
+    val cnt = tri.select(explode(array(col("x"), col("v"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val d = col("deg").cast("double")
+    deg.join(cnt, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        Exact.rnd4(when(col("deg") < 2, lit(0.0))
+          .otherwise((lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            .cast("double")) / (d * (d - lit(1.0)))))
+          .as("clustering"))
+  }
 }

@@ -227,6 +227,15 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D82: triangle counts + clustering coefficients over the candidate
+    // graph — the chained variant corpus closes base↔v1↔v2 triangles, so
+    // mirror cliques read clustering 1.0 while chain-only links read 0.
+    "dedup_graph_triangles" -> { (s, d) =>
+      GraphRank.triangleStats(
+        Dedup.minhashCandidates(Dedup.minhashSignatures(clusterCorpus(s, d)))
+          .select("doc_a", "doc_b"))
+    },
+
     // D54: leakage-guarded split — split assignment hashes the CLUSTER
     // root, not the doc id, so a truncated mirror of a train doc can
     // never land in test (held-out contamination). Same component map as
@@ -618,6 +627,31 @@ object DedupQueries {
         |FROM pairs
         |WHERE $hamSql <= 3""".stripMargin
     },
+
+    // Mirror of dedup_graph_triangles: the same candidate chain, then the
+    // a<b<c id-ordered three-way join — counts the identical triangle set
+    // the degree-oriented Spark plan finds (set equality is
+    // algorithm-independent).
+    "dedup_graph_triangles" ->
+      s"""WITH ${sigChainSql(clusterCorpusSql)},
+        |e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM cand),
+        |dg AS (SELECT v, count(*) AS deg FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT v, count(*) AS n_tri FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT v AS v FROM tri
+        |  UNION ALL SELECT w AS v FROM tri) GROUP BY 1)
+        |SELECT dg.v AS doc_id, CAST(dg.deg AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  floor((CASE WHEN dg.deg < 2 THEN 0.0
+        |    ELSE (2.0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE))
+        |      / (CAST(dg.deg AS DOUBLE) * (CAST(dg.deg AS DOUBLE) - 1.0))
+        |    END) * 10000 + 0.5) / 10000.0 AS clustering
+        |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin,
 
     "text_decontaminate" ->
       s"""WITH $nearCorpusSql,

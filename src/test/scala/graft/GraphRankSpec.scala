@@ -48,4 +48,32 @@ class GraphRankSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(y.getAs[Double]("rank_score")))
     }
   }
+
+  test("triangles: clique reads 1.0, star hub 0.0, random graph vs brute force") {
+    import spark.implicits._
+    // K4 clique ∪ 5-leaf star (no triangles) sharing no nodes
+    val k4 = for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong)
+    val star = (11 to 15).map(l => (10L, l.toLong))
+    val r = GraphRank.triangleStats((k4 ++ star).toDF("doc_a", "doc_b"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    (0 to 3).foreach(v => assert(r(v.toLong) == ((3L, 3L, 1.0)), s"k4 $v"))
+    assert(r(10L) == ((5L, 0L, 0.0)), "hub must have zero clustering")
+    assert(r(12L) == ((1L, 0L, 0.0)), "leaf: degree < 2 pinned to 0")
+    // random graph: exact equality with a brute-force triple scan
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 300)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val got = GraphRank.triangleStats(edges.toDF("doc_a", "doc_b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val es = edges.toSet
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val brute = nodes.map { v =>
+      val nb = nodes.filter(u => es((math.min(u, v), math.max(u, v))) && u != v)
+      v -> (for (a <- nb; b <- nb if a < b && es((a, b))) yield 1).size.toLong
+    }.toMap
+    assert(got == brute, "per-node triangle counts diverge from brute force")
+  }
 }
