@@ -249,6 +249,59 @@ object Eval {
           .otherwise(lit(1.0) - col("sse") / col("sst"))).as("r2"))
   }
 
+  /** A24: NDCG@k over a ranked retrieval result — the ranking-quality
+    * metric completing the evaluation family for the retrieval/search
+    * legs (D6/D7/D50–D52): given per-query ranked candidates and a 0/1
+    * `rel` relevance column, emit per query the relevant count, base-2
+    * DCG, and NDCG against the ideal reordering of the SAME retrieved
+    * list (the standard list-wise normalization, so NDCG = 1 iff every
+    * relevant hit ranks above every miss).
+    *
+    * The discount ln(i+1)/ln(2) is evaluated in-engine on both sides over
+    * tiny integer ranks (the D30 ln precedent); both sums are
+    * decimal-exact. Input is O(|Q|·k) rows — query-batch-bounded; the two
+    * windows are per-query over k rows. */
+  def ndcgReport(ranked: DataFrame, k: Int = 10): DataFrame = {
+    val ideal = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("rank").asc)
+    val disc = (r: Column) =>
+      log(r.cast("double") + lit(1.0)) / log(lit(2.0))
+    val t = ranked.filter(col("rank") <= k)
+      .withColumn("irank", row_number().over(ideal))
+    val g = t.groupBy("q_id").agg(
+      sum(col("rel").cast("long")).as("n_rel"),
+      Exact.esum(col("rel").cast("double") / disc(col("rank"))).as("_dcg"),
+      Exact.esum(col("rel").cast("double") / disc(col("irank"))).as("_idcg"))
+    g.select(col("q_id"), col("n_rel"),
+      Exact.rnd4(col("_dcg")).as("dcg"),
+      Exact.rnd4(when(col("n_rel") === 0, lit(0.0))
+        .otherwise(col("_dcg") / col("_idcg"))).as("ndcg"))
+  }
+
+  /** DuckDB mirror of [[ndcgReport]] as a CTE suffix over a `rankedCte`
+    * exposing (q_id, rank, rel). Terminal CTE: `ndcg_out`. */
+  def ndcgOracleSql(rankedCte: String, k: Int = 10): String =
+    s"""nd AS (
+       |  SELECT q_id, rank, rel,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, rank ASC) AS irank
+       |  FROM $rankedCte WHERE rank <= $k),
+       |ng AS (
+       |  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    CAST(sum(CAST(CAST(rel AS DOUBLE)
+       |      / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+       |      AS DECIMAL(38,10))) AS DOUBLE) AS dcg_raw,
+       |    CAST(sum(CAST(CAST(rel AS DOUBLE)
+       |      / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0))
+       |      AS DECIMAL(38,10))) AS DOUBLE) AS idcg_raw
+       |  FROM nd GROUP BY 1),
+       |ndcg_out AS (
+       |  SELECT q_id, n_rel,
+       |    floor((dcg_raw) * 10000 + 0.5) / 10000.0 AS dcg,
+       |    floor((CASE WHEN n_rel = 0 THEN 0.0
+       |      ELSE dcg_raw / idcg_raw END) * 10000 + 0.5) / 10000.0 AS ndcg
+       |  FROM ng)""".stripMargin
+
   /** DuckDB mirror of [[regressionReport]] as a CTE suffix over a
     * `scoredCte` exposing `score` and numeric `y`. Terminal CTE:
     * `reg_out`. */

@@ -83,6 +83,22 @@ object SimQueries {
       Ann.bruteForceTopK(qset(s, d), Tables.embeddings(s, d), k = 5)
     },
 
+    // A24: NDCG@10 of exact retrieval against label-match relevance — the
+    // ranking-quality metric for the retrieval legs; ideal ordering is the
+    // reordered retrieved list (NDCG = 1 iff relevants rank first).
+    "ml_eval_ndcg" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 20)
+      val top = Ann.bruteForceTopK(q, emb, k = 10)
+      val ranked = emb.select(col("vec_id").as("c_id"), col("label").as("_cl"))
+        .join(broadcast(top.select("q_id", "c_id", "rank")), Seq("c_id"))
+        .join(broadcast(q.select(col("vec_id").as("q_id"),
+          col("label").as("_ql"))), Seq("q_id"))
+        .select(col("q_id"), col("rank"),
+          when(col("_cl") === col("_ql"), lit(1)).otherwise(lit(0)).as("rel"))
+      graft.ml.Eval.ndcgReport(ranked, k = 10)
+    },
+
     // D81: MMR diversified re-ranking — exact top-8 retrieval, then the
     // greedy λ-relevance / (1−λ)-redundancy selection of 4; all sims on
     // the rnd4 grid before the MMR arithmetic so the greedy replays.
@@ -678,6 +694,25 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
 
     "ann_mmr" -> annMmrSql,
+
+    // Mirror of ml_eval_ndcg: exact top-10 with label-match relevance,
+    // then the Eval ndcg chain (identical discount and decimal sums).
+    "ml_eval_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce, label AS cl
+        |      FROM embeddings),
+        |sims AS (
+        |  SELECT q_id, c_id, ql, cl, ${cosSql("qe", "ce")} AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |rk AS (
+        |  SELECT q_id, CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM sims),
+        |top AS (SELECT q_id, rank, rel FROM rk WHERE rank <= 10),
+        |${graft.ml.Eval.ndcgOracleSql("top", 10)}
+        |SELECT q_id, n_rel, dcg, ndcg FROM ndcg_out""".stripMargin,
 
     // Mirror of ann_recall: exact and IVF top-5 as subqueries (each a
     // self-contained WITH), left-join overlap, recall on the rnd4 grid.

@@ -122,4 +122,30 @@ class EvalSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(z.getAs[Double](m)), m)
     }
   }
+
+  test("ndcg: hand-computed discounts, perfect/worst orderings, zero-rel") {
+    import spark.implicits._
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def d(i: Int) = math.log(i + 1.0) / math.log(2.0)
+    // relevant at ranks 1 and 3 of 4
+    val r = Eval.ndcgReport(Seq(
+      (7L, 1, 1), (7L, 2, 0), (7L, 3, 1), (7L, 4, 0)
+    ).toDF("q_id", "rank", "rel"), k = 4).head()
+    val dcg = 1.0 / d(1) + 1.0 / d(3)
+    val idcg = 1.0 / d(1) + 1.0 / d(2)
+    assert(r.getAs[Long]("n_rel") == 2)
+    assert(r.getAs[Double]("dcg") == rnd4(dcg))
+    assert(r.getAs[Double]("ndcg") == rnd4(dcg / idcg))
+    // relevants first → NDCG exactly 1; relevants last → NDCG < 1
+    val perfect = Eval.ndcgReport(Seq(
+      (1L, 1, 1), (1L, 2, 1), (1L, 3, 0)).toDF("q_id", "rank", "rel")).head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    val worst = Eval.ndcgReport(Seq(
+      (2L, 1, 0), (2L, 2, 1), (2L, 3, 1)).toDF("q_id", "rank", "rel")).head()
+    assert(worst.getAs[Double]("ndcg") < 1.0)
+    // no relevant hits: ndcg pinned to the defined 0
+    val none = Eval.ndcgReport(Seq(
+      (3L, 1, 0), (3L, 2, 0)).toDF("q_id", "rank", "rel")).head()
+    assert(none.getAs[Double]("ndcg") == 0.0 && none.getAs[Long]("n_rel") == 0)
+  }
 }
