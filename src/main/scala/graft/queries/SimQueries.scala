@@ -106,6 +106,14 @@ object SimQueries {
       Ann.mmrRerank(qset(s, d), Tables.embeddings(s, d))
     },
 
+    // D83: the within-cell k-NN graph with mutual-edge flags — the
+    // backbone of graph-based embedding curation; shares the per-sfDir
+    // trained coarse quantizer (FAISS train/add).
+    "embed_knn_graph" -> { (s, d) =>
+      Ann.knnGraph(Tables.embeddings(s, d), k = 4, nlist = 16,
+        coarse = Some(coarse16(s, d)))
+    },
+
     // D68: clustering QC — simplified silhouette against the seeded
     // k-means cells; one zero-shuffle literal-centroid map.
     "embed_silhouette" -> { (s, d) =>
@@ -458,6 +466,42 @@ object SimQueries {
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
+  /** Mirror of Ann.knnGraph: the k-means replay chain, rank-1 corpus cell
+    * assignment, within-cell pair sims, per-src top-k, then the mutual
+    * self-join on the EDGE set. */
+  private def knnGraphOracleSql(nlist: Int, sampleN: Int, iters: Int,
+                                dims: Int, k: Int): String = {
+    s"""WITH ${kmeansSql(
+         "nc AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+         nlist, sampleN, iters, dims)},
+       |csc AS (
+       |  SELECT nc.id AS c_id, nc.e AS ce, cent.cell,
+       |    ${assignScoreSql("nc.e", dims)} AS score
+       |  FROM nc CROSS JOIN cent),
+       |corp AS (
+       |  SELECT c_id, ce, cell FROM (
+       |    SELECT c_id, ce, cell,
+       |      row_number() OVER (PARTITION BY c_id ORDER BY score, cell) AS r
+       |    FROM csc) WHERE r = 1),
+       |prs AS (
+       |  SELECT a.c_id AS src, b.c_id AS dst,
+       |    ${cosSql("a.ce", "b.ce")} AS sim
+       |  FROM corp a JOIN corp b
+       |    ON a.cell = b.cell AND a.c_id <> b.c_id),
+       |rkd AS (
+       |  SELECT src, dst, sim,
+       |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC)
+       |      AS rank
+       |  FROM prs),
+       |eg AS (
+       |  SELECT src, dst, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+       |  FROM rkd WHERE rank <= $k)
+       |SELECT e.src, e.dst, e.rank, e.sim,
+       |  (r.src IS NOT NULL) AS mutual
+       |FROM eg e LEFT JOIN eg r ON r.src = e.dst AND r.dst = e.src"""
+      .stripMargin.replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
   /** Mirror of Ann.pqCodebooks + pqEncode + pqTopK: one suffixed k-means
     * replay chain per subspace (training on the j-th 16-dim slice of the
     * same md5-ranked sample), corpus codes = per-subspace rank-1
@@ -694,6 +738,9 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
 
     "ann_mmr" -> annMmrSql,
+
+    "embed_knn_graph" -> knnGraphOracleSql(nlist = 16, sampleN = 256,
+      iters = 5, dims = 64, k = 4),
 
     // Mirror of ml_eval_ndcg: exact top-10 with label-match relevance,
     // then the Eval ndcg chain (identical discount and decimal sums).

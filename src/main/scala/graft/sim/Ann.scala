@@ -104,6 +104,50 @@ object Ann {
       col("mmr"))
   }
 
+  /** D83: k-NN GRAPH construction over the whole corpus — the backbone
+    * structure of graph-based curation (SemDeDup-style clustering, label
+    * propagation, UMAP-ish layout, graph dedup): every vector gets edges
+    * to its `k` nearest cell-mates under the seeded IVF quantizer, with a
+    * `mutual` flag marking reciprocated edges (the mutual-kNN graph that
+    * robustifies density estimates).
+    *
+    * This is the all-pairs twin of [[ivfTopK]]: exact cosine is confined
+    * to same-cell pairs, so pair volume is O(Σ cell²) with `nlist` as the
+    * scaling knob (cells grow ~n/nlist; at lake scale nlist grows with
+    * the corpus and the cell id doubles as the physical partition key —
+    * D7c — so the self-join and the per-source top-k window both run
+    * partition-local). Cross-cell neighbors are the documented recall
+    * trade, exactly the SemDeDup boundary (Abbas et al. 2023). The
+    * corpus shuffles ONCE on the cell key; ranking ties break on
+    * (sim DESC, dst ASC); sims land on the rnd4 grid in the output only,
+    * after ranking on the raw fold (the bruteForceTopK convention).
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 4, nlist: Int = 16,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               coarse: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val assigned = corpus.select(col(idCol).as("src"),
+      col(embCol).as("_e"), cellOf(cents, col(embCol)).as("cell"))
+    val other = assigned.select(col("cell").as("_cellb"),
+      col("src").as("dst"), col("_e").as("_eb"))
+    val sims = assigned
+      .join(other, col("cell") === col("_cellb") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorFunctions.cosine(col("_e"), col("_eb")).as("_sim"))
+    val w = Window.partitionBy("src").orderBy(col("_sim").desc,
+      col("dst").asc)
+    val edges = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"),
+        Exact.rnd4(col("_sim")).as("sim"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("_m"))
+    edges.join(rev.hint("shuffle_hash"), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank"), col("sim"),
+        coalesce(col("_m"), lit(false)).as("mutual"))
+  }
+
   /** D42: hard-negative mining for contrastive training — per query the
     * top `n` corpus vectors whose exact cosine falls in [lo, hi): related
     * enough to be informative negatives, below the near-duplicate band

@@ -340,6 +340,54 @@ class AnnSpec extends SparkSpec {
     assert(neg.count() > 0)
   }
 
+  test("knn graph: edges equal within-cell brute force, mutual flags exact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 300)
+    val cents = Ann.seededCentroids(emb, nlist = 4)
+    val got = Ann.knnGraph(emb, k = 3, nlist = 4, coarse = Some(cents))
+      .select("src", "dst", "rank", "mutual")
+      .as[(Long, Long, Int, Boolean)].collect()
+    // driver re-derivation: argmin cell (|c|²−2·e·c, tie lower cell),
+    // then exact top-3 cosine among cell-mates with (sim desc, id asc)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def cellOf(e: Array[Float]): Int = {
+      var best = 0; var bs = Double.MaxValue
+      for (j <- cents.indices) {
+        val c = cents(j); var c2 = 0.0; var dp = 0.0
+        for (i <- c.indices) { c2 += c(i) * c(i); dp += e(i).toDouble * c(i) }
+        if (c2 - 2.0 * dp < bs) { best = j; bs = c2 - 2.0 * dp }
+      }
+      best
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = vecs.groupBy(v => cellOf(v._2))
+    val want = byCell.values.toSeq.flatMap { members =>
+      members.toSeq.flatMap { case (id, e) =>
+        members.filter(_._1 != id)
+          .map { case (o, oe) => (o, cos(e, oe)) }
+          .sortBy { case (o, s) => (-s, o) }
+          .take(3).zipWithIndex
+          .map { case ((o, _), i) => (id, o, i + 1) }
+      }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == want,
+      s"edge set diverges: got ${got.length}, want ${want.size}")
+    // mutual ⟺ the reversed (src, dst) pair is also an edge
+    val edgeSet = got.map(t => (t._1, t._2)).toSet
+    got.foreach { case (s0, d0, _, m) =>
+      assert(m == edgeSet((d0, s0)), s"mutual flag wrong on ($s0,$d0)")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture should contain both mutual and one-way edges")
+  }
+
   test("mmr rerank: diversity beats a redundant twin, greedy is deterministic") {
     import spark.implicits._
     // c1 and c2 are the same direction (pair cosine exactly 1); c3 is
