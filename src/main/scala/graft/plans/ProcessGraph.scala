@@ -728,6 +728,33 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       graft.sim.KCenter.coverQuery(docsArg(args, evalNode),
         k = args.path("k").asInt(8))
 
+    // D83/D81 as graph nodes: the within-cell k-NN graph and MMR
+    // diversified re-ranking over any embedding-typed node value — the
+    // quantizer retrains deterministically in-node (the ann_search
+    // convention), so graph chains land on the direct queries' rows.
+    case "knn_graph" =>
+      graft.sim.Ann.knnGraph(docsArg(args, evalNode),
+        k = args.path("k").asInt(4),
+        nlist = args.path("nlist").asInt(16))
+
+    case "rerank_mmr" =>
+      val emb = docsArg(args, evalNode)
+      val qs = emb.filter(col("vec_id") <
+        args.path("n_queries").asInt(20))
+      graft.sim.Ann.mmrRerank(qs, emb,
+        kCand = args.path("k_cand").asInt(8),
+        kOut = args.path("k_out").asInt(4),
+        lam = args.path("lambda").asDouble(0.75))
+
+    // A23/D80 as graph nodes: the regression-metric report over any
+    // (score, y)-typed node value, and bigram-LM fluency scoring.
+    case "evaluate_regression" =>
+      graft.ml.Eval.regressionReport(docsArg(args, evalNode),
+        args.path("score").asText("score"), args.path("label").asText("y"))
+
+    case "score_lm_bigram" =>
+      graft.functions.TextFunctions.bigramLmScore(docsArg(args, evalNode))
+
     // D59/D60 as graph nodes: learn a BPE merge table from the corpus, or
     // train-and-tokenize in one declared step.
     case "train_bpe" =>

@@ -492,6 +492,31 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // k-NN graph + MMR re-ranking as graph chains (D83/D81) — each lands
+    // on its direct query's rows and shares its hash oracle.
+    "process_graph_knn" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb":   {"process_id": "load_embeddings", "arguments": {}},
+          |  "graph": {"process_id": "knn_graph",
+          |            "arguments": {"data": {"from_node": "emb"},
+          |                          "k": 4, "nlist": 16},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
+    "process_graph_mmr" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb": {"process_id": "load_embeddings", "arguments": {}},
+          |  "div": {"process_id": "rerank_mmr",
+          |          "arguments": {"data": {"from_node": "emb"},
+          |                        "n_queries": 20, "k_cand": 8,
+          |                        "k_out": 4, "lambda": 0.75},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // BPE training as a declared graph step — shares text_bpe_apply's
     // unrolled oracle (train + tokenize in one node).
     "process_graph_bpe" -> { (s, d) =>
@@ -757,6 +782,8 @@ object PipelineQueries {
     "process_graph_forest" -> MlQueries.oracle("ml_forest_fit"),
     "process_graph_nb" -> MlQueries.oracle("ml_eval_kappa"),
     "process_graph_kcenter" -> SimQueries.oracle("embed_kcenter"),
+    "process_graph_knn" -> SimQueries.oracle("embed_knn_graph"),
+    "process_graph_mmr" -> SimQueries.oracle("ann_mmr"),
 
     "process_graph_boost" -> MlQueries.oracle("ml_boost_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
