@@ -175,6 +175,44 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
         :+ col("_z._l").as(resolved) :+ col("_z._v").as(valueCol)): _*))
   }
 
+  /** C43: the openEO ARRAY-PROCESS view of a cube — collapse `dim` into
+    * ordered `labels`/`values` array columns, one row per remaining-dims
+    * series. This is the seam the reference's array child processes
+    * (array_element / array_filter / array_contains / array_concat …,
+    * pulled in from openeo-processes-dask) operate through: once a series
+    * is an array, every array process is a plain Spark higher-order
+    * function in whole-stage codegen, and [[explodeSeries]] melts the
+    * result back to long format.
+    *
+    * One groupBy shuffle (the sortAlongDim shape): series length along one
+    * dim is bounded — time steps, bands — never the lake axis; ordering
+    * comes from sorting (label, value) structs, so the array order is the
+    * label order, deterministic cross-engine.
+    */
+  def seriesAlong(dim: String): DataFrame = {
+    val resolved = DimAliases.alternative(dims, dim).getOrElse(
+      throw new DimensionMissing(s"series: no dimension $dim"))
+    val series = dims.filterNot(_ == resolved)
+    df.groupBy(series.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(resolved).as("l"),
+        v.as("x")))).as("_s"))
+      .select((series.map(col)
+        :+ transform(col("_s"), s => s.getField("l")).as("labels")
+        :+ transform(col("_s"), s => s.getField("x")).as("values")): _*)
+  }
+
+  /** Inverse of [[seriesAlong]]: melt `labels`/`values` arrays back into
+    * long-format rows along `dim` — map-side explode, zero shuffle. */
+  def explodeSeries(ser: DataFrame, dim: String): DataCube = {
+    val series = ser.columns.filterNot(c => c == "labels" || c == "values")
+    val out = ser
+      .select((series.map(col)
+        :+ explode(arrays_zip(col("labels"), col("values"))).as("_z")): _*)
+      .select((series.map(col)
+        :+ col("_z.labels").as(dim) :+ col("_z.values").as(valueCol)): _*)
+    DataCube(out)
+  }
+
   /** openEO `order` along a dimension: argsort — the value at output
     * position i becomes the ORIGINAL index (0-based position along `dim`)
     * of the i-th smallest value. `tieBreak` must make the ordering total

@@ -323,6 +323,23 @@ object CubeQueries {
           Exact.rnd4(col("value")).as("value"))
     },
 
+    // C43: the array-process surface — series view along x, then
+    // array_element (first value / last label), array_filter + any
+    // (has_gt100), and a filtered sequential-fold sum, melted straight off
+    // the series arrays in codegen.
+    "cube_array_ops" -> { (s, d) =>
+      val ser = gridCube(s, d).seriesAlong("x")
+      val vals = col("values")
+      ser.select(col("y"), col("band"),
+        size(vals).as("n"),
+        element_at(vals, 1).as("first_val"),
+        element_at(col("labels"), size(col("labels"))).cast("long")
+          .as("last_label"),
+        exists(vals, x => x > lit(100.0)).as("has_gt100"),
+        Exact.rnd4(aggregate(filter(vals, x => x > lit(0.0)),
+          lit(0.0), (a, x) => a + x)).as("sum_pos"))
+    },
+
     "cube_order" -> { (s, d) =>
       eventsCube(s, d)
         .orderAlongDim("time", Seq("band", "user_id"),
@@ -890,6 +907,24 @@ object CubeQueries {
         |  floor(v.value * 10000 + 0.5) / 10000.0 AS value
         |FROM lab JOIN v ON lab.band = v.band AND lab.user_id = v.user_id
         |  AND lab.rn = v.rn""".stripMargin,
+
+    // Mirror of cube_array_ops: list(… ORDER BY x) is the series array;
+    // list_sum over the filtered ordered list is the same sequential left
+    // fold as Spark's aggregate().
+    "cube_array_ops" ->
+      s"""WITH $gridCubeSql,
+        |ser AS (
+        |  SELECT y, band, list(x ORDER BY x) AS lx,
+        |    list(value ORDER BY x) AS lv
+        |  FROM cube GROUP BY 1, 2)
+        |SELECT y, band,
+        |  CAST(len(lv) AS INT) AS n,
+        |  lv[1] AS first_val,
+        |  CAST(lx[len(lx)] AS BIGINT) AS last_label,
+        |  len(list_filter(lv, v -> v > 100.0)) > 0 AS has_gt100,
+        |  floor((COALESCE(list_sum(list_filter(lv, v -> v > 0.0)), 0.0))
+        |    * 10000 + 0.5) / 10000.0 AS sum_pos
+        |FROM ser""".stripMargin,
 
     "cube_order" ->
       """SELECT event_type AS band, user_id,

@@ -284,4 +284,26 @@ class CubeSpec extends SparkSpec {
       .toMap
     assert(got == Map(0L -> 3.0, 1L -> 8.0), s"got $got")
   }
+
+  test("seriesAlong: label-ordered arrays, explodeSeries round-trips") {
+    import spark.implicits._
+    val cube = DataCube(Seq(
+      ("b1", 2L, 20.0), ("b1", 1L, 10.0), ("b1", 3L, 30.0),
+      ("b2", 1L, 5.0)
+    ).toDF("band", "x", "value"))
+    val ser = cube.seriesAlong("x").collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getSeq[Double](2))).toMap
+    // arrays follow the LABEL order regardless of input row order
+    assert(ser("b1") == (Seq(1L, 2L, 3L), Seq(10.0, 20.0, 30.0)))
+    assert(ser("b2") == (Seq(1L), Seq(5.0)))
+    // melt back: identical long-format rows
+    val back = cube.explodeSeries(cube.seriesAlong("x"), "x").df
+      .select("band", "x", "value")
+    val orig = cube.df.select("band", "x", "value")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "explodeSeries must invert seriesAlong")
+    // alias resolution + missing-dim rejection
+    intercept[DimensionMissing] { cube.seriesAlong("nope") }
+  }
 }
