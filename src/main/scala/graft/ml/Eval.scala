@@ -302,6 +302,55 @@ object Eval {
        |      ELSE dcg_raw / idcg_raw END) * 10000 + 0.5) / 10000.0 AS ndcg
        |  FROM ng)""".stripMargin
 
+  /** A25: average precision + reciprocal rank per query over a ranked
+    * retrieval result — with [[ndcgReport]] the standard ranking-metric
+    * pair (MAP/MRR). AP = mean over relevant positions of precision@k
+    * (0 when nothing relevant); RR = 1/rank of the first relevant hit.
+    * Prefix counts are one ordered window over k rows per query; every
+    * division is pinned; the AP sum is decimal-exact. */
+  def mapReport(ranked: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = ranked.filter(col("rank") <= k)
+      .withColumn("cum", sum(col("rel").cast("long")).over(w))
+    val g = t.groupBy("q_id").agg(
+      sum(col("rel").cast("long")).as("n_rel"),
+      Exact.esum(when(col("rel") === 1,
+        col("cum").cast("double") / col("rank").cast("double"))
+        .otherwise(lit(0.0))).as("_psum"),
+      min(when(col("rel") === 1, col("rank"))).as("_first"))
+    g.select(col("q_id"), col("n_rel"),
+      Exact.rnd4(when(col("n_rel") === 0, lit(0.0))
+        .otherwise(col("_psum") / col("n_rel").cast("double"))).as("ap"),
+      Exact.rnd4(when(col("_first").isNull, lit(0.0))
+        .otherwise(lit(1.0) / col("_first").cast("double"))).as("rr"))
+  }
+
+  /** DuckDB mirror of [[mapReport]] over a `rankedCte` exposing
+    * (q_id, rank, rel). Terminal CTE: `map_out`. */
+  def mapOracleSql(rankedCte: String, k: Int = 10): String =
+    s"""mp AS (
+       |  SELECT q_id, rank, rel,
+       |    sum(rel) OVER (PARTITION BY q_id ORDER BY rank ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM $rankedCte WHERE rank <= $k),
+       |mg AS (
+       |  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    CAST(sum(CAST(CASE WHEN rel = 1
+       |      THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+       |      ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) AS psum,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS frst
+       |  FROM mp GROUP BY 1),
+       |map_out AS (
+       |  SELECT q_id, n_rel,
+       |    floor((CASE WHEN n_rel = 0 THEN 0.0
+       |      ELSE psum / CAST(n_rel AS DOUBLE) END) * 10000 + 0.5)
+       |      / 10000.0 AS ap,
+       |    floor((CASE WHEN frst IS NULL THEN 0.0
+       |      ELSE 1.0 / CAST(frst AS DOUBLE) END) * 10000 + 0.5)
+       |      / 10000.0 AS rr
+       |  FROM mg)""".stripMargin
+
   /** DuckDB mirror of [[regressionReport]] as a CTE suffix over a
     * `scoredCte` exposing `score` and numeric `y`. Terminal CTE:
     * `reg_out`. */

@@ -77,6 +77,21 @@ object SimQueries {
       : (Array[Double], Array[Double]) =
     sq8Cache.getOrElseUpdate(d, Ann.sq8Stats(Tables.embeddings(s, d)))
 
+  /** Exact top-10 with label-match relevance — the shared ranked input of
+    * the A24/A25 ranking metrics. Corpus labels join the tiny shortlist
+    * broadcast; the corpus never shuffles. */
+  private def labelRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+    val top = Ann.bruteForceTopK(q, emb, k = 10)
+    emb.select(col("vec_id").as("c_id"), col("label").as("_cl"))
+      .join(broadcast(top.select("q_id", "c_id", "rank")), Seq("c_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("label").as("_ql"))), Seq("q_id"))
+      .select(col("q_id"), col("rank"),
+        when(col("_cl") === col("_ql"), lit(1)).otherwise(lit(0)).as("rel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_topk" -> { (s, d) =>
@@ -87,16 +102,13 @@ object SimQueries {
     // ranking-quality metric for the retrieval legs; ideal ordering is the
     // reordered retrieved list (NDCG = 1 iff relevants rank first).
     "ml_eval_ndcg" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 20)
-      val top = Ann.bruteForceTopK(q, emb, k = 10)
-      val ranked = emb.select(col("vec_id").as("c_id"), col("label").as("_cl"))
-        .join(broadcast(top.select("q_id", "c_id", "rank")), Seq("c_id"))
-        .join(broadcast(q.select(col("vec_id").as("q_id"),
-          col("label").as("_ql"))), Seq("q_id"))
-        .select(col("q_id"), col("rank"),
-          when(col("_cl") === col("_ql"), lit(1)).otherwise(lit(0)).as("rel"))
-      graft.ml.Eval.ndcgReport(ranked, k = 10)
+      graft.ml.Eval.ndcgReport(labelRanked(s, d), k = 10)
+    },
+
+    // A25: MAP@10 + MRR over the same ranked retrieval — the other half
+    // of the standard ranking-metric pair.
+    "ml_eval_map" -> { (s, d) =>
+      graft.ml.Eval.mapReport(labelRanked(s, d), k = 10)
     },
 
     // D81: MMR diversified re-ranking — exact top-8 retrieval, then the
@@ -735,6 +747,22 @@ object SimQueries {
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
+  /** SQL twin of [[labelRanked]]: terminal CTE `top(q_id, rank, rel)`. */
+  private lazy val labelRankedSql: String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+      |       FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS c_id, embedding AS ce, label AS cl
+      |      FROM embeddings),
+      |sims AS (
+      |  SELECT q_id, c_id, ql, cl, ${cosSql("qe", "ce")} AS sim
+      |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+      |rk AS (
+      |  SELECT q_id, CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, c_id ASC) AS rank
+      |  FROM sims),
+      |top AS (SELECT q_id, rank, rel FROM rk WHERE rank <= 10)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "ann_mmr" -> annMmrSql,
@@ -745,21 +773,15 @@ object SimQueries {
     // Mirror of ml_eval_ndcg: exact top-10 with label-match relevance,
     // then the Eval ndcg chain (identical discount and decimal sums).
     "ml_eval_ndcg" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
-        |           FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS c_id, embedding AS ce, label AS cl
-        |      FROM embeddings),
-        |sims AS (
-        |  SELECT q_id, c_id, ql, cl, ${cosSql("qe", "ce")} AS sim
-        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
-        |rk AS (
-        |  SELECT q_id, CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY sim DESC, c_id ASC) AS rank
-        |  FROM sims),
-        |top AS (SELECT q_id, rank, rel FROM rk WHERE rank <= 10),
+      s"""WITH $labelRankedSql,
         |${graft.ml.Eval.ndcgOracleSql("top", 10)}
         |SELECT q_id, n_rel, dcg, ndcg FROM ndcg_out""".stripMargin,
+
+    // Mirror of ml_eval_map: the same ranked CTEs, then the AP/RR chain.
+    "ml_eval_map" ->
+      s"""WITH $labelRankedSql,
+        |${graft.ml.Eval.mapOracleSql("top", 10)}
+        |SELECT q_id, n_rel, ap, rr FROM map_out""".stripMargin,
 
     // Mirror of ann_recall: exact and IVF top-5 as subqueries (each a
     // self-contained WITH), left-join overlap, recall on the rnd4 grid.

@@ -148,4 +148,28 @@ class EvalSpec extends SparkSpec {
       (3L, 1, 0), (3L, 2, 0)).toDF("q_id", "rank", "rel")).head()
     assert(none.getAs[Double]("ndcg") == 0.0 && none.getAs[Long]("n_rel") == 0)
   }
+
+  test("map/mrr: hand-computed average precision and reciprocal rank") {
+    import spark.implicits._
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // relevant at ranks 2 and 4: AP = (1/2 + 2/4) / 2 = 0.5, RR = 1/2
+    val r = Eval.mapReport(Seq(
+      (7L, 1, 0), (7L, 2, 1), (7L, 3, 0), (7L, 4, 1)
+    ).toDF("q_id", "rank", "rel")).head()
+    assert(r.getAs[Long]("n_rel") == 2)
+    assert(r.getAs[Double]("ap") == 0.5 && r.getAs[Double]("rr") == 0.5)
+    // all relevant → AP = 1, RR = 1
+    val p = Eval.mapReport(Seq(
+      (1L, 1, 1), (1L, 2, 1)).toDF("q_id", "rank", "rel")).head()
+    assert(p.getAs[Double]("ap") == 1.0 && p.getAs[Double]("rr") == 1.0)
+    // single relevant at rank 3: AP = (1/3)/1, RR = 1/3
+    val s3 = Eval.mapReport(Seq(
+      (2L, 1, 0), (2L, 2, 0), (2L, 3, 1)).toDF("q_id", "rank", "rel")).head()
+    assert(s3.getAs[Double]("ap") == rnd4(1.0 / 3))
+    assert(s3.getAs[Double]("rr") == rnd4(1.0 / 3))
+    // nothing relevant: both metrics pinned to 0
+    val none = Eval.mapReport(Seq(
+      (3L, 1, 0)).toDF("q_id", "rank", "rel")).head()
+    assert(none.getAs[Double]("ap") == 0.0 && none.getAs[Double]("rr") == 0.0)
+  }
 }
