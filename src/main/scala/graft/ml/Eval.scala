@@ -129,6 +129,73 @@ object Eval {
       Exact.rnd4(kappa).as("kappa"))
   }
 
+  /** A26: per-class precision/recall/F1/support — the sklearn
+    * `classification_report` analog over multi-class (pred, actual)
+    * pairs, completing the multi-class report next to [[kappaReport]]'s
+    * single-number summary. One O(classes²) confusion aggregate (map-side
+    * partials collapse the corpus), then per-class marginals off that
+    * tiny table; absent classes on either axis coalesce to 0 counts so
+    * precision/recall degenerates are pinned 0. All counts exact, every
+    * division/F1 a pinned double DAG. */
+  def classReport(preds: DataFrame, predCol: String,
+                  actualCol: String): DataFrame = {
+    val conf = preds.groupBy(col(predCol).as("p"), col(actualCol).as("a"))
+      .agg(count(lit(1)).as("c"))
+    val sup = conf.groupBy(col("a").as("cls")).agg(sum("c").as("support"))
+    val pp = conf.groupBy(col("p").as("cls")).agg(sum("c").as("pred_pos"))
+    val tp = conf.filter(col("p") === col("a"))
+      .select(col("p").as("cls"), col("c").as("tp"))
+    val j = sup.join(pp, Seq("cls"), "outer").join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("pred_pos"), lit(0L)).as("pred_pos"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = when(col("pred_pos") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("pred_pos").cast("double"))
+    val rec = when(col("support") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("support").cast("double"))
+    val f1 = when(prec + rec === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    j.select(col("cls"), col("support"), col("pred_pos"), col("tp"),
+      Exact.rnd4(prec).as("prec"), Exact.rnd4(rec).as("rec"),
+      Exact.rnd4(f1).as("f1"))
+  }
+
+  /** DuckDB mirror of [[classReport]] over a `predsCte` exposing pred
+    * `cls` and `actual`. Terminal CTE: `crep_out`. */
+  def classOracleSql(predsCte: String): String =
+    s"""cconf AS (
+       |  SELECT cls AS p, actual AS a, count(*) AS c
+       |  FROM $predsCte GROUP BY 1, 2),
+       |csup AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS support
+       |         FROM cconf GROUP BY 1),
+       |cpp AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS pred_pos
+       |        FROM cconf GROUP BY 1),
+       |ctp AS (SELECT p AS cls, CAST(c AS BIGINT) AS tp
+       |        FROM cconf WHERE p = a),
+       |cj AS (
+       |  SELECT COALESCE(csup.cls, cpp.cls) AS cls,
+       |    COALESCE(support, 0) AS support,
+       |    COALESCE(pred_pos, 0) AS pred_pos,
+       |    COALESCE(tp, 0) AS tp
+       |  FROM csup FULL OUTER JOIN cpp ON csup.cls = cpp.cls
+       |  LEFT JOIN ctp ON COALESCE(csup.cls, cpp.cls) = ctp.cls),
+       |cpr AS (
+       |  SELECT cls, support, pred_pos, tp,
+       |    CASE WHEN pred_pos = 0 THEN 0.0
+       |      ELSE CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END AS pr,
+       |    CASE WHEN support = 0 THEN 0.0
+       |      ELSE CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS rc
+       |  FROM cj),
+       |crep_out AS (
+       |  SELECT cls, support, pred_pos, tp,
+       |    floor((pr) * 10000 + 0.5) / 10000.0 AS prec,
+       |    floor((rc) * 10000 + 0.5) / 10000.0 AS rec,
+       |    floor((CASE WHEN pr + rc = 0.0 THEN 0.0
+       |      ELSE 2.0 * pr * rc / (pr + rc) END) * 10000 + 0.5) / 10000.0
+       |      AS f1
+       |  FROM cpr)""".stripMargin
+
   /** DuckDB mirror of [[kappaReport]] as a CTE suffix over a `predsCte`
     * exposing pred `cls` and `actual`. Terminal CTE: `kappa_out`. */
   def kappaOracleSql(predsCte: String): String =

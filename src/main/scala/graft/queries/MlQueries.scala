@@ -207,6 +207,16 @@ object MlQueries {
         "cls", "actual")
     },
 
+    // A26: the sklearn classification_report analog — per-class
+    // precision/recall/F1/support over the NB router's predictions; one
+    // O(classes²) confusion aggregate, pinned divisions.
+    "ml_eval_class_report" -> { (s, d) =>
+      graft.ml.Eval.classReport(
+        graft.ml.NaiveBayesProbe.fitScore(Tables.documents(s, d))
+          .filter(col("is_pred")),
+        "cls", "actual")
+    },
+
     // A22: calibration (reliability) table for the logistic probe — per
     // predicted-probability decile: count, mean prediction, empirical
     // positive rate, and the gap. The model-QC diagnostic that tells a
@@ -416,6 +426,15 @@ object MlQueries {
         |kpred AS (SELECT cls, actual FROM nbout WHERE is_pred),
         |${graft.ml.Eval.kappaOracleSql("kpred")}
         |SELECT n, agree, po, pe, kappa FROM kappa_out""".stripMargin,
+
+    // Mirror of ml_eval_class_report: the NB chain, then the per-class
+    // confusion marginals and pinned-division metric CTEs.
+    "ml_eval_class_report" ->
+      s"""WITH ${graft.ml.NaiveBayesProbe.oracleCtes()},
+        |kpred AS (SELECT cls, actual FROM nbout WHERE is_pred),
+        |${graft.ml.Eval.classOracleSql("kpred")}
+        |SELECT cls, support, pred_pos, tp, prec, rec, f1
+        |FROM crep_out""".stripMargin,
 
     // Mirror of ml_eval_calibration: the logistic replay, the same decile
     // binning and decimal-exact per-bin means.

@@ -149,6 +149,33 @@ class EvalSpec extends SparkSpec {
     assert(none.getAs[Double]("ndcg") == 0.0 && none.getAs[Long]("n_rel") == 0)
   }
 
+  test("class report: hand-computed per-class metrics, absent-axis degenerates") {
+    import spark.implicits._
+    def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // confusion: a→a ×2, a→b ×1, b→b ×1, c→a ×1 (c never predicted)
+    val preds = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"),
+      ("a", "c")).toDF("cls", "actual")
+    val r = Eval.classReport(preds, "cls", "actual").collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("support") == 3 && a.getAs[Long]("pred_pos") == 3
+      && a.getAs[Long]("tp") == 2)
+    assert(a.getAs[Double]("prec") == rnd4(2.0 / 3)
+      && a.getAs[Double]("rec") == rnd4(2.0 / 3))
+    assert(a.getAs[Double]("f1") == rnd4(2.0 / 3))
+    val b = r("b")
+    assert(b.getAs[Long]("support") == 1 && b.getAs[Long]("pred_pos") == 2
+      && b.getAs[Long]("tp") == 1)
+    assert(b.getAs[Double]("prec") == 0.5 && b.getAs[Double]("rec") == 1.0)
+    assert(b.getAs[Double]("f1") == rnd4(2.0 * 0.5 * 1.0 / 1.5))
+    // class c: present in actuals, never predicted → precision/f1 pinned 0
+    val c = r("c")
+    assert(c.getAs[Long]("support") == 1 && c.getAs[Long]("pred_pos") == 0
+      && c.getAs[Long]("tp") == 0)
+    assert(c.getAs[Double]("prec") == 0.0 && c.getAs[Double]("rec") == 0.0
+      && c.getAs[Double]("f1") == 0.0)
+  }
+
   test("map/mrr: hand-computed average precision and reciprocal rank") {
     import spark.implicits._
     def rnd4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
