@@ -734,20 +734,32 @@ object Dedup {
     */
   def simhashBlockSigs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val hashed = docs
+    // Formulation note (measured at sf0.1): the D3-style map-side
+    // higher-order form (64 filter-counts, or one 64-slot aggregate fold)
+    // generates a single >64 KB codegen method here, and Spark's
+    // interpreted fallback made the projection ~20× slower. The explode +
+    // 64-conditional-sum form compiles into splittable HashAggregate
+    // code, and partial aggregation collapses the exploded rows map-side
+    // — the SHUFFLE stays O(docs × 4 ints), never O(tokens).
+    val tok = docs
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol),
-        transform(TextFunctions.tokens(col(textCol)),
-          t => concat(md5(t), md5(concat(lit("x:"), t)))).as("_hs"))
-    val n = size(col("_hs"))
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .select(col(idCol),
+        concat(md5(col("_t")), md5(concat(lit("x:"), col("_t")))).as("_h"))
+    val sums = (1 to 64).map { i =>
+      sum(when(substring(col("_h"), i, 1) >= "8", 1).otherwise(-1))
+        .as(s"_s$i")
+    }
     def block(b: Int): Column =
       (0 until 16).map { j =>
         val i = b * 16 + j + 1 // 1-based hex-digit position
-        val hits = size(filter(col("_hs"), h => substring(h, i, 1) >= "8"))
-        when(hits * 2 > n, lit(1 << (15 - j))).otherwise(lit(0))
+        when(col(s"_s$i") > 0, lit(1 << (15 - j))).otherwise(lit(0))
       }.reduce(_ + _)
-    hashed.select(col(idCol), block(0).as("b0"), block(1).as("b1"),
-      block(2).as("b2"), block(3).as("b3"))
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), block(0).as("b0"), block(1).as("b1"),
+        block(2).as("b2"), block(3).as("b3"))
   }
 
   /** All document pairs within Hamming distance `maxDist` of each other's
@@ -772,14 +784,44 @@ object Dedup {
     * signatures, so the bucket cap can drop candidates without making the
     * surviving rows ambiguous.
     */
+  /** The (id, blk, key, b0..b3) block-row form of [[simhashBlockSigs]] —
+    * each doc emits one row per block, carrying its full signature; the
+    * shared input of the pair join (D79) and the streaming claim store
+    * (E18).
+    *
+    * The generator explodes a LITERAL 0..3 sequence and picks the key by
+    * CASE on the already-projected block columns: a
+    * `posexplode(array(b0..b3))` here inlines the whole 64-bit signature
+    * DAG (the md5 transform included) into the Generate input and
+    * re-evaluates it per output row — measured 6.6 s vs 0.3 s on the
+    * sf0.1 corpus (the bucketCounts no-CSE lesson, generator edition). */
+  def simhashBlocks(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    simhashBlockSigs(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("key",
+        when(col("blk") === 0, col("b0"))
+          .when(col("blk") === 1, col("b1"))
+          .when(col("blk") === 2, col("b2"))
+          .otherwise(col("b3")))
+
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
                           maxBucket: Int = 1024, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val sigs = simhashBlockSigs(docs, idCol, textCol)
-    val blocks = sigs.select(col(idCol).as("id"), col("b0"), col("b1"),
-        col("b2"), col("b3"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
+    // the block table is referenced three times below (size guard + both
+    // join sides); un-persisted, each reference re-evaluates the 64-bit
+    // signature DAG over the corpus, and lazily-persisted the three scans
+    // of the FIRST job race the cache and still each compute it — so
+    // populate eagerly, then the join reads cache. O(docs·4) int rows;
+    // caller-owned (the jaccardAuto convention). Remaining fixed cost is
+    // ~4 s of Catalyst planning for the 64-aggregate signature (the
+    // embed_pca planning-cost phenomenon) — execution itself is ~1 s at
+    // sf0.1 and is what scales with the corpus.
+    val blocks = simhashBlocks(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
     // the D20 aggregate-count guard: sizes collapse map-side to at most
     // 4·2^16 rows regardless of corpus size; singleton buckets can't form
     // a pair and are dropped before the join ever sees them
@@ -803,15 +845,34 @@ object Dedup {
     }.reduce(_ + _)
     a.join(b, col("blk") === col("_blkb") && col("key") === col("_keyb") &&
         col("doc_a") < col("doc_b"))
-      // a close pair collides in several blocks — collapse to one row per
-      // pair BEFORE the (cheap) distance math; the groupBy keys carry the
-      // signatures so hamming/n_blocks stay pure functions of the pair
-      .groupBy("doc_a", "doc_b", "a0", "a1", "a2", "a3",
-        "v0", "v1", "v2", "v3")
-      .agg(count(lit(1)).as("_hits"))
+      // distance math FIRST, distinct after: ham/n_blocks are pure
+      // functions of the pair, so filter∘distinct ≡ distinct∘filter — on
+      // a low-entropy corpus the candidate volume (Σ bucket², ~4M rows at
+      // sf0.1 here) dwarfs the ≤maxDist survivors, so the two-instruction
+      // filter runs inside the join projection and only survivors reach
+      // the dedup aggregate
       .select(col("doc_a"), col("doc_b"),
         ham.cast("int").as("hamming"), agree.cast("int").as("n_blocks"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** First-wins verdict over the banded-Hamming pairs: a document is kept
+    * iff NO earlier (smaller-id) document sits within Hamming distance
+    * `maxDist` — the ingestion-order contract of D23/E9 applied to the
+    * SimHash metric, and the whole-corpus batch anchor of the E18 stream.
+    * Derived from [[simhashHammingPairs]] (pairs are emitted doc_a <
+    * doc_b, so "has an earlier near-dup" = "appears as doc_b"); token-less
+    * docs carry no signature, hence no dup evidence, and are kept. */
+  def simhashFirstWins(docs: DataFrame, maxDist: Int = 3,
+                       maxBucket: Int = 1024, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val dups = simhashHammingPairs(docs, maxDist, maxBucket, idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    docs.select(col(idCol))
+      .join(dups.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col("_dup").isNull.as("kept"))
   }
 
   // ---- D5: embedding cosine near-dup --------------------------------------

@@ -102,6 +102,56 @@ object DedupQueries {
 
   private val minhashSigSql = sigChainSql(nearCorpusSql)
 
+  /** 64-bit banded-SimHash candidate chain over the near corpus: 64 sign
+    * sums over the double digest, each 16-bit block as integer arithmetic
+    * with literal weights — no shifts, so signedness can never diverge
+    * between engines (mirrors Dedup.simhashBlockSigs). Terminal CTE:
+    * `pairs` (unfiltered block-collision candidates carrying both full
+    * signatures). */
+  private val simhashBandChainSql: String = {
+    val bitSums = (1 to 64).map { i =>
+      s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s_$i"
+    }.mkString(",\n    ")
+    def blockExpr(b: Int) = (0 until 16).map { j =>
+      val i = b * 16 + j + 1
+      s"(CASE WHEN s_$i > 0 THEN ${1 << (15 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    val blockCols = (0 until 4).map(b => s"${blockExpr(b)} AS b$b")
+      .mkString(",\n    ")
+    s"""$nearCorpusSql,
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+      |hs AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM hs GROUP BY 1),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    $blockCols
+      |  FROM bits),
+      |blk AS (
+      |  SELECT doc_id, b0, b1, b2, b3, g.j AS blk,
+      |    CASE g.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+      |  FROM sigs CROSS JOIN generate_series(0, 3) AS g(j)),
+      |bsz AS (
+      |  SELECT blk, key, count(*) AS n FROM blk GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+      |    b.b0 AS v0, b.b1 AS v1, b.b2 AS v2, b.b3 AS v3
+      |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key
+      |    AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.blk = a.blk AND bsz.key = a.key
+      |    AND bsz.n > 1 AND bsz.n <= 1024)""".stripMargin
+  }
+
+  private val simhashHamSql = (0 until 4)
+    .map(i => s"bit_count(xor(CAST(a$i AS BIGINT), CAST(v$i AS BIGINT)))")
+    .mkString(" + ")
+
+  private val simhashAgreeSql = (0 until 4)
+    .map(i => s"(CASE WHEN a$i = v$i THEN 1 ELSE 0 END)").mkString(" + ")
+
   /** embeddings ∪ 1.5×-scaled copy (cosine-invariant scaling → near-dups
     * with similarity ≈ 1). Float multiply is single-rounding in both
     * engines, so the variant vectors are bit-identical. */
@@ -187,6 +237,12 @@ object DedupQueries {
     // battery finds them where D3's exact-signature grouping cannot.
     "dedup_simhash_band" -> { (s, d) =>
       Dedup.simhashHammingPairs(nearCorpus(s, d))
+    },
+
+    // E18 batch anchor: the per-document first-wins verdict under the
+    // SimHash metric — kept iff no smaller-id doc within Hamming 3.
+    "dedup_simhash_online" -> { (s, d) =>
+      Dedup.simhashFirstWins(nearCorpus(s, d))
     },
 
     // D27: span-level exact duplication — the truncated variants share
@@ -578,55 +634,24 @@ object DedupQueries {
         |FROM sigs GROUP BY 1""".stripMargin
     },
 
-    "dedup_simhash_band" -> {
-      // 64 sign sums over the double digest, then each 16-bit block as
-      // integer arithmetic with literal weights — no shifts, so signedness
-      // can never diverge between engines (mirrors simhashBlockSigs).
-      val bitSums = (1 to 64).map { i =>
-        s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s_$i"
-      }.mkString(",\n    ")
-      def blockExpr(b: Int) = (0 until 16).map { j =>
-        val i = b * 16 + j + 1
-        s"(CASE WHEN s_$i > 0 THEN ${1 << (15 - j)} ELSE 0 END)"
-      }.mkString(" + ")
-      val blockCols = (0 until 4).map(b => s"${blockExpr(b)} AS b$b")
-        .mkString(",\n    ")
-      val hamSql = (0 until 4)
-        .map(i => s"bit_count(xor(CAST(a$i AS BIGINT), CAST(v$i AS BIGINT)))")
-        .mkString(" + ")
-      val agreeSql = (0 until 4)
-        .map(i => s"(CASE WHEN a$i = v$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $nearCorpusSql,
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
-        |hs AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM tok),
-        |bits AS (
-        |  SELECT doc_id,
-        |    $bitSums
-        |  FROM hs GROUP BY 1),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    $blockCols
-        |  FROM bits),
-        |blk AS (
-        |  SELECT doc_id, b0, b1, b2, b3, g.j AS blk,
-        |    CASE g.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
-        |  FROM sigs CROSS JOIN generate_series(0, 3) AS g(j)),
-        |bsz AS (
-        |  SELECT blk, key, count(*) AS n FROM blk GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
-        |    b.b0 AS v0, b.b1 AS v1, b.b2 AS v2, b.b3 AS v3
-        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key
-        |    AND a.doc_id < b.doc_id
-        |  JOIN bsz ON bsz.blk = a.blk AND bsz.key = a.key
-        |    AND bsz.n > 1 AND bsz.n <= 1024)
+    "dedup_simhash_band" ->
+      s"""WITH $simhashBandChainSql
         |SELECT doc_a, doc_b,
-        |  CAST($hamSql AS INT) AS hamming,
-        |  CAST($agreeSql AS INT) AS n_blocks
+        |  CAST($simhashHamSql AS INT) AS hamming,
+        |  CAST($simhashAgreeSql AS INT) AS n_blocks
         |FROM pairs
-        |WHERE $hamSql <= 3""".stripMargin
-    },
+        |WHERE $simhashHamSql <= 3""".stripMargin,
+
+    // Mirror of dedup_simhash_online (the E18 batch anchor): kept iff no
+    // smaller-id doc within Hamming 3 — "has an earlier near-dup" is
+    // exactly "appears as doc_b in a surviving pair".
+    "dedup_simhash_online" ->
+      s"""WITH $simhashBandChainSql,
+        |dupd AS (
+        |  SELECT DISTINCT doc_b FROM pairs WHERE $simhashHamSql <= 3)
+        |SELECT c.doc_id,
+        |  (dupd.doc_b IS NULL) AS kept
+        |FROM corpus c LEFT JOIN dupd ON c.doc_id = dupd.doc_b""".stripMargin,
 
     // Mirror of dedup_graph_triangles: the same candidate chain, then the
     // a<b<c id-ordered three-way join — counts the identical triangle set

@@ -244,4 +244,126 @@ object DedupStreams {
         ()
       }
       .start()
+
+  // ---- E18: streaming banded-Hamming SimHash dedup -------------------------
+
+  private val shStoreSchema = StructType(Seq(
+    StructField("blk", org.apache.spark.sql.types.IntegerType),
+    StructField("key", org.apache.spark.sql.types.IntegerType),
+    StructField("_owner", LongType),
+    StructField("o0", org.apache.spark.sql.types.IntegerType),
+    StructField("o1", org.apache.spark.sql.types.IntegerType),
+    StructField("o2", org.apache.spark.sql.types.IntegerType),
+    StructField("o3", org.apache.spark.sql.types.IntegerType)))
+
+  /** Read the signature store (empty-safe like [[readClaims]]). */
+  def readShStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(shStoreSchema).parquet(storeDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        shStoreSchema)
+  }
+
+  /** One micro-batch banded-Hamming decision: given this batch's block
+    * rows ([[graft.dedup.Dedup.simhashBlocks]]) and the signature store,
+    * return (verdicts, newStoreRows).
+    *
+    * Unlike E9's bucket CLAIMS, a block-key collision is only a
+    * candidate: the verdict needs the full 64-bit Hamming check against
+    * the colliding owner's signature, so the store keeps every prior
+    * document's block rows (the at-rest form of the D79 join's left
+    * side — O(docs·4) rows, bucketed on (blk, key) at lake scale so only
+    * the batch side shuffles). A doc is dropped iff ANY earlier doc —
+    * from the store or earlier in this batch — shares a block within
+    * distance `maxDist`; the pigeonhole guarantee makes that the
+    * complete d ≤ maxDist test, exactly
+    * [[graft.dedup.Dedup.simhashFirstWins]]'s contract.
+    */
+  def simhashStep(blocks: DataFrame, store: DataFrame, maxDist: Int = 3,
+                  idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    def ham(a: Seq[String], b: Seq[String]) =
+      a.zip(b).map { case (x, y) =>
+        bit_count(col(x).bitwiseXOR(col(y))) }.reduce(_ + _)
+    val bs = Seq("b0", "b1", "b2", "b3")
+    val os = Seq("o0", "o1", "o2", "o3")
+    val fromStore = blocks.join(store.hint("shuffle_hash"), Seq("blk", "key"))
+      .filter(col("_owner") < col("id") && ham(bs, os) <= maxDist)
+      .select(col("id"))
+    val earlier = blocks.select(col("blk").as("_blkb"), col("key").as("_keyb"),
+      col("id").as("_oid"), col("b0").as("o0"), col("b1").as("o1"),
+      col("b2").as("o2"), col("b3").as("o3"))
+    val fromBatch = blocks
+      .join(earlier, col("blk") === col("_blkb") &&
+        col("key") === col("_keyb") && col("_oid") < col("id"))
+      .filter(ham(bs, os) <= maxDist)
+      .select(col("id"))
+    val dups = fromStore.unionByName(fromBatch).distinct()
+      .withColumn("_dup", lit(true))
+    val verdicts = blocks.select(col("id")).distinct()
+      .join(dups.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("_dup").isNull.as("kept"))
+    val newRows = blocks.select(col("blk"), col("key"),
+      col("id").as("_owner"), col("b0").as("o0"), col("b1").as("o1"),
+      col("b2").as("o2"), col("b3").as("o3"))
+    (verdicts, newRows)
+  }
+
+  /** Compact the signature store ([[compactClaims]]'s rewrite keyed on
+    * (blk, key)). */
+  def compactShStore(spark: SparkSession, storeDir: String,
+                     parts: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "_compacting")
+    readShStore(spark, storeDir)
+      .repartition(parts, col("blk"), col("key"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+  }
+
+  /** E18: banded-Hamming SimHash dedup as an ingest stream — the
+    * incremental twin of [[graft.dedup.Dedup.simhashFirstWins]]. Note the
+    * batch anchor's `maxBucket` boilerplate cap is a CANDIDATE guard, not
+    * a semantic: the stream consults every stored signature, so parity
+    * holds whenever the cap does not bind (StreamingSpec pins it on such
+    * a corpus; a production deployment sizes the cap so it never binds on
+    * genuine near-dups).
+    */
+  def simhashDedupStream(docs: DataFrame, storeDir: String, outDir: String,
+                         maxDist: Int = 3, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val blocks = Dedup.simhashBlocks(batch, idCol, textCol)
+        val (verdicts, newRows) =
+          simhashStep(blocks, readShStore(spark, storeDir), maxDist, idCol)
+        // token-less docs carry no signature → no dup evidence → kept
+        // (the simhashFirstWins contract)
+        val verdictsFull = batch.select(col(idCol))
+          .join(verdicts, Seq(idCol), "left")
+          .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
+        val pinned = newRows.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        verdictsFull.repartition(1).write.mode("append").parquet(outDir)
+        pinned.repartition(1).write.mode("append").parquet(storeDir)
+        pinned.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactShStore(spark, storeDir)
+        ()
+      }
+      .start()
 }

@@ -377,6 +377,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E18 banded-simhash stream equals batch simhashFirstWins " +
+      "through a compaction") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+    // drop-2-words variants: a few simhash bits from the original
+    val variants = docs.map { case (id, t) =>
+      (id + 100000L, t.split(" ").drop(2).mkString(" "))
+    }
+    val all = docs ++ variants
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_sh_store_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sh_out_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DedupStreams.simhashDedupStream(
+      ms.toDF().toDF("doc_id", "text"), storeDir, outDir,
+      compactEvery = 2)
+    try {
+      ms.addData(all.take(30)); q.processAllAvailable()
+      ms.addData(all.slice(30, 60)); q.processAllAvailable()
+      ms.addData(all.drop(60)); q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+      val batch = graft.dedup.Dedup.simhashFirstWins(
+        all.toDF("doc_id", "text"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "banded-simhash stream diverges from batch simhashFirstWins")
+      val kept = streamed.filter(col("kept"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(docs.map(_._1).min),
+        "the earliest document must always be kept")
+      assert(variants.map(_._1).count(kept.contains) < variants.length / 2,
+        "variants were not dropped — the Hamming check never fired")
+      // compaction kept the store readable and bounded
+      val files = new java.io.File(storeDir)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 8 + 2, s"store file count unbounded: $files")
+    } finally q.stop()
+  }
+
   test("E9 compaction: verdicts unchanged, file count bounded, restart ok") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
