@@ -369,6 +369,22 @@ object Eval {
        |      ELSE dcg_raw / idcg_raw END) * 10000 + 0.5) / 10000.0 AS ndcg
        |  FROM ng)""".stripMargin
 
+  /** Exact top-`k` retrieval with label-match relevance — the shared
+    * ranked input of the A24/A25 ranking metrics: corpus labels join the
+    * tiny shortlist broadcast, the corpus never shuffles. Output:
+    * (q_id, rank, rel). */
+  def labelRanked(emb: DataFrame, nQueries: Int = 20,
+                  k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+    val top = graft.sim.Ann.bruteForceTopK(q, emb, k = k)
+    emb.select(col("vec_id").as("c_id"), col("label").as("_cl"))
+      .join(broadcast(top.select("q_id", "c_id", "rank")), Seq("c_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("label").as("_ql"))), Seq("q_id"))
+      .select(col("q_id"), col("rank"),
+        when(col("_cl") === col("_ql"), lit(1)).otherwise(lit(0)).as("rel"))
+  }
+
   /** A25: average precision + reciprocal rank per query over a ranked
     * retrieval result — with [[ndcgReport]] the standard ranking-metric
     * pair (MAP/MRR). AP = mean over relevant positions of precision@k

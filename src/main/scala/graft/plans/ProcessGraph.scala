@@ -755,6 +755,22 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "score_lm_bigram" =>
       graft.functions.TextFunctions.bigramLmScore(docsArg(args, evalNode))
 
+    // A24/A25 as graph nodes: label-relevance ranked retrieval over an
+    // embedding node, then the ranking metrics over any
+    // (q_id, rank, rel)-typed node value.
+    case "ranked_retrieval" =>
+      graft.ml.Eval.labelRanked(docsArg(args, evalNode),
+        nQueries = args.path("n_queries").asInt(20),
+        k = args.path("k").asInt(10))
+
+    case "evaluate_ndcg" =>
+      graft.ml.Eval.ndcgReport(docsArg(args, evalNode),
+        k = args.path("k").asInt(10))
+
+    case "evaluate_map" =>
+      graft.ml.Eval.mapReport(docsArg(args, evalNode),
+        k = args.path("k").asInt(10))
+
     // D59/D60 as graph nodes: learn a BPE merge table from the corpus, or
     // train-and-tokenize in one declared step.
     case "train_bpe" =>

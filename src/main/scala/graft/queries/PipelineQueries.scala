@@ -517,6 +517,21 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // Ranked retrieval + NDCG evaluation declared as one graph chain —
+    // lands on ml_eval_ndcg's rows, shares its oracle.
+    "process_graph_ndcg" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "emb": {"process_id": "load_embeddings", "arguments": {}},
+          |  "rk":  {"process_id": "ranked_retrieval",
+          |          "arguments": {"data": {"from_node": "emb"},
+          |                        "n_queries": 20, "k": 10}},
+          |  "m":   {"process_id": "evaluate_ndcg",
+          |          "arguments": {"data": {"from_node": "rk"}, "k": 10},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // BPE training as a declared graph step — shares text_bpe_apply's
     // unrolled oracle (train + tokenize in one node).
     "process_graph_bpe" -> { (s, d) =>
@@ -784,6 +799,7 @@ object PipelineQueries {
     "process_graph_kcenter" -> SimQueries.oracle("embed_kcenter"),
     "process_graph_knn" -> SimQueries.oracle("embed_knn_graph"),
     "process_graph_mmr" -> SimQueries.oracle("ann_mmr"),
+    "process_graph_ndcg" -> SimQueries.oracle("ml_eval_ndcg"),
 
     "process_graph_boost" -> MlQueries.oracle("ml_boost_fit"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),

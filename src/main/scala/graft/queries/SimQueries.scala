@@ -78,19 +78,9 @@ object SimQueries {
     sq8Cache.getOrElseUpdate(d, Ann.sq8Stats(Tables.embeddings(s, d)))
 
   /** Exact top-10 with label-match relevance — the shared ranked input of
-    * the A24/A25 ranking metrics. Corpus labels join the tiny shortlist
-    * broadcast; the corpus never shuffles. */
-  private def labelRanked(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 20)
-    val top = Ann.bruteForceTopK(q, emb, k = 10)
-    emb.select(col("vec_id").as("c_id"), col("label").as("_cl"))
-      .join(broadcast(top.select("q_id", "c_id", "rank")), Seq("c_id"))
-      .join(broadcast(q.select(col("vec_id").as("q_id"),
-        col("label").as("_ql"))), Seq("q_id"))
-      .select(col("q_id"), col("rank"),
-        when(col("_cl") === col("_ql"), lit(1)).otherwise(lit(0)).as("rel"))
-  }
+    * the A24/A25 ranking metrics ([[graft.ml.Eval.labelRanked]]). */
+  private def labelRanked(s: SparkSession, d: String): DataFrame =
+    graft.ml.Eval.labelRanked(Tables.embeddings(s, d), nQueries = 20, k = 10)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -109,6 +99,13 @@ object SimQueries {
     // of the standard ranking-metric pair.
     "ml_eval_map" -> { (s, d) =>
       graft.ml.Eval.mapReport(labelRanked(s, d), k = 10)
+    },
+
+    // D84: attribute-filtered vector search — per-query same-label top-3;
+    // the predicate evaluates map-side inside the broadcast scan.
+    "ann_filtered" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.filteredTopK(emb.filter(col("vec_id") < 20), emb, k = 3)
     },
 
     // D81: MMR diversified re-ranking — exact top-8 retrieval, then the
@@ -769,6 +766,24 @@ object SimQueries {
 
     "embed_knn_graph" -> knnGraphOracleSql(nlist = 16, sampleN = 256,
       iters = 5, dims = 64, k = 4),
+
+    // Mirror of ann_filtered: the exact-top-k chain under the same-label
+    // join condition.
+    "ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce, label AS cl
+        |      FROM embeddings),
+        |sims AS (
+        |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim
+        |  FROM q JOIN c ON q_id <> c_id AND cl = ql),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM sims)
+        |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // Mirror of ml_eval_ndcg: exact top-10 with label-match relevance,
     // then the Eval ndcg chain (identical discount and decimal sums).

@@ -104,6 +104,32 @@ object Ann {
       col("mmr"))
   }
 
+  /** D84: attribute-FILTERED vector search — the vector-DB feature every
+    * retrieval stack grows next: top-k under a per-query metadata
+    * constraint (here: candidate attribute must equal the query's — the
+    * "same collection/tenant/language" filter). The predicate is part of
+    * the broadcast-join condition, so it evaluates MAP-SIDE inside the
+    * corpus scan: non-matching candidates never reach the similarity
+    * fold, let alone the shuffle — at lake scale the attribute is a
+    * partition/row-group column and the filter prunes storage first
+    * (PushedFilters), which composes with the IVF/PQ pruned scans the
+    * same way. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   attrCol: String = "label", idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb"), col(attrCol).as("_q_attr")))
+    val sims = corpus.select(col(idCol).as("c_id"),
+        col(embCol).as("_c_emb"), col(attrCol).as("_c_attr"))
+      .join(q, col("q_id") =!= col("c_id") &&
+        col("_q_attr") === col("_c_attr"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+    rankPruned(sims.as[Scored], k)
+  }
+
   /** D83: k-NN GRAPH construction over the whole corpus — the backbone
     * structure of graph-based curation (SemDeDup-style clustering, label
     * propagation, UMAP-ish layout, graph dedup): every vector gets edges

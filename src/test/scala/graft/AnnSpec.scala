@@ -388,6 +388,27 @@ class AnnSpec extends SparkSpec {
       "fixture should contain both mutual and one-way edges")
   }
 
+  test("filtered search: only same-attribute candidates, subset of unfiltered") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    val r = Ann.filteredTopK(q, emb, k = 3)
+    // every hit carries the query's own label
+    val labels = emb.select($"vec_id", $"label")
+    val mismatched = r
+      .join(labels.select($"vec_id".as("q_id"), $"label".as("ql")), "q_id")
+      .join(labels.select($"vec_id".as("c_id"), $"label".as("cl")), "c_id")
+      .filter($"ql" =!= $"cl").count()
+    assert(mismatched == 0, "a cross-label candidate leaked through")
+    // and the filtered ranking is the unfiltered ranking restricted to
+    // the label: sims agree wherever a pair appears in both
+    val unf = Ann.bruteForceTopK(q, emb, k = 50)
+      .select($"q_id", $"c_id", $"sim".as("usim"))
+    val both = r.join(unf, Seq("q_id", "c_id"))
+    assert(both.filter($"sim" =!= $"usim").count() == 0)
+    assert(r.count() > 0)
+  }
+
   test("mmr rerank: diversity beats a redundant twin, greedy is deterministic") {
     import spark.implicits._
     // c1 and c2 are the same direction (pair cosine exactly 1); c3 is
