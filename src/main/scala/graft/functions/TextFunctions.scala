@@ -530,6 +530,45 @@ object TextFunctions {
           .as("lm_score"))
   }
 
+  /** D85: per-source distribution drift — Jensen-Shannon divergence of
+    * each source's unigram distribution against the whole corpus, the
+    * drift monitor a curation pipeline reads to spot a source gone stale,
+    * templated, or off-language (and, run crawl-over-crawl, the data-drift
+    * alarm between snapshots). JS rather than KL: symmetric-bounded
+    * (≤ ln 2), and zero-count terms contribute 0 to their own KL half, so
+    * no smoothing is needed.
+    *
+    * Scale shape: one O(tokens) explode collapsed map-side to the
+    * O(vocab·sources) per-source count table; the JS grid is the corpus
+    * vocabulary cross-joined with the O(sources) totals (the intrinsic
+    * cost — every corpus term contributes to every source's q-half);
+    * per-source sums are decimal-exact so the single row per source is
+    * partition-invariant. ln evaluates in-engine on identical pinned
+    * ratios (the D30 precedent).
+    */
+  def sourceDrift(docs: org.apache.spark.sql.DataFrame,
+                  srcCol: String = "source", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(tokens(col(textCol))).as("tok"))
+    val cs = tok.groupBy("src", "tok").agg(count(lit(1)).as("c"))
+    val totS = cs.groupBy("src").agg(sum("c").as("ns"))
+    val ct = cs.groupBy("tok").agg(sum("c").as("ctot"))
+    val nAll = ct.agg(sum("ctot")).head().getLong(0)
+    val grid = ct.crossJoin(broadcast(totS))
+      .join(cs.hint("shuffle_hash"), Seq("src", "tok"), "left")
+    val p = coalesce(col("c"), lit(0L)).cast("double") /
+      col("ns").cast("double")
+    val q = col("ctot").cast("double") / lit(nAll.toDouble)
+    val m = (p + q) / lit(2.0)
+    val term = when(p > lit(0.0), lit(0.5) * (p * log(p / m)))
+      .otherwise(lit(0.0)) + lit(0.5) * (q * log(q / m))
+    grid.groupBy("src")
+      .agg(max(col("ns")).as("n_tokens"),
+        graft.core.Exact.rnd4(graft.core.Exact.esum(term)).as("js_div"))
+      .select(col("src").as("source"), col("n_tokens"), col("js_div"))
+  }
+
   /** D35: DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"), reduced
     * to the unigram feature space: score each document by how much more

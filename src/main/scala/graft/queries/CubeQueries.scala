@@ -77,6 +77,24 @@ object CubeQueries {
         .df.select(col("event_id"), Exact.rnd4(col("value")).as("value"))
     },
 
+    // C45: the openEO cumulative family — cummax/cummin along time
+    // through the same apply_dimension window machinery as cumsum (C2);
+    // running extrema are exact (no float-order sensitivity), so the two
+    // legs join back on the unique cell key with no rounding concerns.
+    "cube_cumulative" -> { (s, d) =>
+      val c = eventsCube(s, d)
+      val mx = c.cumulateOverDim("time", Seq("user_id"),
+          tieBreak = Seq("event_id"), reducer = "max")
+        .df.select(col("event_id"), col("value").as("cmax"))
+      val mn = c.cumulateOverDim("time", Seq("user_id"),
+          tieBreak = Seq("event_id"), reducer = "min")
+        .df.select(col("event_id").as("_e2"), col("value").as("cmin"))
+      mx.join(mn, col("event_id") === col("_e2"))
+        .select(col("event_id"),
+          Exact.rnd4(col("cmax")).as("cummax"),
+          Exact.rnd4(col("cmin")).as("cummin"))
+    },
+
     "cube_reduce_time" -> { (s, d) =>
       val c = DataCube(Tables.events(s, d).select(
         col("ts").as("time"), col("event_type").as("band"),
@@ -596,6 +614,15 @@ object CubeQueries {
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS value
         |FROM events""".stripMargin,
+
+    // Mirror of cube_cumulative: running extrema over the same window.
+    "cube_cumulative" ->
+      """SELECT event_id,
+        |  floor((max(value) OVER w) * 10000 + 0.5) / 10000.0 AS cummax,
+        |  floor((min(value) OVER w) * 10000 + 0.5) / 10000.0 AS cummin
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "cube_reduce_time" ->
       """SELECT event_type AS band, user_id,

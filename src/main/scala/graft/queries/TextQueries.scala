@@ -231,6 +231,12 @@ object TextQueries {
     // context-free.
     "text_lm_bigram" -> { (s, d) => bigramLmScore(docs(s, d)) },
 
+    // D85: per-source JS divergence vs the corpus distribution — the
+    // source-drift monitor of a mixture pipeline.
+    "text_source_drift" -> { (s, d) =>
+      sourceDrift(Tables.documents(s, d))
+    },
+
     // D31: source mixing to a token budget — up-weighted, down-weighted,
     // defaulted and excluded sources in one mix.
     "text_mix" -> { (s, d) =>
@@ -1245,6 +1251,39 @@ object TextQueries {
         |  floor((CAST(sum(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / count(*))
         |    * 10000 + 0.5) / 10000.0 AS lm_score
         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // Mirror of TextFunctions.sourceDrift: identical count tables, pinned
+    // p/q/m ratios and the same half-KL row terms, decimal-exact sums.
+    "text_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cs AS (SELECT src, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tots AS (SELECT src, sum(c) AS ns FROM cs GROUP BY 1),
+        |ct AS (SELECT tok, sum(c) AS ctot FROM cs GROUP BY 1),
+        |nall AS (SELECT sum(ctot) AS n FROM ct),
+        |grid AS (
+        |  SELECT tots.src, ct.tok, tots.ns, ct.ctot, cs.c
+        |  FROM ct CROSS JOIN tots
+        |  LEFT JOIN cs ON cs.src = tots.src AND cs.tok = ct.tok),
+        |terms AS (
+        |  SELECT src, ns,
+        |    (CASE WHEN CAST(COALESCE(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE) > 0.0
+        |      THEN 0.5 * ((CAST(COALESCE(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        * ln((CAST(COALESCE(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE))
+        |          / ((CAST(COALESCE(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE)
+        |              + CAST(ctot AS DOUBLE) / CAST(nall.n AS DOUBLE)) / 2.0)))
+        |      ELSE 0.0 END)
+        |    + 0.5 * ((CAST(ctot AS DOUBLE) / CAST(nall.n AS DOUBLE))
+        |        * ln((CAST(ctot AS DOUBLE) / CAST(nall.n AS DOUBLE))
+        |          / ((CAST(COALESCE(c, 0) AS DOUBLE) / CAST(ns AS DOUBLE)
+        |              + CAST(ctot AS DOUBLE) / CAST(nall.n AS DOUBLE)) / 2.0)))
+        |    AS term
+        |  FROM grid CROSS JOIN nall)
+        |SELECT src AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  floor((CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000.0 AS js_div
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // Mirror of TextFunctions.bigramLmScore(minCount=2, lambda=0.75):
     // identical vocab/bigram cuts, backoff CASE and interpolation DAG.

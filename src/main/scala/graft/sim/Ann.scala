@@ -543,8 +543,10 @@ object Ann {
   }
 
   /** The pruned corpus scan a probe performs: probed cell ids → IN-filter
-    * on the partition column (directory pruning). Public so tests can
-    * assert the file-level pruning via `inputFiles`. */
+    * on the partition column (directory pruning), minus any tombstoned
+    * ids ([[ivfDelete]]) — every probe path flows through here, so both
+    * the IVF and IVF-PQ layouts honor deletes without a rewrite. Public
+    * so tests can assert the file-level pruning via `inputFiles`. */
   def probedScan(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, cents: Array[Array[Double]], nProbe: Int,
                  idCol: String = "vec_id",
@@ -553,8 +555,50 @@ object Ann {
     val probed = queries
       .select(explode(probesOf(cents, col(embCol), nProbe)).as("cell"))
       .distinct().as[Int].collect()
-    spark.read.parquet(s"$path/data")
+    val scan = spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probed.toSeq: _*))
+    tombstones(spark, path).fold(scan)(t =>
+      scan.join(broadcast(t), Seq("c_id"), "left_anti"))
+  }
+
+  /** FAISS `remove_ids` for the persisted layouts, lake-style: deleted
+    * ids append to a tombstone sidecar — O(deleted) write, NO data
+    * rewrite (the Delta/Iceberg delete-file pattern) — and every probe
+    * anti-joins the (broadcast-small) tombstone set until
+    * [[ivfCompactDeletes]] folds them into the data files. Completes the
+    * index maintenance contract: train once, add incrementally (D39b),
+    * delete incrementally, compact on maintenance windows. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                ids: DataFrame, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("c_id")).distinct()
+      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(p.toString).select(col("c_id")))
+    else None
+  }
+
+  /** Maintenance rewrite: fold tombstones into the data files (drop the
+    * deleted rows, keep the partitionBy(cell) layout) and clear the
+    * sidecar. Materialize-then-swap like the claim-store compactions —
+    * the maintenance driver is the single writer. */
+  def ivfCompactDeletes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val ts = tombstones(spark, path).getOrElse(return)
+    val dataP = new org.apache.hadoop.fs.Path(s"$path/data")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
+    val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(dataP.toString)
+      .join(broadcast(ts), Seq("c_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpP.toString)
+    fs.delete(dataP, true)
+    fs.rename(tmpP, dataP)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Convenience overload loading the sidecar centroids. */

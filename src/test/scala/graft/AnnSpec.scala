@@ -388,6 +388,35 @@ class AnnSpec extends SparkSpec {
       "fixture should contain both mutual and one-way edges")
   }
 
+  test("ivf delete: tombstoned ids vanish from probes; compaction folds them in") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_del_").toString
+    Ann.ivfBuild(emb, idx, nlist = 8)
+    val q = emb.filter($"vec_id" < 5)
+    val before = Ann.ivfProbe(spark, idx, q, k = 5, nProbe = 3)
+    // delete the ids that currently answer the queries
+    val victims = before.select($"c_id").distinct().limit(4)
+    val victimIds = victims.as[Long].collect().toSet
+    Ann.ivfDelete(spark, idx, victims.toDF("vec_id"))
+    // materialize BEFORE compaction deletes the files this plan reads
+    val after = Ann.ivfProbe(spark, idx, q, k = 5, nProbe = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(after.forall(t => !victimIds(t._2)),
+      "a tombstoned id surfaced in a probe")
+    // compaction folds the tombstones into the files: same answers,
+    // sidecar gone, rows physically removed
+    Ann.ivfCompactDeletes(spark, idx)
+    val compacted = Ann.ivfProbe(spark, idx, q, k = 5, nProbe = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(compacted == after, "compaction changed probe results")
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "compaction must clear the tombstone sidecar")
+    // the deleted rows are physically gone
+    assert(spark.read.parquet(s"$idx/data")
+      .filter($"c_id".isin(victimIds.toSeq: _*)).count() == 0)
+  }
+
   test("filtered search: only same-attribute candidates, subset of unfiltered") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -218,6 +218,31 @@ class TextSpec extends SparkSpec {
     assert(x1 == x2)
   }
 
+  test("source drift: identical sources read 0, disjoint vocab reads high") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w${i % 10}").mkString(" ")
+    val alien = (1 to 30).map(i => s"z${i % 10}").mkString(" ")
+    val docs = Seq(
+      (0L, "twinA", text), (1L, "twinB", text), (2L, "alien", alien)
+    ).toDF("doc_id", "source", "text")
+    val r = TextFunctions.sourceDrift(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // twins: p differs from the corpus mixture q, but identically — both
+    // read the same positive drift, strictly below the alien source
+    assert(r("twinA")._2 == r("twinB")._2)
+    assert(r("alien")._2 > r("twinA")._2,
+      s"disjoint vocab must out-drift a shared one: $r")
+    // JS is bounded by ln 2
+    r.values.foreach { case (_, js) =>
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"JS out of range: $js")
+    }
+    // a corpus of ONE source: p = q exactly → drift 0
+    val solo = TextFunctions.sourceDrift(
+      Seq((0L, "only", text), (1L, "only", alien))
+        .toDF("doc_id", "source", "text")).head()
+    assert(solo.getDouble(2) == 0.0)
+  }
+
   test("dsir: hand-computed importance scores and stratified selection") {
     import spark.implicits._
     // target = src0 = {a a b}; other = src1 = {a c, c c}
