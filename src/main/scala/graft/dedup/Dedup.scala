@@ -857,6 +857,46 @@ object Dedup {
       .distinct()
   }
 
+  /** D87: multi-signal dedup evidence — the verdict table a curation
+    * pipeline consults before DESTRUCTIVE dedup: per candidate pair, the
+    * three independent detectors side by side (MinHash band collisions,
+    * banded-SimHash Hamming distance, exact shingle Jaccard on the
+    * MinHash candidates) and a conservative combined verdict requiring at
+    * least two signals. One detector's false positive (a boilerplate
+    * bucket, a SimHash saturation on short docs) cannot alone delete a
+    * document.
+    *
+    * Absent evidence is coalesced to sentinels AFTER the signal count
+    * (n_bands 0, hamming −1, jaccard 0.0 — unambiguous since verified
+    * Jaccard is ≥ threshold by construction). Jaccard verification runs
+    * only on MinHash candidates, so its pairs are a subset and join back
+    * LEFT; the SimHash pair set is independent and joins FULL OUTER. Each
+    * detector keeps its own scale shape; the ensemble adds two
+    * pair-keyed joins over O(candidates) rows.
+    */
+  def dedupEnsemble(docs: DataFrame, jThreshold: Double = 0.5,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val mh = minhashCandidates(
+      minhashSignatures(docs, idCol = idCol, textCol = textCol))
+    val sh = simhashHammingPairs(docs, idCol = idCol, textCol = textCol)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val jc = jaccardAuto(docs, mh.select("doc_a", "doc_b"),
+        threshold = jThreshold, idCol = idCol, textCol = textCol)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val base = mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .join(jc, Seq("doc_a", "doc_b"), "left")
+    val signals = col("n_bands").isNotNull.cast("int") +
+      col("hamming").isNotNull.cast("int") +
+      col("jaccard").isNotNull.cast("int")
+    base.select(col("doc_a"), col("doc_b"),
+      coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+      coalesce(col("hamming"), lit(-1)).as("hamming"),
+      coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+      signals.as("n_signals"),
+      (signals >= 2).as("verdict"))
+  }
+
   /** First-wins verdict over the banded-Hamming pairs: a document is kept
     * iff NO earlier (smaller-id) document sits within Hamming distance
     * `maxDist` — the ingestion-order contract of D23/E9 applied to the

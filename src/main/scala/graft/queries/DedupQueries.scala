@@ -108,7 +108,7 @@ object DedupQueries {
     * between engines (mirrors Dedup.simhashBlockSigs). Terminal CTE:
     * `pairs` (unfiltered block-collision candidates carrying both full
     * signatures). */
-  private val simhashBandChainSql: String = {
+  private def simhashBandChain(p: String, withCorpus: Boolean): String = {
     val bitSums = (1 to 64).map { i =>
       s"sum(CASE WHEN substr(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s_$i"
     }.mkString(",\n    ")
@@ -118,32 +118,34 @@ object DedupQueries {
     }.mkString(" + ")
     val blockCols = (0 until 4).map(b => s"${blockExpr(b)} AS b$b")
       .mkString(",\n    ")
-    s"""$nearCorpusSql,
-      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
-      |hs AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM tok),
-      |bits AS (
+    val head = if (withCorpus) s"$nearCorpusSql,\n" else ""
+    s"""$head${p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+      |${p}hs AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM ${p}tok),
+      |${p}bits AS (
       |  SELECT doc_id,
       |    $bitSums
-      |  FROM hs GROUP BY 1),
-      |sigs AS (
+      |  FROM ${p}hs GROUP BY 1),
+      |${p}sigs AS (
       |  SELECT doc_id,
       |    $blockCols
-      |  FROM bits),
-      |blk AS (
+      |  FROM ${p}bits),
+      |${p}blk AS (
       |  SELECT doc_id, b0, b1, b2, b3, g.j AS blk,
       |    CASE g.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
-      |  FROM sigs CROSS JOIN generate_series(0, 3) AS g(j)),
-      |bsz AS (
-      |  SELECT blk, key, count(*) AS n FROM blk GROUP BY 1, 2),
-      |pairs AS (
+      |  FROM ${p}sigs CROSS JOIN generate_series(0, 3) AS g(j)),
+      |${p}bsz AS (
+      |  SELECT blk, key, count(*) AS n FROM ${p}blk GROUP BY 1, 2),
+      |${p}pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
       |    b.b0 AS v0, b.b1 AS v1, b.b2 AS v2, b.b3 AS v3
-      |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.key = b.key
+      |  FROM ${p}blk a JOIN ${p}blk b ON a.blk = b.blk AND a.key = b.key
       |    AND a.doc_id < b.doc_id
-      |  JOIN bsz ON bsz.blk = a.blk AND bsz.key = a.key
-      |    AND bsz.n > 1 AND bsz.n <= 1024)""".stripMargin
+      |  JOIN ${p}bsz ON ${p}bsz.blk = a.blk AND ${p}bsz.key = a.key
+      |    AND ${p}bsz.n > 1 AND ${p}bsz.n <= 1024)""".stripMargin
   }
+
+  private val simhashBandChainSql: String = simhashBandChain("", true)
 
   private val simhashHamSql = (0 until 4)
     .map(i => s"bit_count(xor(CAST(a$i AS BIGINT), CAST(v$i AS BIGINT)))")
@@ -243,6 +245,13 @@ object DedupQueries {
     // SimHash metric — kept iff no smaller-id doc within Hamming 3.
     "dedup_simhash_online" -> { (s, d) =>
       Dedup.simhashFirstWins(nearCorpus(s, d))
+    },
+
+    // D87: the three detectors side by side per pair + the ≥2-signal
+    // conservative verdict — the evidence table consulted before
+    // destructive dedup.
+    "dedup_ensemble" -> { (s, d) =>
+      Dedup.dedupEnsemble(nearCorpus(s, d))
     },
 
     // D27: span-level exact duplication — the truncated variants share
@@ -641,6 +650,58 @@ object DedupQueries {
         |  CAST($simhashAgreeSql AS INT) AS n_blocks
         |FROM pairs
         |WHERE $simhashHamSql <= 3""".stripMargin,
+
+    // Mirror of dedup_ensemble: the minhash candidate chain, the jaccard
+    // verification tail, and the sh-prefixed banded-simhash chain in ONE
+    // WITH; signals counted on the pre-coalesce nullable columns exactly
+    // like the Spark plan.
+    "dedup_ensemble" -> {
+      val shChain = simhashBandChain("sh_", withCorpus = false)
+      s"""WITH $minhashSigSql,
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        |jsizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+        |jinter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.doc_a
+        |  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |jacc AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter))
+        |          * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM jinter i
+        |  JOIN jsizes sa ON sa.doc_id = i.doc_a
+        |  JOIN jsizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        |    >= 0.5),
+        |$shChain,
+        |shp AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST($simhashHamSql AS INT) AS hamming
+        |  FROM sh_pairs WHERE $simhashHamSql <= 3),
+        |ensb AS (
+        |  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+        |    COALESCE(m.doc_b, s.doc_b) AS doc_b,
+        |    m.n_bands, s.hamming
+        |  FROM cand m FULL OUTER JOIN shp s
+        |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+        |SELECT e.doc_a, e.doc_b,
+        |  CAST(COALESCE(e.n_bands, 0) AS BIGINT) AS n_bands,
+        |  CAST(COALESCE(e.hamming, -1) AS INT) AS hamming,
+        |  COALESCE(j.jaccard, 0.0) AS jaccard,
+        |  CAST((CASE WHEN e.n_bands IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN e.hamming IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN j.jaccard IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_signals,
+        |  ((CASE WHEN e.n_bands IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN e.hamming IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN j.jaccard IS NOT NULL THEN 1 ELSE 0 END)) >= 2
+        |    AS verdict
+        |FROM ensb e LEFT JOIN jacc j
+        |  ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b""".stripMargin
+    },
 
     // Mirror of dedup_simhash_online (the E18 batch anchor): kept iff no
     // smaller-id doc within Hamming 3 — "has an earlier near-dup" is

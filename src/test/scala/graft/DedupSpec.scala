@@ -280,6 +280,35 @@ class DedupSpec extends SparkSpec {
     assert(m(("alien", "twinB"))._2 == 0.0)
   }
 
+  test("ensemble: verdict requires two signals, jaccard implies minhash") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val variants = docs.map { case (id, t) =>
+      (id + 100000L, t.split(" ").dropRight(3).mkString(" "))
+    }
+    val r = Dedup.dedupEnsemble((docs ++ variants).toDF("doc_id", "text"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val nb = row.getAs[Long]("n_bands")
+      val hm = row.getAs[Int]("hamming")
+      val jc = row.getAs[Double]("jaccard")
+      val ns = row.getAs[Int]("n_signals")
+      val v = row.getAs[Boolean]("verdict")
+      // signal count = the non-sentinel evidence present
+      val expect = (if (nb > 0) 1 else 0) + (if (hm >= 0) 1 else 0) +
+        (if (jc > 0.0) 1 else 0)
+      assert(ns == expect && v == (ns >= 2), s"row $row")
+      // jaccard verification only runs on minhash candidates
+      if (jc > 0.0) assert(nb > 0, s"jaccard without minhash: $row")
+    }
+    // the variant pairs produce full three-signal agreement somewhere
+    assert(r.exists(_.getAs[Int]("n_signals") == 3),
+      "no pair carried all three signals on the variant corpus")
+  }
+
   test("banded-Hamming simhash: complete and exact vs brute force at d<=3") {
     import spark.implicits._
     // variant-chained corpus: base docs + one-word and three-word edits
