@@ -500,7 +500,7 @@ object PipelineQueries {
           |  "emb":   {"process_id": "load_embeddings", "arguments": {}},
           |  "graph": {"process_id": "knn_graph",
           |            "arguments": {"data": {"from_node": "emb"},
-          |                          "k": 4, "nlist": 16},
+          |                          "k": 4, "nlist": 128},
           |            "result": true}
           |}""".stripMargin)
     },

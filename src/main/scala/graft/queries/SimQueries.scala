@@ -50,6 +50,11 @@ object SimQueries {
   private def coarse16(s: SparkSession, d: String): Array[Array[Double]] =
     coarseCache.getOrElseUpdate(d,
       Ann.seededCentroids(Tables.embeddings(s, d), nlist = 16))
+  private val coarse128Cache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def coarse128(s: SparkSession, d: String): Array[Array[Double]] =
+    coarse128Cache.getOrElseUpdate(d,
+      Ann.seededCentroids(Tables.embeddings(s, d), nlist = 128))
   private val booksCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Array[Double]]]]
   private def books4x16(s: SparkSession, d: String)
@@ -116,11 +121,13 @@ object SimQueries {
     },
 
     // D83: the within-cell k-NN graph with mutual-edge flags — the
-    // backbone of graph-based embedding curation; shares the per-sfDir
-    // trained coarse quantizer (FAISS train/add).
+    // backbone of graph-based embedding curation. nlist = 128, NOT the
+    // retrieval ops' 16: within-cell pair volume is O(n²/nlist), and the
+    // graph build touches ALL pairs (measured 210 s at sf1 with nlist=16
+    // vs the paper's own knob — cells must shrink as the corpus grows).
     "embed_knn_graph" -> { (s, d) =>
-      Ann.knnGraph(Tables.embeddings(s, d), k = 4, nlist = 16,
-        coarse = Some(coarse16(s, d)))
+      Ann.knnGraph(Tables.embeddings(s, d), k = 4, nlist = 128,
+        coarse = Some(coarse128(s, d)))
     },
 
     // D68: clustering QC — simplified silhouette against the seeded
@@ -764,7 +771,7 @@ object SimQueries {
 
     "ann_mmr" -> annMmrSql,
 
-    "embed_knn_graph" -> knnGraphOracleSql(nlist = 16, sampleN = 256,
+    "embed_knn_graph" -> knnGraphOracleSql(nlist = 128, sampleN = 256,
       iters = 5, dims = 64, k = 4),
 
     // Mirror of ann_filtered: the exact-top-k chain under the same-label
