@@ -26,6 +26,12 @@ object StreamQueries {
           col("session_end"), col("n_events"), col("sum_value"))
     },
 
+    // E19: view→click→purchase conversion funnel — sequential-min steps,
+    // users-per-depth with mean entry-to-last-step latency.
+    "events_funnel" -> { (s, d) =>
+      EventStreams.funnel(Tables.events(s, d))
+    },
+
     // E2 through Spark's native session_window aggregate — same sessions,
     // one declarative groupBy that also runs unchanged under streaming
     // (StreamingSpec proves batch ≡ stream ≡ window-function form)
@@ -90,6 +96,35 @@ object StreamQueries {
         |  count(*) AS n,
         |  floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Mirror of events_funnel: the same three conditional-min steps with
+    // strict-after joins, depth CASE and decimal-exact latency mean.
+    "events_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN f1 ON f1.user_id = e.user_id AND e.ts > f1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN f2 ON f2.user_id = e.user_id AND e.ts > f2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |pu AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |    CASE WHEN t3 IS NOT NULL
+        |           THEN CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE) / 1000000.0
+        |         WHEN t2 IS NOT NULL
+        |           THEN CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) / 1000000.0
+        |         ELSE 0.0 END AS span_sec
+        |  FROM u LEFT JOIN f1 ON u.user_id = f1.user_id
+        |  LEFT JOIN f2 ON u.user_id = f2.user_id
+        |  LEFT JOIN f3 ON u.user_id = f3.user_id)
+        |SELECT depth, count(*) AS n_users,
+        |  floor((CAST(sum(CAST(span_sec AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(span_sec)) * 10000 + 0.5) / 10000.0 AS avg_span_sec
+        |FROM pu GROUP BY 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (

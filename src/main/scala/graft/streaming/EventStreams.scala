@@ -124,6 +124,56 @@ object EventStreams extends Serializable {
         Exact.rnd4(Exact.esum(col("value"))).as("sum_value"))
   }
 
+  /** E19: multi-step conversion funnel — per user the earliest `view`,
+    * the earliest `click` strictly after it, the earliest `purchase`
+    * strictly after that (sequential-min semantics, the standard funnel
+    * definition), aggregated to users-per-depth with the mean
+    * entry-to-last-step latency. Deterministic: every step is a `min`
+    * over exact timestamps; the latency mean is a decimal-exact sum over
+    * exact microsecond differences.
+    *
+    * Scale shape: three conditional-min aggregates keyed on user_id —
+    * partial aggregation collapses each map-side, the step joins are
+    * O(users) on the same key (one hash partitioning reused), and the
+    * final depth rollup is O(users) → 4 rows. No windows, no event-order
+    * sort: "earliest X after t" is a filtered min, which at lake scale
+    * beats a per-user sequence scan.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(steps.size == 3, "funnel: exactly three steps")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val users = e.select(col("user_id")).distinct()
+    val t1 = e.filter(col("event_type") === steps(0))
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === steps(1))
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === steps(2))
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val perUser = users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("depth"),
+        when(col("t3").isNotNull,
+            (Exact.epochUs(col("t3")) - Exact.epochUs(col("t1")))
+              .cast("double") / lit(1000000.0))
+          .when(col("t2").isNotNull,
+            (Exact.epochUs(col("t2")) - Exact.epochUs(col("t1")))
+              .cast("double") / lit(1000000.0))
+          .otherwise(lit(0.0)).as("span_sec"))
+    perUser.groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        Exact.rnd4(Exact.eavg(col("span_sec"))).as("avg_span_sec"))
+  }
+
   /** E2 via Spark's NATIVE `session_window`: the same gap sessions as one
     * declarative aggregate that runs identically on batch and streaming
     * inputs — no window functions, no hand-written state (Spark's
