@@ -90,6 +90,77 @@ object LogisticProbe {
     out
   }
 
+  /** A27: the TRAINING CURVE as a first-class result — per GD iteration
+    * (0 = the zero init through `iters`), the rnd4 weight snapshot plus
+    * corpus log-loss and threshold accuracy under those weights. The
+    * diagnostic every training pipeline wants next to the fitted model:
+    * monotonicity, plateaus and the iteration budget become gate-hashed
+    * DATA, and because every snapshot is pinned the oracle replays the
+    * whole trajectory, not just the final weights.
+    *
+    * The algebraic sigmoid is strictly inside (0, 1), so ln is always
+    * defined; loss sums are decimal-exact; each iteration's metric pass
+    * is one aggregate over the persisted feature scan with plan-literal
+    * weights (iters+1 scans — the curve's intrinsic cost; at lake scale
+    * curves are computed on a fixed eval slice, not the corpus). */
+  def trainCurve(feats: DataFrame, xs: Seq[String], yCol: String,
+                 lr: Double, iters: Int): DataFrame = {
+    feats.persist()
+    var w: Seq[Double] = Vector.fill(xs.size + 1)(0.0)
+    val snaps = Vector.newBuilder[(Int, Seq[Double])]
+    snaps += ((0, w))
+    for (t <- 1 to iters) {
+      w = step(feats, xs, yCol, lr, w)
+      snaps += ((t, w))
+    }
+    val rows = snaps.result().map { case (t, wt) =>
+      val sg = sigmoid(zCol(xs, wt))
+      val logloss = -(col(yCol) * log(sg) +
+        (lit(1.0) - col(yCol)) * log(lit(1.0) - sg))
+      val correct = when((sg >= lit(0.5)) === (col(yCol) > lit(0.5)), 1)
+        .otherwise(0)
+      feats.agg(
+          Exact.rnd4(Exact.eavg(logloss)).as("loss"),
+          Exact.rnd4(sum(correct).cast("double") / count(lit(1))).as("acc"))
+        .select((lit(t).as("iter") +:
+          wt.indices.map(i => Exact.rnd4(lit(wt(i))).as(s"w$i"))) ++
+          Seq(col("loss"), col("acc")): _*)
+    }
+    val out = rows.reduce(_ unionByName _)
+    feats.unpersist(false)
+    out
+  }
+
+  /** DuckDB mirror of [[trainCurve]]: the shared lw-iteration chain, one
+    * metric block per snapshot (identical sigmoid/log-loss/accuracy DAG
+    * under that iteration's weight CTE), UNION ALL'd. Terminal CTE:
+    * `curve_out`. */
+  def curveOracleSql(featsCte: String, k: Int, lr: Double,
+                     iters: Int): String = {
+    def z(wRef: String) =
+      (1 to k).foldLeft(s"$wRef.w0")((acc, i) => s"($acc + $wRef.w$i * x$i)")
+    val blocks = (0 to iters).map { t =>
+      val wOut = (0 to k).map(i =>
+        s"floor((w.w$i) * 10000 + 0.5) / 10000.0 AS w$i").mkString(", ")
+      s"""SELECT CAST($t AS INT) AS iter, $wOut, m.loss, m.acc
+         |FROM lw$t w CROSS JOIN (
+         |  SELECT
+         |    floor((CAST(sum(CAST(-(y * ln(sg) + (1.0 - y) * ln(1.0 - sg))
+         |        AS DECIMAL(38,10))) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         |      / 10000.0 AS loss,
+         |    floor((CAST(sum(CASE WHEN (sg >= 0.5) = (y > 0.5)
+         |        THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         |      / 10000.0 AS acc
+         |  FROM (SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS sg
+         |        FROM (SELECT f.*, ${z("w")} AS z
+         |              FROM $featsCte f CROSS JOIN lw$t w) zf) s) m"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""curve_out AS (
+       |$blocks
+       |)""".stripMargin
+  }
+
   /** The D65 composed op over the shared D58 feature/label map. */
   def qualityLogistic(docs: DataFrame): DataFrame =
     fitScore(RidgeProbe.qualityFeatures(docs), Seq("x1", "x2", "x3"), "y",

@@ -207,6 +207,15 @@ object MlQueries {
         "cls", "actual")
     },
 
+    // A27: the logistic probe's training curve as gate-hashed data —
+    // per iteration the weight snapshot, corpus log-loss and accuracy,
+    // so the whole trajectory (not just the endpoint) is verified.
+    "ml_train_curve" -> { (s, d) =>
+      graft.ml.LogisticProbe.trainCurve(
+        graft.ml.RidgeProbe.qualityFeatures(Tables.documents(s, d)),
+        Seq("x1", "x2", "x3"), "y", lr = 4.0, iters = 12)
+    },
+
     // A26: the sklearn classification_report analog — per-class
     // precision/recall/F1/support over the NB router's predictions; one
     // O(classes²) confusion aggregate, pinned divisions.
@@ -426,6 +435,21 @@ object MlQueries {
         |kpred AS (SELECT cls, actual FROM nbout WHERE is_pred),
         |${graft.ml.Eval.kappaOracleSql("kpred")}
         |SELECT n, agree, po, pe, kappa FROM kappa_out""".stripMargin,
+
+    // Mirror of ml_train_curve: the shared GD iteration chain, then one
+    // metric block per weight snapshot (identical sigmoid/loss DAG).
+    "ml_train_curve" -> {
+      val gd = graft.ml.LogisticProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lr = 4.0, iters = 12, threshold = 0.5)
+      val curve = graft.ml.LogisticProbe.curveOracleSql(
+        featsCte = "f", k = 3, lr = 4.0, iters = 12)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$gd,
+        |$curve
+        |SELECT iter, w0, w1, w2, w3, loss, acc FROM curve_out"""
+        .stripMargin
+    },
 
     // Mirror of ml_eval_class_report: the NB chain, then the per-class
     // confusion marginals and pinned-division metric CTEs.

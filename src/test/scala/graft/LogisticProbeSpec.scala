@@ -57,4 +57,35 @@ class LogisticProbeSpec extends SparkSpec {
     }
     assert(sqErr(8) < sqErr(1), "training must make progress from w=0")
   }
+
+  test("train curve: ln2 at the zero init, loss falls, snapshots pinned") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val feats = (0 until 400).map { i =>
+      val x1 = rng.nextDouble(); val x2 = rng.nextDouble()
+      (i.toLong, x1, x2, if (x1 - x2 > 0) 1.0 else 0.0)
+    }.toDF("id", "x1", "x2", "y")
+    val c = graft.ml.LogisticProbe.trainCurve(feats, Seq("x1", "x2"), "y",
+        lr = 4.0, iters = 8)
+      .collect().map(r => r.getAs[Int]("iter") -> r).toMap
+    assert(c.size == 9, "one row per snapshot incl. the zero init")
+    // w = 0 → σ ≡ 0.5 → log-loss is exactly ln 2 on the rnd4 grid
+    val it0 = c(0)
+    assert(it0.getAs[Double]("w0") == 0.0 && it0.getAs[Double]("w1") == 0.0)
+    assert(it0.getAs[Double]("loss") ==
+      math.floor(math.log(2.0) * 10000 + 0.5) / 10000)
+    // training makes progress: final loss below init, accuracy above
+    assert(c(8).getAs[Double]("loss") < it0.getAs[Double]("loss"))
+    assert(c(8).getAs[Double]("acc") > 0.7)
+    // snapshots equal the stepwise fit at every iteration
+    var w: Seq[Double] = Vector.fill(3)(0.0)
+    for (t <- 1 to 8) {
+      w = graft.ml.LogisticProbe.step(feats, Seq("x1", "x2"), "y", 4.0, w)
+      val row = c(t)
+      w.indices.foreach { i =>
+        assert(row.getAs[Double](s"w$i") ==
+          math.floor(w(i) * 10000 + 0.5) / 10000, s"iter $t w$i")
+      }
+    }
+  }
 }
