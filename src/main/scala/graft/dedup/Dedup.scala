@@ -44,14 +44,25 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, bands: Int = 8, w: Int = 4,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    minhashSignaturesFrom(docs.select(col(idCol),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)
+        .as("_shs")), bands, idCol)
+
+  /** [[minhashSignatures]] over a pre-shingled corpus (idCol, `_shs`) — the
+    * seam [[dedupEnsemble]] uses to share ONE tokenize+shingle pass across
+    * its detectors. Band signatures are `array_min` over the per-shingle
+    * hashes, which is duplicate-insensitive, so a distinct or non-distinct
+    * shingle array yields bit-identical signatures. */
+  private[graft] def minhashSignaturesFrom(shingled: DataFrame,
+      bands: Int = 8, idCol: String = "doc_id"): DataFrame = {
     require(bands <= 8, s"minhash: >8 bands needs a third digest (got $bands)")
-    val sh = TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)
     // own projection: the 8 band expressions below all reference `_hh`, and
     // without this boundary each would re-evaluate the md5 transform
     // (expression trees aren't CSE'd across array elements)
-    val hashed = docs.select(col(idCol),
-      transform(sh, s => concat(md5(s), md5(concat(lit("x:"), s)))).as("_hh"))
+    val hashed = shingled.select(col(idCol),
+      transform(col("_shs"),
+        s => concat(md5(s), md5(concat(lit("x:"), s)))).as("_hh"))
     val bandSigs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         array_min(transform(col("_hh"), h => substring(h, j * 8 + 1, 8))).as("sig"))
@@ -158,15 +169,28 @@ object Dedup {
     */
   def jaccard(docs: DataFrame, candidates: DataFrame, w: Int = 4,
               threshold: Double = 0.5, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+              textCol: String = "text"): DataFrame =
+    jaccardFrom(shingledDistinct(docs, w, idCol, textCol), candidates,
+      threshold, idCol)
+
+  /** The (idCol, `_shs` distinct shingle set) projection every verifier
+    * consumes — factored so [[dedupEnsemble]] can hand in a persisted
+    * pre-shingled corpus instead of re-tokenizing per detector. */
+  private def shingledDistinct(docs: DataFrame, w: Int, idCol: String,
+                               textCol: String): DataFrame =
+    docs.select(col(idCol), array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+
+  /** [[jaccard]] over a pre-shingled corpus (idCol, `_shs`). */
+  private[graft] def jaccardFrom(sh: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
     // one corpus pass: pairs unpivot to (pair, role, id), broadcast against
     // the packed shingle arrays, then regroup per pair — the regroup shuffle
     // is O(candidates), the corpus is scanned and shingled exactly once
     val tagged = candidates.select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-    val joined = sh.join(broadcast(tagged), Seq(idCol))
+    val joined = sh.select(col(idCol), col("_shs"))
+      .join(broadcast(tagged), Seq(idCol))
     pairScores(joined, threshold, idCol)
   }
 
@@ -189,6 +213,19 @@ object Dedup {
       .select(col(idCol), array_distinct(
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
     pairScores(sh.join(tagged.hint("shuffle_hash"), Seq(idCol)),
+      threshold, idCol)
+  }
+
+  /** [[jaccardDense]] over a pre-shingled corpus (idCol, `_shs`): shingling
+    * is already paid, so the member semi-join just prunes cached rows. */
+  private[graft] def jaccardDenseFrom(sh: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    val tagged = candidates.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val members = tagged.select(col(idCol)).distinct()
+    val pruned = sh.select(col(idCol), col("_shs"))
+      .join(broadcast(members), Seq(idCol), "left_semi")
+    pairScores(pruned.join(tagged.hint("shuffle_hash"), Seq(idCol)),
       threshold, idCol)
   }
 
@@ -217,6 +254,18 @@ object Dedup {
     else jaccard(docs, pinned, w, threshold, idCol, textCol)
   }
 
+  /** [[jaccardAuto]] over a pre-shingled corpus (idCol, `_shs`) — same
+    * measured regime switch, same persisted-candidates contract. */
+  private[graft] def jaccardAutoFrom(sh: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      densePairs: Long = 1000000L): DataFrame = {
+    val pinned = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dense = pinned.count() >= densePairs
+    if (dense) jaccardDenseFrom(sh, pinned, threshold, idCol)
+    else jaccardFrom(sh, pinned, threshold, idCol)
+  }
+
   /** Shared verification tail: regroup the (pair, member-shingles) rows to
     * one row per pair and score |A∩B| / |A∪B| with integer counting. */
   private def pairScores(joined: DataFrame, threshold: Double,
@@ -229,7 +278,13 @@ object Dedup {
     val nInter = size(array_intersect(col("_sha"), col("_shb")))
     val j = nInter.cast("double") /
       (size(col("_sha")) + size(col("_shb")) - nInter)
-    agg.filter(j >= threshold)
+    // degenerate guard: a shingle-less member makes j 0/0 = NaN, and Spark
+    // orders NaN ABOVE every number, so NaN >= threshold would pass while
+    // the oracle drops such pairs. Unreachable from LSH candidates (no
+    // shingles → no signature → never a candidate) but load-bearing for
+    // arbitrary caller-supplied pairs.
+    agg.filter(size(col("_sha")) > 0 && size(col("_shb")) > 0)
+      .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), Exact.rnd4(j).as("jaccard"))
   }
 
@@ -261,7 +316,12 @@ object Dedup {
     val cBa = nInter.cast("double") / size(col("_shb"))
     val j = nInter.cast("double") /
       (size(col("_sha")) + size(col("_shb")) - nInter)
-    agg.filter(greatest(cAb, cBa) >= threshold)
+    // degenerate guard (same as pairScores): an empty shingle set makes
+    // cAb/cBa 0/0 = NaN and Spark's NaN-greatest ordering would pass the
+    // threshold while the oracle drops the pair. Unreachable from LSH
+    // candidates, load-bearing for arbitrary caller-supplied pairs.
+    agg.filter(size(col("_sha")) > 0 && size(col("_shb")) > 0)
+      .filter(greatest(cAb, cBa) >= threshold)
       .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"),
         Exact.rnd4(cAb).as("contain_ab"), Exact.rnd4(cBa).as("contain_ba"),
         Exact.rnd4(j).as("jaccard"))
@@ -733,7 +793,16 @@ object Dedup {
     * codegen'd filter-counts over the hash array. Zero shuffle.
     */
   def simhashBlockSigs(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    simhashBlockSigsFrom(docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks")), idCol)
+
+  /** [[simhashBlockSigs]] over a pre-tokenized corpus (idCol, `_toks`) —
+    * the [[dedupEnsemble]] shared-pass seam. Duplicates MATTER here (the
+    * signature is term-frequency-weighted), so this consumes the raw token
+    * array, never the distinct shingle set. */
+  private[graft] def simhashBlockSigsFrom(tokd: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     // Formulation note (measured at sf0.1): the D3-style map-side
     // higher-order form (64 filter-counts, or one 64-slot aggregate fold)
     // generates a single >64 KB codegen method here, and Spark's
@@ -741,10 +810,9 @@ object Dedup {
     // 64-conditional-sum form compiles into splittable HashAggregate
     // code, and partial aggregation collapses the exploded rows map-side
     // — the SHUFFLE stays O(docs × 4 ints), never O(tokens).
-    val tok = docs
-      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    val tok = tokd
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), explode(col("_toks")).as("_t"))
       .select(col(idCol),
         concat(md5(col("_t")), md5(concat(lit("x:"), col("_t")))).as("_h"))
     val sums = (1 to 64).map { i =>
@@ -797,7 +865,14 @@ object Dedup {
     * sf0.1 corpus (the bucketCounts no-CSE lesson, generator edition). */
   def simhashBlocks(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
-    simhashBlockSigs(docs, idCol, textCol)
+    blockRows(simhashBlockSigs(docs, idCol, textCol), idCol)
+
+  private[graft] def simhashBlocksFrom(tokd: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    blockRows(simhashBlockSigsFrom(tokd, idCol), idCol)
+
+  private def blockRows(sigs: DataFrame, idCol: String): DataFrame =
+    sigs
       .select(col(idCol).as("id"), col("b0"), col("b1"),
         col("b2"), col("b3"),
         explode(sequence(lit(0), lit(3))).as("blk"))
@@ -809,7 +884,17 @@ object Dedup {
 
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
                           maxBucket: Int = 1024, idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text"): DataFrame =
+    hammingPairsOf(simhashBlocks(docs, idCol, textCol), maxDist, maxBucket)
+
+  /** [[simhashHammingPairs]] over a pre-tokenized corpus (idCol, `_toks`). */
+  private[graft] def simhashHammingPairsFrom(tokd: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1024,
+      idCol: String = "doc_id"): DataFrame =
+    hammingPairsOf(simhashBlocksFrom(tokd, idCol), maxDist, maxBucket)
+
+  private def hammingPairsOf(blockRows: DataFrame, maxDist: Int,
+                             maxBucket: Int): DataFrame = {
     // the block table is referenced three times below (size guard + both
     // join sides); un-persisted, each reference re-evaluates the 64-bit
     // signature DAG over the corpus, and lazily-persisted the three scans
@@ -819,7 +904,7 @@ object Dedup {
     // ~4 s of Catalyst planning for the 64-aggregate signature (the
     // embed_pca planning-cost phenomenon) — execution itself is ~1 s at
     // sf0.1 and is what scales with the corpus.
-    val blocks = simhashBlocks(docs, idCol, textCol)
+    val blocks = blockRows
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.count()
     // the D20 aggregate-count guard: sizes collapse map-side to at most
@@ -877,12 +962,27 @@ object Dedup {
   def dedupEnsemble(docs: DataFrame, jThreshold: Double = 0.5,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val mh = minhashCandidates(
-      minhashSignatures(docs, idCol = idCol, textCol = textCol))
-    val sh = simhashHammingPairs(docs, idCol = idCol, textCol = textCol)
+    val tk = TextFunctions.tokens(col(textCol))
+    // ONE tokenize+shingle pass shared by all three detectors (previously
+    // each detector re-scanned and re-tokenized the corpus — the intrinsic
+    // ensemble cost is three DETECTORS, not three tokenizations): simhash
+    // consumes the raw token array (its signature is frequency-weighted),
+    // minhash and the Jaccard verifier the DISTINCT 4-shingle set (band
+    // mins are duplicate-insensitive, so signatures are bit-identical).
+    // Caller-owned persist, the jaccardAuto convention; within the single
+    // projection the tokens subtree is codegen-CSE'd.
+    val shared = docs.select(col(idCol), tk.as("_toks"),
+        array_distinct(TextFunctions.shingles(tk, 4)).as("_shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mh is consumed twice (the evidence join below AND the Jaccard
+    // verifier's candidate input) — persist, or candidate generation runs
+    // twice (Spark does not CSE duplicate plan subtrees).
+    val mh = minhashCandidates(minhashSignaturesFrom(shared, idCol = idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = simhashHammingPairsFrom(shared, idCol = idCol)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    val jc = jaccardAuto(docs, mh.select("doc_a", "doc_b"),
-        threshold = jThreshold, idCol = idCol, textCol = textCol)
+    val jc = jaccardAutoFrom(shared, mh.select("doc_a", "doc_b"),
+        threshold = jThreshold, idCol = idCol)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val base = mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
       .join(jc, Seq("doc_a", "doc_b"), "left")

@@ -29,12 +29,16 @@ object TextQueries {
     * corpus — see the `text_zipf` entry for the design notes. */
   private[graft] def zipf(corpus: DataFrame, topK: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Distributed top-k (TakeOrderedAndProject) over the O(vocab) table;
+    // the rank window then runs over only topK rows (bounded by
+    // construction), never a single-partition pass over the full vocab.
     val ranked = corpus
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("term").asc)))
-      .filter(col("rank") <= topK)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
     val m = ranked.agg(
@@ -101,10 +105,13 @@ object TextQueries {
       col("tt").cast("double") /
       (col("bt").cast("double") * col("ca").cast("double") *
         col("cb").cast("double"))
+    // Distributed top-32 first (TakeOrderedAndProject over the O(distinct
+    // bigrams) table); the rank window is then bounded to 32 rows.
     joined.withColumn("lift", Exact.rnd4(lift))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(32)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("lift").desc, col("bigram").asc)))
-      .filter(col("rank") <= 32)
       .select(col("rank"), col("bigram"), col("cab"), col("ca"),
         col("cb"), col("lift"))
   }
@@ -616,9 +623,13 @@ object TextQueries {
       val chi2 = col("n").cast("double") * (a * dd - b * c) * (a * dd - b * c) /
         ((a + b) * (c + dd) * (a + c) * (b + dd))
       val scored = byTerm.withColumn("chi2", Exact.rnd4(chi2))
-      scored.withColumn("rank", row_number().over(
+      // Distributed top-32 (TakeOrderedAndProject) over the O(vocab)
+      // scored table; the rank window then sees only 32 rows.
+      scored
+        .orderBy(col("chi2").desc, col("term").asc)
+        .limit(32)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("chi2").desc, col("term").asc)))
-        .filter(col("rank") <= 32)
         .select(col("rank"), col("term"), col("a").as("en_docs"),
           (col("ab") - col("a")).as("other_docs"), col("chi2"))
     },
@@ -1589,7 +1600,9 @@ object TextQueries {
         |    sum(CAST(lang = 'en' AS BIGINT)) AS n_en
         |  FROM documents),
         |bt AS (
-        |  SELECT term, count(*) AS ab, sum(en) AS a
+        |  -- CAST: DuckDB sums BIGINT to HUGEINT (int128); the gate's typed
+        |  -- hasher would see int128 vs Spark's int64 on en_docs/other_docs.
+        |  SELECT term, count(*) AS ab, CAST(sum(en) AS BIGINT) AS a
         |  FROM base GROUP BY term HAVING count(*) >= 5),
         |sc AS (
         |  SELECT term, a, ab - a AS other_docs,

@@ -355,6 +355,26 @@ class PlanSpec extends SparkSpec {
       s"weights must broadcast back over the features:\n$p")
   }
 
+  test("vocab-scale rankings lower to distributed top-k, never a " +
+    "single-partition window over the vocab table") {
+    // topngrams/collocations/chi2/zipf rank an O(distinct-terms/bigrams)
+    // table: at web-corpus scale that table is billions of rows, so the
+    // rank MUST be a TakeOrderedAndProject (parallel per-partition top-k +
+    // driver merge of k·partitions rows); any Window may only run on the
+    // ≤k rows ABOVE the top-k (top-down plan print: shallower = later).
+    Seq("text_topngrams", "text_collocations", "text_chi2_terms",
+        "text_zipf").foreach { q =>
+      val full = plan(SparkEntry.queries(q)(spark, sfDir))
+      val p = full.split("== Initial Plan ==").head
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: global ranking must be a distributed top-k:\n$p")
+      val wi = p.indexOf("Window")
+      val ti = p.indexOf("TakeOrderedAndProject")
+      assert(wi == -1 || wi < ti,
+        s"$q: a Window below the top-k ranks the full vocab table:\n$p")
+    }
+  }
+
   test("bpe apply is a pure map: merges are plan literals, no Exchange") {
     val p = plan(SparkEntry.queries("text_bpe_apply")(spark, sfDir))
     assert(!p.contains("Exchange"),
