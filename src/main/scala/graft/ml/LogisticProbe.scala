@@ -113,18 +113,26 @@ object LogisticProbe {
       w = step(feats, xs, yCol, lr, w)
       snaps += ((t, w))
     }
+    // Per-snapshot metrics are computed EAGERLY (one .head() per
+    // iteration) while the feature scan is still persisted — a lazy
+    // unioned plan consumed after unpersist would re-scan the features
+    // uncached iters+1 times. The collected values are metadata-sized
+    // (iters+1 doubles) and re-emitted as literal rows, bit-identical.
     val rows = snaps.result().map { case (t, wt) =>
       val sg = sigmoid(zCol(xs, wt))
       val logloss = -(col(yCol) * log(sg) +
         (lit(1.0) - col(yCol)) * log(lit(1.0) - sg))
       val correct = when((sg >= lit(0.5)) === (col(yCol) > lit(0.5)), 1)
         .otherwise(0)
-      feats.agg(
+      val m = feats.agg(
           Exact.rnd4(Exact.eavg(logloss)).as("loss"),
           Exact.rnd4(sum(correct).cast("double") / count(lit(1))).as("acc"))
+        .head()
+      feats.sparkSession.range(1)
         .select((lit(t).as("iter") +:
           wt.indices.map(i => Exact.rnd4(lit(wt(i))).as(s"w$i"))) ++
-          Seq(col("loss"), col("acc")): _*)
+          Seq(lit(m.getAs[Double]("loss")).as("loss"),
+            lit(m.getAs[Double]("acc")).as("acc")): _*)
     }
     val out = rows.reduce(_ unionByName _)
     feats.unpersist(false)

@@ -36,10 +36,12 @@ object NaiveBayesProbe {
 
   val defaultClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
-  /** Fitted model tables: the smoothed (cls, term, cnt, tot, v) grid and
-    * the (cls, nd) priors with the corpus total — static DataFrames a
-    * scoring pass (batch or per-micro-batch, E17) joins against. */
-  case class NbModel(grid: DataFrame, docC: DataFrame, nTot: DataFrame)
+  /** Fitted model tables: the smoothed (cls, term, cnt, tot, v) grid, the
+    * (cls, nd) priors with the corpus total, and the pinned class list —
+    * static DataFrames a scoring pass (batch or per-micro-batch, E17)
+    * joins against. */
+  case class NbModel(grid: DataFrame, docC: DataFrame, nTot: DataFrame,
+                     cls: DataFrame)
 
   /** Train on a (doc_id, lang, text) corpus: two exact count
     * aggregations over one token explode. */
@@ -62,7 +64,7 @@ object NaiveBayesProbe {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .join(broadcast(tokC), "cls")
       .crossJoin(broadcast(vCnt))
-    NbModel(grid, docC, nTot)
+    NbModel(grid, docC, nTot, clsDf)
   }
 
   /** Score any (doc_id, lang, text) table against a fitted model — a
@@ -81,16 +83,24 @@ object NaiveBayesProbe {
           log((col("cnt").cast("double") + lit(alpha)) /
             (col("tot").cast("double") +
               lit(alpha) * col("v").cast("double")))).as("c"))
-    val sc = contrib.groupBy("doc_id", "cls")
+    val ll = contrib.groupBy("doc_id", "cls")
       .agg(Exact.esum(col("c")).as("ll"))
-      .join(broadcast(m.docC), "cls")
+    // Scaffold every (doc, pinned∩observed class) pair from the corpus
+    // itself, so a doc whose tokens are ALL outside the training
+    // vocabulary still gets routing rows — with the PRIOR-ONLY score
+    // ln(nd/n) (its Σ contributions coalesce to 0) instead of silently
+    // vanishing from the output (the E17 stream path sees genuinely new
+    // docs). Cost-neutral: this replaces the actual-label doc join the
+    // output needed anyway; the class table is O(C) and broadcast.
+    val scaffold = docs.select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(m.docC.join(m.cls, "cls")))
+    val sc = scaffold.join(ll, Seq("doc_id", "cls"), "left")
       .crossJoin(broadcast(m.nTot))
-      .withColumn("score", Exact.rnd4(col("ll") +
+      .withColumn("score", Exact.rnd4(coalesce(col("ll"), lit(0.0)) +
         log(col("nd").cast("double") / col("n").cast("double"))))
     sc.withColumn("is_pred", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("cls").asc)) === 1)
-      .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
       .select("doc_id", "cls", "score", "is_pred", "actual")
   }
 
@@ -134,18 +144,27 @@ object NaiveBayesProbe {
        |    CAST(dt.k AS DOUBLE) * ln((CAST(grid.cnt AS DOUBLE) + $a)
        |      / (CAST(grid.tot AS DOUBLE) + $a * CAST(grid.v AS DOUBLE))) AS c
        |  FROM dt JOIN grid ON grid.term = dt.term),
+       |scaf AS (
+       |  -- every (doc, pinned∩observed class) pair: an all-OOV doc keeps
+       |  -- its routing rows with the prior-only score (Spark mirror)
+       |  SELECT doc.doc_id, doc.lang AS actual, d.cls, d.nd
+       |  FROM documents doc CROSS JOIN
+       |    (SELECT d0.cls, d0.nd FROM doc_c d0 JOIN cl ON cl.cls = d0.cls) d),
        |sc AS (
-       |  SELECT c.doc_id, c.cls,
-       |    floor((CAST(sum(CAST(c.c AS DECIMAL(38,10))) AS DOUBLE)
-       |      + ln(CAST(d.nd AS DOUBLE) / CAST(n.n AS DOUBLE)))
+       |  SELECT s.doc_id, s.cls, s.actual,
+       |    floor((coalesce(CAST(sum(CAST(c.c AS DECIMAL(38,10))) AS DOUBLE),
+       |        0.0)
+       |      + ln(CAST(s.nd AS DOUBLE) / CAST(n.n AS DOUBLE)))
        |      * 10000 + 0.5) / 10000.0 AS score
-       |  FROM contrib c JOIN doc_c d ON d.cls = c.cls CROSS JOIN n
-       |  GROUP BY c.doc_id, c.cls, d.nd, n.n),
+       |  FROM scaf s LEFT JOIN contrib c
+       |    ON c.doc_id = s.doc_id AND c.cls = s.cls
+       |  CROSS JOIN n
+       |  GROUP BY s.doc_id, s.cls, s.actual, s.nd, n.n),
        |nbout AS (
-       |  SELECT sc.doc_id, sc.cls, sc.score,
-       |    row_number() OVER (PARTITION BY sc.doc_id
-       |      ORDER BY sc.score DESC, sc.cls ASC) = 1 AS is_pred,
-       |    doc.lang AS actual
-       |  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id)""".stripMargin
+       |  SELECT doc_id, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cls ASC) = 1 AS is_pred,
+       |    actual
+       |  FROM sc)""".stripMargin
   }
 }

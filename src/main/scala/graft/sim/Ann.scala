@@ -586,18 +586,29 @@ object Ann {
   /** Maintenance rewrite: fold tombstones into the data files (drop the
     * deleted rows, keep the partitionBy(cell) layout) and clear the
     * sidecar. Materialize-then-swap like the claim-store compactions —
-    * the maintenance driver is the single writer. */
+    * the maintenance driver is the single writer.
+    *
+    * Swap order is crash-safe: the live directory is renamed ASIDE
+    * (data_old) before the compacted one renames into place, so a failure
+    * at any point leaves a complete directory under a deterministic name
+    * (delete-then-rename would leave NO data directory if the process
+    * died between the two). A leftover data_old from a previous crash is
+    * cleared first; tombstones are deleted last, after the new data is
+    * live, so a crash before that point only re-applies the anti-join. */
   def ivfCompactDeletes(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     val ts = tombstones(spark, path).getOrElse(return)
     val dataP = new org.apache.hadoop.fs.Path(s"$path/data")
     val tmpP = new org.apache.hadoop.fs.Path(s"$path/data_compacting")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path/data_old")
     val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read.parquet(dataP.toString)
       .join(broadcast(ts), Seq("c_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(tmpP.toString)
-    fs.delete(dataP, true)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    fs.rename(dataP, oldP)
     fs.rename(tmpP, dataP)
+    fs.delete(oldP, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

@@ -64,10 +64,15 @@ object Retrieval {
     val score = terms.map { t =>
       coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
     }.reduceLeft(_ + _)
+    // distributed top-k: the scored table is O(docs matching any query
+    // term) — corpus-scale for common terms — so the rank must lower to
+    // TakeOrderedAndProject; the row_number window then sees only topN
+    // rows (identical deterministic ties: same total order both steps)
     val w = Window.orderBy(col("_score").desc, col("id").asc)
     comp.groupBy("id").agg(score.as("_score"))
+      .orderBy(col("_score").desc, col("id").asc)
+      .limit(topN)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
       .select(col("id"), col("rank"))
   }
 

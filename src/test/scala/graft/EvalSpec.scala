@@ -11,6 +11,23 @@ class EvalSpec extends SparkSpec {
   private def report(rows: Seq[(Double, Double)], th: Double = 0.5) =
     Eval.aucReport(rows.toDF("score", "y"), "score", "y", th).head()
 
+  test("aucReport's global window input is grid-bounded: gate scores sit " +
+    "on the rnd4 grid") {
+    // aucReport's one single-partition window runs over groupBy(score) —
+    // safe ONLY because scores live on the 1e-4 grid, so the distinct-score
+    // table is ≤ ~10⁴·range rows at ANY corpus size. Pin the contract on
+    // the real gate input (the ridge probe): every score must be exactly
+    // representable as k/10⁴, or the window input grows with the corpus.
+    import org.apache.spark.sql.functions._
+    val scored = graft.ml.RidgeProbe.qualityProbe(
+      graft.core.Tables.documents(spark, sfDir))
+    val offGrid = scored.filter(
+      abs(col("score") * 10000 - round(col("score") * 10000, 0)) > 1e-9)
+      .count()
+    assert(offGrid == 0L,
+      s"$offGrid scores off the rnd4 grid — the AUC window is unbounded")
+  }
+
   test("perfect separation gives AUC 1, random flip gives 0") {
     val perfect = report(Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)))
     assert(perfect.getAs[Double]("auc") == 1.0)

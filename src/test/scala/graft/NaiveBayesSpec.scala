@@ -35,6 +35,24 @@ class NaiveBayesSpec extends SparkSpec {
     }
   }
 
+  test("all-OOV docs get prior-only routing rows, never silence") {
+    // A doc with zero in-vocabulary tokens (the E17 stream path sees
+    // genuinely new docs) must still emit one row per class with the
+    // prior-only score ln(nd/n) — not vanish from the output.
+    val model = NaiveBayesProbe.fit(fixture, Seq("de", "en"))
+    val newDocs = Seq((100L, "en", "zzz qqq xyzzy")).toDF(
+      "doc_id", "lang", "text")
+    val out = NaiveBayesProbe.score(newDocs, model).collect()
+    assert(out.length == 2, s"expected 2 prior-only rows, got ${out.length}")
+    val prior = math.floor(math.log(30.0 / 60.0) * 10000 + 0.5) / 10000
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") == prior,
+        s"OOV doc must carry the prior-only score $prior")
+    }
+    assert(out.count(_.getAs[Boolean]("is_pred")) == 1,
+      "exactly one argmax row (class-name tie-break)")
+  }
+
   test("scores are bit-identical under repartitioning (decimal sums)") {
     val a = NaiveBayesProbe.fitScore(fixture.repartition(11), Seq("de", "en"))
       .orderBy("doc_id", "cls").collect()
