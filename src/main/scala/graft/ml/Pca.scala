@@ -49,12 +49,27 @@ object Pca {
   }
 
   /** The aggregate row for one C·v application: Σ xⱼ·(x·v) for all j as
-    * one array. */
+    * one array.
+    *
+    * The iterate `v` rides as a ONE-ROW broadcast relation, not as
+    * literals: literals inline into the generated code, so every power
+    * iteration used to force a fresh Catalyst analysis + janino compile of
+    * a 64-wide expression tree (~0.5–0.8 s/pass of pure planning — the
+    * dominant cost of embed_pca/embed_pca2 at sf0.1). As column refs the
+    * generated source is IDENTICAL each pass and the codegen class cache
+    * hits from pass 2 on. Same operand order (xⱼ left, vⱼ right), so every
+    * double is bit-identical to the literal form. */
   private def covSums(xdf: DataFrame, dims: Int,
                       v: Array[Double]): Array[Double] = {
-    val dv = (0 until dims).map(j => col(s"_x$j") * lit(v(j)))
+    import org.apache.spark.sql.{Row, types => T}
+    val vdf = xdf.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(v.toSeq)),
+      T.StructType((0 until dims).map(j =>
+        T.StructField(s"_p$j", T.DoubleType, nullable = false))))
+    val dv = (0 until dims).map(j => col(s"_x$j") * col(s"_p$j"))
       .reduceLeft(_ + _)
-    xdf.withColumn("_dv", dv)
+    xdf.crossJoin(broadcast(vdf))
+      .withColumn("_dv", dv)
       .agg(vecEsum(array((0 until dims).map(j =>
         col(s"_x$j") * col("_dv")): _*), dims).as("_w"))
       .head().getSeq[Double](0).toArray
