@@ -784,6 +784,46 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
           graft.functions.Bpe.train(d, args.path("merges").asInt(8)))
         .filter(col("n_words") > 0)
 
+    // Corpus augmentation: union a tail-truncated copy of every document
+    // under an offset id — the controlled near-duplicate generator the
+    // dedup fixtures use (and a mirror/snapshot simulator for pipeline
+    // rehearsals), so detector nodes downstream see known-answer dups.
+    case "with_truncated_variants" =>
+      val d = docsArg(args, evalNode)
+      val k = args.path("drop_words").asInt(5)
+      val off = args.path("id_offset").asLong(100000L)
+      val t = split(col("text"), " ")
+      val base = d.select(col("doc_id"), col("text"))
+      base.unionByName(base.select((col("doc_id") + off).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - k, lit(3))))
+          .as("text")))
+
+    // D87/D76 as graph nodes: the multi-signal dedup evidence table and
+    // asymmetric containment scoring over any (doc_id, text) node value —
+    // candidate generation runs in-node (the ann_search convention), so
+    // graph chains land on the direct queries' rows (shared oracles).
+    case "dedup_evidence" =>
+      graft.dedup.Dedup.dedupEnsemble(docsArg(args, evalNode),
+        jThreshold = args.path("j_threshold").asDouble(0.5))
+
+    case "score_containment" =>
+      val d = docsArg(args, evalNode)
+      graft.dedup.Dedup.containment(d,
+        graft.dedup.Dedup.minhashCandidates(
+            graft.dedup.Dedup.minhashSignatures(d))
+          .select("doc_a", "doc_b"),
+        threshold = args.path("threshold").asDouble(0.9))
+
+    // D85/D41 as graph nodes: per-source JS drift and temperature-based
+    // source rebalancing — the mixture-monitoring/rebalancing half of the
+    // curation vocabulary next to mix_to_budget.
+    case "source_drift" =>
+      graft.functions.TextFunctions.sourceDrift(docsArg(args, evalNode))
+
+    case "temperature_mix" =>
+      graft.functions.TextFunctions.temperatureSample(docsArg(args, evalNode),
+        budget = args.path("budget").asLong(200L))
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }

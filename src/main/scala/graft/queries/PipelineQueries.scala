@@ -556,6 +556,59 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // Dedup evidence + containment as graph chains (D87/D76): corpus →
+    // truncated-variant union (the known-answer near-dup generator) →
+    // detector node — identical rows to dedup_ensemble /
+    // dedup_containment → share their hash oracles.
+    "process_graph_ensemble" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":  {"process_id": "load_documents", "arguments": {}},
+          |  "near": {"process_id": "with_truncated_variants",
+          |           "arguments": {"data": {"from_node": "src"}}},
+          |  "ev":   {"process_id": "dedup_evidence",
+          |           "arguments": {"data": {"from_node": "near"}},
+          |           "result": true}
+          |}""".stripMargin)
+    },
+
+    "process_graph_containment" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":  {"process_id": "load_documents", "arguments": {}},
+          |  "near": {"process_id": "with_truncated_variants",
+          |           "arguments": {"data": {"from_node": "src"}}},
+          |  "cont": {"process_id": "score_containment",
+          |           "arguments": {"data": {"from_node": "near"}},
+          |           "result": true}
+          |}""".stripMargin)
+    },
+
+    // Mixture monitoring/rebalancing as graph chains (D85/D41): the
+    // per-source JS drift report and the √n temperature quota sample —
+    // identical rows to text_source_drift / text_temperature_mix →
+    // share their hash oracles.
+    "process_graph_drift" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "drift": {"process_id": "source_drift",
+          |            "arguments": {"data": {"from_node": "src"}},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
+    "process_graph_tmix" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src": {"process_id": "load_documents", "arguments": {}},
+          |  "mix": {"process_id": "temperature_mix",
+          |          "arguments": {"data": {"from_node": "src"},
+          |                        "budget": 200},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -805,6 +858,10 @@ object PipelineQueries {
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
     "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),
+    "process_graph_ensemble" -> DedupQueries.oracle("dedup_ensemble"),
+    "process_graph_containment" -> DedupQueries.oracle("dedup_containment"),
+    "process_graph_drift" -> TextQueries.oracle("text_source_drift"),
+    "process_graph_tmix" -> TextQueries.oracle("text_temperature_mix"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
