@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.cube.DataCube
-import graft.sources.Sinks
+import graft.sources.{Rasters, Sinks}
 
 /** openEO process-graph executor analog (SURVEY.md §2C16; reference:
   * minibackend/openeo_minibackend.py + custom_processes.py).
@@ -552,8 +552,10 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
 
     // save_result (reference: custom_processes.py:246) — pass-through when
     // no path is given (the driver materializes results itself). Formats:
-    // the lake-native parquet/csv/json, plus "gridded"/"gridded-csv" — the
-    // wide raster layout standing in for the reference's netcdf/gtiff.
+    // the lake-native parquet/csv/json, "gridded"/"gridded-csv" (the wide
+    // raster layout), and the BINARY raster containers of the reference's
+    // save_result (custom_processes.py:115 netcdf, :121 GTiff, :187 zarr)
+    // — written from scratch against the public specs (Rasters).
     case "save_result" =>
       val cube = cubeArg(args, "data", evalNode)
       Option(args.get("path")).foreach { p =>
@@ -561,6 +563,11 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
           case "gridded" | "gridded-parquet" =>
             Sinks.saveGridded(cube, p.asText(), "parquet")
           case "gridded-csv" => Sinks.saveGridded(cube, p.asText(), "csv")
+          case "GTiff" | "gtiff" => Rasters.saveGeoTiff(cube, p.asText())
+          case "netcdf" | "NetCDF" => Rasters.saveNetcdf(cube, p.asText())
+          case "zarr" => Rasters.saveZarr(cube, p.asText(),
+            chunkY = args.path("chunk_y").asInt(256),
+            chunkX = args.path("chunk_x").asInt(256))
           case fmt => Sinks.saveResult(cube.df, p.asText(), fmt)
         }
       }

@@ -268,6 +268,30 @@ class PipelineSpec extends SparkSpec {
     assert(wide.columns.length > 10, s"x columns: ${wide.columns.length}")
   }
 
+  test("graph save_result writes binary rasters (GTiff / netcdf / zarr)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pg_raster_").toString
+    def save(fmt: String, dir: String) =
+      new ProcessGraph(spark, sfDir).run(
+        s"""{"l": {"process_id": "load_collection", "arguments": {"id": "grid"}},
+           | "s": {"process_id": "save_result",
+           |       "arguments": {"data": {"from_node": "l"},
+           |                     "path": "$dir", "format": "$fmt"},
+           |       "result": true}}""".stripMargin)
+    save("GTiff", s"$base/tif")
+    val tifs = graft.sources.Rasters.loadGeoTiff(spark, s"$base/tif")
+    assert(tifs.select("slice").distinct().count() > 0)
+    assert(tifs.filter(!isnan(col("value"))).count() > 0)
+    save("netcdf", s"$base/nc")
+    val ncs = graft.sources.Rasters.loadNetcdf(spark, s"$base/nc")
+    assert(ncs.count() == tifs.count(),
+      "netcdf and GTiff exports cover the identical grid")
+    save("zarr", s"$base/zarr")
+    val z = graft.sources.Rasters.loadZarr(spark, s"$base/zarr")
+    assert(z.count() == tifs.filter(!isnan(col("value"))).count(),
+      "zarr rows = the present (non-fill) cells of the raster")
+  }
+
   test("graph polygon args accept real GeoJSON (Feature/Collection forms)") {
     val pg = new ProcessGraph(spark, sfDir)
     // inline ring vs GeoJSON FeatureCollection of the same diamond — the
