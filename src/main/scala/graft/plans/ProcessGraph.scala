@@ -581,6 +581,19 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     // collapses into one Catalyst plan (filters merge map-side; shuffles
     // appear only at the dedup bucket hops and the pack window).
 
+    // load_collection from a binary raster store (the C15d formats as a
+    // SOURCE): one task per file/chunk, long-format (slice, row/y, colx/x,
+    // value) rows — a saved raster round-trips through the graph surface.
+    case "load_raster" =>
+      val p = args.path("path").asText()
+      args.path("format").asText("GTiff") match {
+        case "GTiff" | "gtiff" => Rasters.loadGeoTiff(spark, p)
+        case "netcdf" | "NetCDF" => Rasters.loadNetcdf(spark, p)
+        case "zarr" => Rasters.loadZarr(spark, p)
+        case other => throw new IllegalArgumentException(
+          s"load_raster: unknown format '$other'")
+      }
+
     case "load_documents" =>
       // lang rides along for label-consuming nodes (classify_nb); the
       // curation nodes project it away in their own selects.

@@ -290,6 +290,12 @@ class PipelineSpec extends SparkSpec {
     val z = graft.sources.Rasters.loadZarr(spark, s"$base/zarr")
     assert(z.count() == tifs.filter(!isnan(col("value"))).count(),
       "zarr rows = the present (non-fill) cells of the raster")
+    // and back in through the graph surface: load_raster is a source node
+    val viaGraph = new ProcessGraph(spark, sfDir).run(
+      s"""{"l": {"process_id": "load_raster",
+         |       "arguments": {"path": "$base/zarr", "format": "zarr"},
+         |       "result": true}}""".stripMargin)
+    assert(viaGraph.count() == z.count())
   }
 
   test("graph polygon args accept real GeoJSON (Feature/Collection forms)") {
