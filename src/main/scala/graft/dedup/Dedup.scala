@@ -174,10 +174,12 @@ object Dedup {
       threshold, idCol)
 
   /** The (idCol, `_shs` distinct shingle set) projection every verifier
-    * consumes — factored so [[dedupEnsemble]] can hand in a persisted
-    * pre-shingled corpus instead of re-tokenizing per detector. */
-  private def shingledDistinct(docs: DataFrame, w: Int, idCol: String,
-                               textCol: String): DataFrame =
+    * consumes — factored so [[dedupEnsemble]] (and the gate queries) can
+    * hand in a persisted pre-shingled corpus instead of re-tokenizing per
+    * detector. */
+  private[graft] def shingledDistinct(docs: DataFrame, w: Int = 4,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame =
     docs.select(col(idCol), array_distinct(
       TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
 
@@ -300,12 +302,20 @@ object Dedup {
     */
   def containment(docs: DataFrame, candidates: DataFrame, w: Int = 4,
                   threshold: Double = 0.9, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+                  textCol: String = "text"): DataFrame =
+    containmentFrom(shingledDistinct(docs, w, idCol, textCol), candidates,
+      threshold, idCol)
+
+  /** [[containment]] over a pre-shingled corpus (idCol, `_shs`) — lets a
+    * caller share ONE tokenize+shingle pass between candidate generation
+    * and verification (minhash signatures are duplicate-insensitive, so
+    * both legs can consume the same distinct shingle set). */
+  private[graft] def containmentFrom(sh: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.9, idCol: String = "doc_id"): DataFrame = {
     val tagged = candidates.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-    val agg = sh.join(broadcast(tagged), Seq(idCol))
+    val agg = sh.select(col(idCol), col("_shs"))
+      .join(broadcast(tagged), Seq(idCol))
       .groupBy("doc_a", "doc_b").agg(
         first(when(col(idCol) === col("doc_a"), col("_shs")),
           ignoreNulls = true).as("_sha"),

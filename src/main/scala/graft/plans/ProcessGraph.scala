@@ -827,10 +827,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         jThreshold = args.path("j_threshold").asDouble(0.5))
 
     case "score_containment" =>
-      val d = docsArg(args, evalNode)
-      graft.dedup.Dedup.containment(d,
+      // one shingle pass shared by candidate generation and verification
+      // (the dedup_jaccard/dedup_containment convention); caller-owned
+      // persist
+      val shared = graft.dedup.Dedup.shingledDistinct(docsArg(args, evalNode))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.dedup.Dedup.containmentFrom(shared,
         graft.dedup.Dedup.minhashCandidates(
-            graft.dedup.Dedup.minhashSignatures(d))
+            graft.dedup.Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"),
         threshold = args.path("threshold").asDouble(0.9))
 

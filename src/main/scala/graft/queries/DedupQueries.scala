@@ -207,21 +207,27 @@ object DedupQueries {
     // Verification routes through jaccardAuto: the candidate-pair count
     // (persisted, one LSH pass) picks broadcast-pairs vs the dense
     // member-semi-join plan — identical rows either way (parity pinned),
-    // so the regime switch is invisible to the oracle.
+    // so the regime switch is invisible to the oracle. The corpus is
+    // shingled ONCE (persisted, caller-owned) and both the minhash leg
+    // and the verifier consume it — band mins are duplicate-insensitive,
+    // so signatures off the distinct set are bit-identical.
     "dedup_jaccard" -> { (s, d) =>
-      val corpus = nearCorpus(s, d)
-      Dedup.jaccardAuto(corpus,
-        Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.jaccardAutoFrom(shared,
+        Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"))
     },
 
     // D76: asymmetric containment — the truncated variants are ~fully
     // contained in their originals even where symmetric Jaccard dips, the
     // quote/truncation signal a resemblance threshold alone misses.
+    // Same single shingle pass as dedup_jaccard.
     "dedup_containment" -> { (s, d) =>
-      val corpus = nearCorpus(s, d)
-      Dedup.containment(corpus,
-        Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.containmentFrom(shared,
+        Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"))
     },
 
