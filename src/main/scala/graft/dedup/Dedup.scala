@@ -337,6 +337,111 @@ object Dedup {
         Exact.rnd4(j).as("jaccard"))
   }
 
+  /** D88: MinHash-LSH parameter planning from the MEASURED pair-similarity
+    * distribution — the knob-tuning table a dedup pipeline consults before
+    * re-banding a corpus. For each candidate (bands b, rows-per-band r)
+    * the S-curve collision probability p(s) = 1 − (1 − s^r)^b is averaged
+    * over the verified pairs' Jaccard values, split at `threshold`:
+    * `exp_dup_recall` (expected fraction of ≥-threshold pairs still
+    * colliding under (b, r)) and `exp_sub_suppression` (expected fraction
+    * of sub-threshold candidate pairs suppressed). `threshold_approx` is
+    * the classic (1/b)^{1/r} S-curve midpoint, computed DRIVER-side and
+    * emitted on the rnd4 grid (so the oracle can carry the identical
+    * decimal literal — fractional `pow` is not cross-engine exact, a
+    * 4-decimal literal is).
+    *
+    * Exactness: powers unroll to literal multiplication chains (r, b are
+    * small ints — no libm pow anywhere near data), the per-(b,r) sums are
+    * decimal-exact, and the one aggregate row is driver-collected
+    * (bounded: 2·|grid| doubles + 2 counts — the probe-fit convention)
+    * before the O(|grid|) literal result is emitted. ONE pass over the
+    * scored pairs regardless of grid size. */
+  def lshPlan(scored: DataFrame, threshold: Double = 0.5,
+              grid: Seq[(Int, Int)] = lshPlanGrid): DataFrame = {
+    val j = col("jaccard")
+    def pCol(b: Int, r: Int): Column = {
+      val jr = (1 to r).map(_ => j).reduceLeft(_ * _)
+      val q = lit(1.0) - jr
+      lit(1.0) - (1 to b).map(_ => q).reduceLeft(_ * _)
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_pairs"),
+      sum(when(j >= threshold, 1L).otherwise(0L)).as("n_dup")) ++
+      grid.flatMap { case (b, r) => Seq(
+        Exact.esum(when(j >= threshold, pCol(b, r)).otherwise(lit(0.0)))
+          .as(s"d_${b}_$r"),
+        Exact.esum(when(j < threshold, pCol(b, r)).otherwise(lit(0.0)))
+          .as(s"s_${b}_$r"))
+      }
+    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    val nPairs = row.getAs[Long]("n_pairs")
+    val nDup = row.getAs[Long]("n_dup")
+    val nSub = nPairs - nDup
+    def rnd4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val out = grid.map { case (b, r) =>
+      val dsum = row.getAs[Double](s"d_${b}_$r")
+      val ssum = row.getAs[Double](s"s_${b}_$r")
+      (b, r, nDup, nSub,
+        if (nDup == 0) 0.0 else rnd4(dsum / nDup),
+        if (nSub == 0) 0.0 else rnd4(1.0 - ssum / nSub),
+        lshMidpoint(b, r))
+    }
+    scored.sparkSession.createDataFrame(out).toDF(
+      "bands", "rows_per_band", "n_dup_pairs", "n_sub_pairs",
+      "exp_dup_recall", "exp_sub_suppression", "threshold_approx")
+  }
+
+  /** The default planning grid: every (b, r) a re-banding would consider
+    * at signature budget b·r ≤ 64. */
+  val lshPlanGrid: Seq[(Int, Int)] =
+    Seq((2, 2), (4, 2), (4, 4), (8, 4), (8, 8), (16, 4))
+
+  /** (1/b)^{1/r} on the rnd4 grid — a MODEL constant of the (b, r) pair,
+    * shared verbatim (as a decimal literal) by plan and oracle. */
+  def lshMidpoint(b: Int, r: Int): Double =
+    math.floor(math.pow(1.0 / b, 1.0 / r) * 10000 + 0.5) / 10000
+
+  /** DuckDB mirror of [[lshPlan]] as a query suffix over a `jall` CTE
+    * exposing rnd4 `jaccard` per pair: the identical unrolled power
+    * chains, decimal sums, one MATERIALIZED aggregate row and a UNION ALL
+    * of per-(b, r) literal selects. */
+  def lshPlanOracleSql(threshold: Double = 0.5,
+                       grid: Seq[(Int, Int)] = lshPlanGrid): String = {
+    val th = threshold.toString
+    def pSql(b: Int, r: Int): String = {
+      val jr = (1 to r).map(_ => "jaccard").reduceLeft((a, x) => s"($a * $x)")
+      val q = s"(1.0 - $jr)"
+      val qb = (1 to b).map(_ => q).reduceLeft((a, x) => s"($a * $x)")
+      s"(1.0 - $qb)"
+    }
+    def esum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+    val sums = grid.flatMap { case (b, r) => Seq(
+      s"${esum(s"CASE WHEN jaccard >= $th THEN ${pSql(b, r)} ELSE 0.0 END")}" +
+        s" AS d_${b}_$r",
+      s"${esum(s"CASE WHEN jaccard < $th THEN ${pSql(b, r)} ELSE 0.0 END")}" +
+        s" AS s_${b}_$r")
+    }.mkString(",\n    ")
+    val selects = grid.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  n_dup AS n_dup_pairs, n_pairs - n_dup AS n_sub_pairs,
+         |  floor((CASE WHEN n_dup = 0 THEN 0.0
+         |    ELSE d_${b}_$r / CAST(n_dup AS DOUBLE) END) * 10000 + 0.5)
+         |    / 10000.0 AS exp_dup_recall,
+         |  floor((CASE WHEN n_pairs - n_dup = 0 THEN 0.0
+         |    ELSE 1.0 - s_${b}_$r / CAST(n_pairs - n_dup AS DOUBLE) END)
+         |    * 10000 + 0.5) / 10000.0 AS exp_sub_suppression,
+         |  ${lshMidpoint(b, r)} AS threshold_approx
+         |FROM pagg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""pagg AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN jaccard >= $th THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup,
+       |    $sums
+       |  FROM jall)
+       |$selects""".stripMargin
+  }
+
   // ---- D23: first-wins (online) near-dedup --------------------------------
 
   /** First-wins near-dedup verdict per document: a document is KEPT iff it

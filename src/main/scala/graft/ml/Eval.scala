@@ -79,6 +79,90 @@ object Eval {
       Exact.rnd4(acc).as("acc"))
   }
 
+  /** A28: precision-recall summary — step-wise average precision
+    * (sklearn `average_precision_score`: AP = Σ_k ΔR_k·P_k over
+    * thresholds descending through the distinct scores, ties grouped)
+    * plus the best-F1 operating point (argmax F1, ties to the larger
+    * threshold). Same scale contract as [[aucReport]]: ONE
+    * groupBy(score) collapses the corpus to the BOUNDED rnd4-grid score
+    * table; the cumulative/rank windows run only on that bounded table.
+    * Counts are exact integers; P/R/F1/AP are pinned-division doubles
+    * with the AP sum decimal-exact, so the whole report replays in the
+    * oracle ([[prOracleSql]]). */
+  def prReport(scored: DataFrame, scoreCol: String = "score",
+               yCol: String = "y"): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(yCol).cast("long")).as("pos"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g.select(col("score"), col("n"), col("pos"),
+        sum(col("n")).over(cum).as("cn"),
+        sum(col("pos")).over(cum).as("ctp"))
+      .withColumn("npos", max(col("ctp")).over(full))
+    val p = col("ctp").cast("double") / col("cn").cast("double")
+    val r = when(col("npos") > 0,
+      col("ctp").cast("double") / col("npos").cast("double"))
+      .otherwise(lit(0.0))
+    val f1 = when(p + r === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * p * r / (p + r))
+    val term = when(col("npos") > 0,
+      (col("pos").cast("double") / col("npos").cast("double")) * p)
+      .otherwise(lit(0.0))
+    val ranked = c.withColumn("f1", f1).withColumn("term", term)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f1").desc, col("score").desc)))
+    ranked.agg(
+      sum(col("n")).as("n"),
+      max(col("npos")).as("n_pos"),
+      Exact.rnd4(Exact.esum(col("term"))).as("ap"),
+      Exact.rnd4(max(when(col("rk") === 1, col("f1")))).as("best_f1"),
+      max(when(col("rk") === 1, col("score"))).as("best_threshold"))
+  }
+
+  /** DuckDB mirror of [[prReport]] as a CTE suffix over `scoredCte`
+    * (score, 0/1 y). Terminal CTE: `pr_out`. The same grouped table,
+    * cumulative windows, pinned P/R/F1 DAG and decimal-exact AP sum;
+    * count sums CAST to BIGINT (DuckDB sums to HUGEINT). */
+  def prOracleSql(scoredCte: String): String = {
+    val p = "(CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE))"
+    val r = "(CASE WHEN npos > 0 THEN CAST(ctp AS DOUBLE) " +
+      "/ CAST(npos AS DOUBLE) ELSE 0.0 END)"
+    val f1 = s"(CASE WHEN $p + $r = 0.0 THEN 0.0 " +
+      s"ELSE 2.0 * $p * $r / ($p + $r) END)"
+    val term = s"(CASE WHEN npos > 0 THEN (CAST(pos AS DOUBLE) " +
+      s"/ CAST(npos AS DOUBLE)) * $p ELSE 0.0 END)"
+    s"""pg AS (
+       |  SELECT score, count(*) AS n,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+       |  FROM $scoredCte GROUP BY score),
+       |pc AS (
+       |  SELECT score, n, pos,
+       |    CAST(sum(n) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cn,
+       |    CAST(sum(pos) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS ctp
+       |  FROM pg),
+       |pt AS (SELECT *, CAST(max(ctp) OVER () AS BIGINT) AS npos FROM pc),
+       |pf AS (
+       |  SELECT score, n, pos, cn, ctp, npos, $f1 AS f1, $term AS term,
+       |    row_number() OVER (ORDER BY $f1 DESC, score DESC) AS rk
+       |  FROM pt),
+       |pr_out AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(max(npos) AS BIGINT) AS n_pos,
+       |    floor((CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE))
+       |      * 10000 + 0.5) / 10000.0 AS ap,
+       |    floor((max(CASE WHEN rk = 1 THEN f1 END)) * 10000 + 0.5)
+       |      / 10000.0 AS best_f1,
+       |    max(CASE WHEN rk = 1 THEN score END) AS best_threshold
+       |  FROM pf)""".stripMargin
+  }
+
   /** A22: calibration (reliability) table — per predicted-probability
     * decile: count, mean prediction, empirical positive rate, gap. Exact
     * counts + decimal-exact sums; O(10) output rows regardless of corpus

@@ -231,6 +231,20 @@ object DedupQueries {
           .select("doc_a", "doc_b"))
     },
 
+    // D88: LSH parameter planning over the measured candidate-pair
+    // similarity distribution — all candidate pairs scored (threshold 0),
+    // then the (b, r) S-curve expectation table. Shares the single
+    // shingle pass with the jaccard/containment queries.
+    "dedup_lsh_plan" -> { (s, d) =>
+      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = Dedup.jaccardAutoFrom(shared,
+        Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
+          .select("doc_a", "doc_b"),
+        threshold = 0.0)
+      Dedup.lshPlan(scored, threshold = 0.5)
+    },
+
     // D23: the per-document first-wins verdict (the streaming contract in
     // its whole-corpus batch form; DedupStreams is the incremental twin,
     // batch≡stream pinned in StreamingSpec).
@@ -524,6 +538,34 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""".stripMargin,
+
+    // Mirror of dedup_lsh_plan: the jaccard chain WITHOUT a threshold
+    // (all candidate pairs), then Dedup.lshPlanOracleSql's unrolled
+    // power-chain expectation table.
+    "dedup_lsh_plan" ->
+      s"""WITH $minhashSigSql,
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN dsh a ON a.doc_id = c.doc_a
+        |  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |jall AS MATERIALIZED (
+        |  -- LEFT join from cand: at threshold 0 Spark keeps candidate
+        |  -- pairs with ZERO shared shingles (j = 0), so the mirror must
+        |  -- not drop them through an inner shingle join
+        |  SELECT c.doc_a, c.doc_b,
+        |    floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |          / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)))
+        |          * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN sizes sb ON sb.doc_id = c.doc_b),
+        |${Dedup.lshPlanOracleSql(threshold = 0.5)}""".stripMargin,
 
     // Mirror of dedup_containment: same shingle sets and intersection,
     // both directed ratios plus Jaccard, greatest() threshold.

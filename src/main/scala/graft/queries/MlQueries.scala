@@ -249,6 +249,14 @@ object MlQueries {
         "score", "y", threshold = 0.5)
     },
 
+    // A28: the threshold-free companion of A19 — step-wise average
+    // precision (the PR-AUC the class-imbalance literature prefers) plus
+    // the best-F1 operating point, over the same bit-exact ridge scores.
+    "ml_eval_pr" -> { (s, d) =>
+      graft.ml.Eval.prReport(
+        graft.ml.RidgeProbe.qualityProbe(Tables.documents(s, d)))
+    },
+
     // A23: regression metrics (MSE/RMSE/MAE/R²) of the gradient-boost
     // probe's fitted scores against the curation label — the regression
     // twin of the A19/A21 classification reports, over an already
@@ -500,6 +508,19 @@ object MlQueries {
         |$probe,
         |$eval
         |SELECT * FROM eval_out""".stripMargin
+    },
+
+    // Mirror of ml_eval_pr: the same ridge replay, then the grouped score
+    // table, cumulative TP windows, pinned P/R/F1 DAG and decimal-exact
+    // AP sum (Eval.prOracleSql).
+    "ml_eval_pr" -> {
+      val probe = graft.ml.RidgeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lambda = 0.001, threshold = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$probe,
+        |${graft.ml.Eval.prOracleSql("scored")}
+        |SELECT * FROM pr_out""".stripMargin
     },
 
     // The roundtrip scores with the LOADED model; lossless serialization

@@ -347,4 +347,36 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(zero.toSeq == Seq((500L, 501L, 0, 4)))
   }
+
+  test("lsh plan: S-curve expectations over a pinned pair distribution") {
+    import spark.implicits._
+    // one near-dup pair (j=0.9) and one low-sim pair (j=0.2), threshold .5
+    val scored = Seq((1L, 2L, 0.9), (3L, 4L, 0.2))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val plan = Dedup.lshPlan(scored, threshold = 0.5)
+      .collect().map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        (r.getAs[Double]("exp_dup_recall"), r.getAs[Double]("exp_sub_suppression"),
+         r.getAs[Double]("threshold_approx"), r.getAs[Long]("n_dup_pairs"),
+         r.getAs[Long]("n_sub_pairs"))).toMap
+    assert(plan.keySet == Dedup.lshPlanGrid.toSet)
+    plan.values.foreach { case (_, _, _, nd, ns) =>
+      assert(nd == 1L && ns == 1L)
+    }
+    // hand-computed (2,2): p(.9)=1-(1-.81)^2=.9639; p(.2)=1-(1-.04)^2=.0784
+    val (rec22, sup22, _, _, _) = plan((2, 2))
+    assert(rec22 == 0.9639 && sup22 == 0.9216)
+    // recall rises with bands at fixed rows; suppression falls
+    val (rec42, sup42, t42, _, _) = plan((4, 2))
+    assert(rec42 > rec22 && sup42 < sup22)
+    // (1/4)^(1/2) and (1/16)^(1/4) are exactly 0.5 on the rnd4 grid
+    assert(t42 == 0.5 && plan((16, 4))._3 == 0.5)
+    // at (8,4) a 0.9-Jaccard pair collides ~surely
+    assert(plan((8, 4))._1 >= 0.999)
+    // no-dup degenerate: recall pinned 0, counts right
+    val none = Dedup.lshPlan(
+      Seq((1L, 2L, 0.1)).toDF("doc_a", "doc_b", "jaccard"), threshold = 0.5)
+      .collect()
+    assert(none.forall(r => r.getAs[Double]("exp_dup_recall") == 0.0 &&
+      r.getAs[Long]("n_dup_pairs") == 0L))
+  }
 }

@@ -59,6 +59,42 @@ class EvalSpec extends SparkSpec {
     assert(n.getAs[Double]("auc") == 0.5 && n.getAs[Double]("rec") == 0.0)
   }
 
+  test("pr report: hand-computed average precision and best-F1 point") {
+    // scores desc: 0.9(y1) P=1 dR=1/2 -> term .5; 0.8(y0) term 0;
+    // 0.7(y1) P=2/3 dR=1/2 -> term 1/3; 0.6(y0) term 0 => AP = .8333
+    // F1 at thresholds: .6667, .5, .8, .6667 => best .8 @ 0.7
+    val out = Eval.prReport(
+      Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 0.0)).toDF("score", "y"))
+      .head()
+    assert(out.getAs[Long]("n") == 4 && out.getAs[Long]("n_pos") == 2)
+    assert(out.getAs[Double]("ap") == 0.8333)
+    assert(out.getAs[Double]("best_f1") == 0.8)
+    assert(out.getAs[Double]("best_threshold") == 0.7)
+    // one-class degenerate: no positives -> AP 0, threshold = max score
+    val zero = Eval.prReport(
+      Seq((0.9, 0.0), (0.1, 0.0)).toDF("score", "y")).head()
+    assert(zero.getAs[Double]("ap") == 0.0 &&
+      zero.getAs[Double]("best_f1") == 0.0 &&
+      zero.getAs[Double]("best_threshold") == 0.9)
+    // perfect separation: AP 1, best F1 1
+    val perfect = Eval.prReport(
+      Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("score", "y")).head()
+    assert(perfect.getAs[Double]("ap") == 1.0 &&
+      perfect.getAs[Double]("best_f1") == 1.0)
+  }
+
+  test("pr report is partition-invariant (decimal AP sum)") {
+    val rows = (0 until 400).map(i =>
+      (math.floor((i % 37) / 37.0 * 10000 + 0.5) / 10000,
+        if (i % 3 == 0) 1.0 else 0.0))
+    val a = Eval.prReport(rows.toDF("score", "y").repartition(13)).head()
+    val b = Eval.prReport(rows.toDF("score", "y").coalesce(1)).head()
+    Seq("ap", "best_f1", "best_threshold").foreach { c =>
+      assert(java.lang.Double.doubleToLongBits(a.getAs[Double](c)) ==
+        java.lang.Double.doubleToLongBits(b.getAs[Double](c)), c)
+    }
+  }
+
   test("calibration: perfectly calibrated bins show zero gap") {
     // bin 2 (0.25): 4 rows, 1 positive -> pos_rate 0.25 = mean_pred
     // bin 7 (0.75): 4 rows, 3 positive -> pos_rate 0.75 = mean_pred
