@@ -445,6 +445,15 @@ object Rasters {
       writeFile(spark, s"$path/${sliceName(gp.sliceDims, k)}/.zarray",
         meta.getBytes("UTF-8"))
     }
+    // consolidated metadata (zarr v2 convention): every .zarray inlined
+    // under one key map, so a consumer opens the store with ONE read
+    // instead of listing slice directories — O(slices) driver-side JSON
+    val entries = sliceKeys.map { k =>
+      s""""${sliceName(gp.sliceDims, k)}/.zarray":$meta"""
+    }.mkString(",")
+    writeFile(spark, s"$path/.zmetadata",
+      s"""{"zarr_consolidated_format":1,"metadata":{$entries}}"""
+        .getBytes("UTF-8"))
     // executors: rows shuffle on (slice, chunk) — each task writes the
     // chunk files it owns; within-slice parallelism is nCy×nCx-way.
     // Chunk ids come from the label→index maps (closure-shipped, O(axis)).

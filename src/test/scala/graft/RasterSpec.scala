@@ -96,6 +96,12 @@ class RasterSpec extends SparkSpec {
     assert(meta.contains("\"zarr_format\":2") &&
       meta.contains("\"shape\":[4,6]") && meta.contains("\"chunks\":[3,4]") &&
       meta.contains("\"dtype\":\"<f8\"") && meta.contains("\"order\":\"C\""))
+    // consolidated metadata inlines every slice's .zarray under one key
+    val zmeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/.zmetadata")), "UTF-8")
+    assert(zmeta.contains("\"zarr_consolidated_format\":1") &&
+      zmeta.contains("\"band-red/.zarray\":{") &&
+      zmeta.contains("\"band-nir/.zarray\":{"))
     // every chunk file is the full padded chunk size
     assert(red.listFiles()
       .filter(f => !f.getName.endsWith(".crc") && f.getName != ".zarray")
