@@ -766,6 +766,12 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
         kOut = args.path("k_out").asInt(4),
         lam = args.path("lambda").asDouble(0.75))
 
+    // A28 as a graph node: the precision-recall/AP report over any
+    // (score, y)-typed node value.
+    case "evaluate_pr" =>
+      graft.ml.Eval.prReport(docsArg(args, evalNode),
+        args.path("score").asText("score"), args.path("label").asText("y"))
+
     // A23/D80 as graph nodes: the regression-metric report over any
     // (score, y)-typed node value, and bigram-LM fluency scoring.
     case "evaluate_regression" =>

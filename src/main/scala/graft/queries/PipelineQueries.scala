@@ -556,6 +556,20 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // PR/AP evaluation as a graph chain (D58 → A28): ridge-fit the probe
+    // then report — identical rows to ml_eval_pr → shares its oracle.
+    "process_graph_pr" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "probe": {"process_id": "fit_quality_probe",
+          |            "arguments": {"data": {"from_node": "src"}}},
+          |  "pr":    {"process_id": "evaluate_pr",
+          |            "arguments": {"data": {"from_node": "probe"}},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
     // Dedup evidence + containment as graph chains (D87/D76): corpus →
     // truncated-variant union (the known-answer near-dup generator) →
     // detector node — identical rows to dedup_ensemble /
@@ -858,6 +872,7 @@ object PipelineQueries {
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
     "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),
+    "process_graph_pr" -> MlQueries.oracle("ml_eval_pr"),
     "process_graph_ensemble" -> DedupQueries.oracle("dedup_ensemble"),
     "process_graph_containment" -> DedupQueries.oracle("dedup_containment"),
     "process_graph_drift" -> TextQueries.oracle("text_source_drift"),
