@@ -417,6 +417,35 @@ class AnnSpec extends SparkSpec {
       .filter($"c_id".isin(victimIds.toSeq: _*)).count() == 0)
   }
 
+  test("ivf compaction is crash-recoverable: a leftover data_old from a " +
+    "prior crash is cleared, answers unchanged") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cr_").toString
+    Ann.ivfBuild(emb, idx, nlist = 8)
+    val q = emb.filter($"vec_id" < 5)
+    Ann.ivfDelete(spark, idx, emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id"))
+    val expect = Ann.ivfProbe(spark, idx, q, k = 5, nProbe = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // simulate the post-crash state the rename-aside swap can leave: a
+    // complete data_old beside the live data directory
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$idx/data"), fs,
+      new org.apache.hadoop.fs.Path(s"$idx/data_old"), false,
+      spark.sparkContext.hadoopConfiguration)
+    Ann.ivfCompactDeletes(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/data_old")),
+      "compaction must clear the stale data_old")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/data_compacting")),
+      "no transient directory may survive the swap")
+    val got = Ann.ivfProbe(spark, idx, q, k = 5, nProbe = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == expect, "recovery compaction changed probe results")
+  }
+
   test("filtered search: only same-attribute candidates, subset of unfiltered") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
