@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, Tables}
-import graft.sim.{Ann, Retrieval, SemDedup}
+import graft.sim.{Ann, InvertedIndex, Retrieval, SemDedup}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
   * §2D6–D7). Query set = vectors with vec_id < 20; corpus = full table.
@@ -334,8 +334,61 @@ object SimQueries {
           Tables.embeddings(s, d), k = 20)
         .select(col("c_id").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq("lex_rank" -> lex, "vec_rank" -> vec), k = 10)
+    },
+
+    // D89 through the gate: the PHYSICAL inverted index — postings
+    // written partitionBy(term-bucket), query = bucket IN-filter reading
+    // only the probed directories (spec-asserted via inputFiles) — must
+    // produce the identical BM25-shape ranking to the D51 direct query,
+    // so the layout round-trip shares text_search_lexical's hash oracle.
+    "search_index_probe" -> { (s, d) =>
+      InvertedIndex.query(s, invIndex(s, d),
+        Seq("hash", "merge", "window"), topN = 20)
+    },
+
+    // D89 full lifecycle through the gate: build on ⅔ of the corpus, ADD
+    // the remaining third (stored-layout append, no rewrite), DELETE every
+    // doc_id % 7 == 0 (tombstones + negative stats partial), COMPACT
+    // (crash-safe swap folds the tombstones), then query. The oracle is
+    // the direct BM25 arithmetic over the equivalent LIVE corpus — so
+    // add/delete/compact bookkeeping (stats partials included) is
+    // hash-gated, not just spec-asserted.
+    "search_index_lifecycle" -> { (s, d) =>
+      InvertedIndex.query(s, invLifecycleIndex(s, d),
+        Seq("hash", "merge", "window"), topN = 20)
     }
   )
+
+  /** The on-disk inverted index for `search_index_probe`, built once per
+    * (JVM, sf dir) like [[ivfIndex]] — construction is the reusable build
+    * step of the layout, not per-query work. */
+  private val invIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def invIndex(s: SparkSession, d: String): String =
+    invIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_inv_idx_").toString
+      InvertedIndex.build(Tables.documents(s, d), path, nBuckets = 16)
+      path
+    })
+
+  /** The add→delete→compact exercised index for `search_index_lifecycle`,
+    * built once per (JVM, sf dir). */
+  private val invLifeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def invLifecycleIndex(s: SparkSession, d: String): String =
+    invLifeCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_inv_life_").toString
+      val docs = Tables.documents(s, d)
+      InvertedIndex.build(docs.filter(col("doc_id") % 3 =!= 2), path,
+        nBuckets = 16)
+      InvertedIndex.add(docs.filter(col("doc_id") % 3 === 2), path)
+      InvertedIndex.delete(s, path,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      InvertedIndex.compact(s, path)
+      path
+    })
 
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
@@ -1178,6 +1231,51 @@ object SimQueries {
         |  FROM f)
         |SELECT doc_id, lex_rank, vec_rank,
         |  floor((rrf) * 10000 + 0.5) / 10000.0 AS rrf
-        |FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+        |FROM fused ORDER BY fused.rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Mirror of InvertedIndex.query over the full corpus: identical
+    // arithmetic to text_search_lexical (the index round-trip must land
+    // on the direct ranking bit-for-bit).
+    "search_index_probe" -> lexSql("TRUE"),
+
+    // Lifecycle mirror: the direct BM25 over the LIVE corpus (everything
+    // except the deleted doc_id % 7 == 0 set) — build/add split, stats
+    // partials, tombstones and compaction must all cancel out exactly.
+    "search_index_lifecycle" -> lexSql("doc_id % 7 <> 0")
   )
+
+  /** The D51 BM25-shape CTE chain over `documents WHERE <live>` — the
+    * shared oracle of the direct ranking and both D89 index round-trips. */
+  private def lexSql(live: String): String =
+    s"""WITH base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    string_split(text, ' ') AS t
+      |  FROM documents WHERE $live),
+      |st AS (SELECT count(*) AS n, sum(dl) AS total_len FROM base),
+      |po AS (
+      |  SELECT doc_id, dl, w AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+      |  WHERE w IN ('hash', 'merge', 'window')
+      |  GROUP BY doc_id, dl, w),
+      |df AS (SELECT term, count(*) AS df FROM po GROUP BY term),
+      |comp AS (
+      |  SELECT doc_id, term,
+      |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5))
+      |    * (CAST(tf AS DOUBLE) * 2.2
+      |       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |          * (CAST(dl AS DOUBLE)
+      |             / (CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE))))))
+      |      AS c
+      |  FROM po JOIN df USING (term) CROSS JOIN st),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    COALESCE(sum(CASE WHEN term = 'hash' THEN c END), 0.0)
+      |    + COALESCE(sum(CASE WHEN term = 'merge' THEN c END), 0.0)
+      |    + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0.0)
+      |      AS score
+      |  FROM comp GROUP BY doc_id)
+      |SELECT doc_id, n_terms,
+      |  floor((sc.score) * 10000 + 0.5) / 10000.0 AS score
+      |FROM sc ORDER BY sc.score DESC, doc_id ASC LIMIT 20""".stripMargin
 }
