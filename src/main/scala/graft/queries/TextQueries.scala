@@ -644,6 +644,17 @@ object TextQueries {
     // an O(vocab) aggregate; everything after is corpus-size-independent.
     "text_zipf" -> { (s, d) => zipf(docs(s, d)) },
 
+    // D90: deterministic corpus sharding manifest — the data card of the
+    // training-data export (seeded-md5 shuffle → shard assignment →
+    // per-shard exact counts, order-free xor content checksum, and the
+    // permutation's first doc). Assignment is map-only; the manifest is
+    // one O(docs) partial-agg groupBy to O(shards) rows; the at-rest
+    // write (partitionBy(shard), permutation order within) is
+    // spec-covered in ShardsSpec.
+    "corpus_shards" -> { (s, d) =>
+      graft.sources.Shards.manifest(docs(s, d), nShards = 8, seed = "s42")
+    },
+
     // D77: token-distribution Shannon entropy — the compressibility
     // quality proxy (low entropy relative to length = repetitive,
     // templated or looping text; the signal a gzip-ratio filter
@@ -1659,6 +1670,29 @@ object TextQueries {
         |            * (CAST(n AS DOUBLE) * syy - sy * sy))
         |    END) * 10000 + 0.5) / 10000.0 AS r2
         |FROM zm""".stripMargin,
+
+    // Mirror of Shards.manifest: the same seeded-md5 shard fold (first 4
+    // hex → int, mod 8), exact counts, xor of the 8-hex content folds,
+    // and arg_min for the permutation's first doc — all integers, so the
+    // manifest replays bit-for-bit.
+    "corpus_shards" ->
+      """WITH sa AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('s42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |      * power(16.0, 4 - i))) AS INT) % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |      (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |      * power(16.0, 8 - i))) AS BIGINT) AS ch,
+        |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  bit_xor(ch) AS checksum,
+        |  arg_min(doc_id, k) AS first_doc
+        |FROM sa GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Mirror of text_entropy: same per-term counts, the same ln DAG and
     // decimal k·ln(k) sum, redundancy from the unrounded entropy.
