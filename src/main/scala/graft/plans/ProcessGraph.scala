@@ -854,6 +854,26 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       graft.functions.TextFunctions.temperatureSample(docsArg(args, evalNode),
         budget = args.path("budget").asLong(200L))
 
+    // D89 as a graph node: BM25-shape query over a PREBUILT inverted
+    // index (the load_raster convention — the layout is an at-rest
+    // artifact addressed by path; build/add/delete/compact are
+    // maintenance steps outside the declared query plan).
+    case "search_index" =>
+      val terms = {
+        val t = args.path("terms")
+        require(t.isArray && t.size() > 0, "search_index: terms required")
+        (0 until t.size()).map(t.get(_).asText())
+      }
+      graft.sim.InvertedIndex.query(spark, args.path("path").asText(),
+        terms, topN = args.path("top_n").asInt(20))
+
+    // D90 as a graph node: the sharding manifest (data card) of any
+    // (doc_id, text) node value.
+    case "shard_manifest" =>
+      graft.sources.Shards.manifest(docsArg(args, evalNode),
+        nShards = args.path("n_shards").asInt(8),
+        seed = args.path("seed").asText("s42"))
+
     case other =>
       throw new IllegalArgumentException(s"unknown process_id '$other'")
   }

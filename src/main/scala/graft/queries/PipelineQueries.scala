@@ -623,6 +623,33 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // D89/D90 as graph chains: a declared BM25 query over the prebuilt
+    // at-rest inverted index (the layout is addressed by path, like
+    // load_raster), and the sharding manifest of the loaded corpus —
+    // identical rows to search_index_probe / corpus_shards → share their
+    // hash oracles.
+    "process_graph_index" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        s"""{
+          |  "q": {"process_id": "search_index",
+          |        "arguments": {"path": "${SimQueries.invIndex(s, d)}",
+          |                      "terms": ["hash", "merge", "window"],
+          |                      "top_n": 20},
+          |        "result": true}
+          |}""".stripMargin)
+    },
+
+    "process_graph_shards" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src": {"process_id": "load_documents", "arguments": {}},
+          |  "man": {"process_id": "shard_manifest",
+          |          "arguments": {"data": {"from_node": "src"},
+          |                        "n_shards": 8, "seed": "s42"},
+          |          "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -877,6 +904,8 @@ object PipelineQueries {
     "process_graph_containment" -> DedupQueries.oracle("dedup_containment"),
     "process_graph_drift" -> TextQueries.oracle("text_source_drift"),
     "process_graph_tmix" -> TextQueries.oracle("text_temperature_mix"),
+    "process_graph_index" -> SimQueries.oracle("search_index_probe"),
+    "process_graph_shards" -> TextQueries.oracle("corpus_shards"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
