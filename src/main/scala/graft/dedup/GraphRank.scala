@@ -49,12 +49,17 @@ object GraphRank {
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
                damping: Double = 0.85): DataFrame = {
     val idCol = nodes.columns.head
-    val ids = nodes.select(col(idCol).as("id")).persist()
+    // Cache ids and edges ALREADY PARTITIONED on their join keys: the
+    // cached partitioning is what each round's joins reuse — without it
+    // every iteration re-exchanges the O(nodes) id set and the O(edges)
+    // edge set (4 rounds × 2 avoidable shuffles at lake scale).
+    val ids = nodes.select(col(idCol).as("id"))
+      .repartition(col("id")).persist()
     val nD = ids.count().toDouble
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
-      .persist()
+      .repartition(col("src")).persist()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg")).persist()
     deg.count() // materialize edges + deg once, before the rounds

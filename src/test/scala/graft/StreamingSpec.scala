@@ -116,6 +116,46 @@ class StreamingSpec extends SparkSpec {
       "stream-ingested index diverges from the one-shot index")
   }
 
+  test("E20 streaming postings ingest: foreachBatch InvertedIndex.add " +
+    "equals the one-shot index") {
+    import spark.implicits._
+    // the crawl-ingest story made a stream: documents arrive in micro-
+    // batches, each batch appends its postings inside the term-bucket
+    // dirs plus one stats partial (add never rewrites) — after any number
+    // of batches a query sees one homogeneous layout identical to
+    // indexing the whole corpus at once
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_inv_").toString
+    graft.sim.InvertedIndex.build(base, path, nBuckets = 8)
+    val arrivals = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sim.InvertedIndex.add(batch, path)
+      }.start()
+    try {
+      arrivals.grouped((arrivals.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val terms = Seq("hash", "merge", "window")
+    val streamed = graft.sim.InvertedIndex.query(spark, path, terms,
+      topN = 20)
+    val oneShotPath = java.nio.file.Files
+      .createTempDirectory("graft_oneshot_inv_").toString
+    graft.sim.InvertedIndex.build(docs, oneShotPath, nBuckets = 8)
+    val oneShot = graft.sim.InvertedIndex.query(spark, oneShotPath, terms,
+      topN = 20)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "stream-ingested inverted index diverges from the one-shot index")
+  }
+
   test("E2 sessionize: flatMapGroupsWithState equals batch window semantics") {
     import spark.implicits._
     val events = realEvents(20)
