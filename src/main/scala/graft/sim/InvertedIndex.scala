@@ -115,7 +115,10 @@ object InvertedIndex {
   /** Tombstone deletes: append the NEWLY-dead ids (ids unknown to the
     * doclens ledger or already tombstoned are ignored, so a re-submitted
     * delete cannot double-subtract the stats) plus one negative stats
-    * partial computed from the ledger — O(deleted) work. */
+    * partial computed from the doclens ledger — one broadcast-semi-join
+    * scan of the O(docs) two-column ledger (no shuffle), then O(deleted)
+    * writes. The dead set is cached across its two consumers so the
+    * ledger is scanned once, not twice. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String = "doc_id"): Unit = {
     val live = spark.read.parquet(s"$path/doclens")
@@ -123,11 +126,14 @@ object InvertedIndex {
         .distinct()), Seq("doc_id"))
     val dead = tombstones(spark, path)
       .fold(live)(t => live.join(broadcast(t), Seq("doc_id"), "left_anti"))
-    dead.agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl").cast("long")), lit(0L))).as("total_len"))
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
-    dead.select("doc_id")
-      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      .persist()
+    try {
+      dead.agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("dl").cast("long")), lit(0L))).as("total_len"))
+        .coalesce(1).write.mode("append").parquet(s"$path/stats")
+      dead.select("doc_id")
+        .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+    } finally dead.unpersist(false)
   }
 
   private def tombstones(spark: SparkSession,
