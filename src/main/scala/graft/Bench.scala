@@ -49,6 +49,8 @@ object Bench {
       graft.queries.PipelineQueries.stacFixture(spark, sfDir)
       graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
       graft.queries.SimQueries.ivfIndex(spark, sfDir)
+      graft.queries.SimQueries.invIndex(spark, sfDir)
+      graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")
     }
