@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Exact
@@ -216,7 +215,6 @@ object InvertedIndex {
     val score = terms.map { t =>
       coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
     }.reduceLeft(_ + _)
-    val w = Window.orderBy(col("_score").desc, col("doc_id").asc)
     comp.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), score.as("_score"))
       .orderBy(col("_score").desc, col("doc_id").asc)
