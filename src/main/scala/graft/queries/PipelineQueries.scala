@@ -650,6 +650,29 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // The full curate→export story as one declared graph: the
+    // pipeline_curate chain (language + quality + first-wins dedup)
+    // ending in the D90 sharding manifest — identical rows to
+    // pipeline_export → shares its oracle.
+    "process_graph_export" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        """{
+          |  "src":   {"process_id": "load_documents", "arguments": {}},
+          |  "lang":  {"process_id": "filter_language",
+          |            "arguments": {"data": {"from_node": "src"},
+          |                          "language": "en"}},
+          |  "qual":  {"process_id": "filter_quality",
+          |            "arguments": {"data": {"from_node": "lang"},
+          |                          "min_score": 0.5}},
+          |  "dedup": {"process_id": "near_dedup_first_wins",
+          |            "arguments": {"data": {"from_node": "qual"}}},
+          |  "man":   {"process_id": "shard_manifest",
+          |            "arguments": {"data": {"from_node": "dedup"},
+          |                          "n_shards": 8, "seed": "s42"},
+          |            "result": true}
+          |}""".stripMargin)
+    },
+
     // STAC-catalog load: weekly asset slices + ItemCollection metadata are
     // materialized ONCE per (session, sfDir) in a temp dir — the fixture
     // build is test scaffolding, not part of the operator, so repeat runs
@@ -906,6 +929,7 @@ object PipelineQueries {
     "process_graph_tmix" -> TextQueries.oracle("text_temperature_mix"),
     "process_graph_index" -> SimQueries.oracle("search_index_probe"),
     "process_graph_shards" -> TextQueries.oracle("corpus_shards"),
+    "process_graph_export" -> TextQueries.oracle("pipeline_export"),
 
     "process_graph" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

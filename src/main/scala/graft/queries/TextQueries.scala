@@ -181,6 +181,25 @@ object TextQueries {
       graft.functions.TextFunctions.packBySource(kept, 1024)
     },
 
+    // D26+D90: the composed EXPORT pipeline — the same curation chain as
+    // pipeline_curate (language + quality filters, first-wins near-dedup)
+    // ending in the D90 sharding manifest of the kept corpus: the full
+    // curate→export story as one declarative chain, its data card the
+    // output. Filters stay map-side; shuffles are the dedup bucket hops
+    // and the one manifest partial-agg.
+    "pipeline_export" -> { (s, d) =>
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(qualityScore(col("text")) >= 0.5 &&
+          langPredict(tokens(col("text"))) === "en")
+      val verdicts = graft.dedup.Dedup.firstWinsKept(
+        graft.dedup.Dedup.minhashSignatures(base))
+      val kept = base.join(verdicts, Seq("doc_id"), "left")
+        .filter(col("kept").isNull || col("kept") === 1)
+        .select(col("doc_id"), col("text"))
+      graft.sources.Shards.manifest(kept, nShards = 8, seed = "s42")
+    },
+
     // D57: the composed retrieval pipeline — chunk (D25) → per-chunk
     // bucket-count embedding → exact cosine top-5 per query, as ONE
     // declarative chain: the chunk-embed-index-search path of a RAG
@@ -828,6 +847,47 @@ object TextQueries {
       |WHERE len(ws) > 0""".stripMargin
   }
 
+  /** Shared WITH-body of the curation-chain oracles (`pipeline_curate`,
+    * `pipeline_export`): language + quality filters (`f`) and the
+    * first-wins near-dup verdicts (`dup`) over the filtered corpus. */
+  private def curatePrefixSql: String = {
+    val hits = langStopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter(string_split(text, ' '), w -> w IN $inList)) AS s_$lang"
+    }.mkString(",\n    ")
+    val bestExpr = langStopwords.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val predExpr = "CASE " + langStopwords.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""base AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> w IN $stop7)) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS avg_word_len,
+       |    $hits
+       |  FROM documents),
+       |b2 AS (SELECT *, $bestExpr AS best FROM base),
+       |f AS (
+       |  SELECT doc_id, source, text FROM b2
+       |  WHERE 0.4 * least(stop_ratio * 5.0, 1.0)
+       |      + 0.3 * least(avg_word_len / 8.0, 1.0)
+       |      + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000
+       |               THEN 1.0 ELSE 0.0 END) >= 0.5
+       |    AND ($predExpr) = 'en'),
+       |${DedupQueries.sigOnlySql("corpus AS (SELECT doc_id, text FROM f)")},
+       |s2 AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
+       |owners AS (
+       |  SELECT band, sig, min(doc_id) AS owner FROM s2 GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT s2.doc_id,
+       |    max(CASE WHEN s2.doc_id <> o.owner THEN 1 ELSE 0 END) AS d
+       |  FROM s2 JOIN owners o ON s2.band = o.band AND s2.sig = o.sig
+       |  GROUP BY s2.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "text_bpe_train" -> bpeTrainSql(8),
@@ -854,43 +914,9 @@ object TextQueries {
     // oracle uses: quality + langid filters → minhash sig chain over the
     // SURVIVOR corpus → first-wins verdict (left join: no signature =
     // kept) → per-source pack window
-    "pipeline_curate" -> {
-      val hits = langStopwords.map { case (lang, words) =>
-        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
-        s"len(list_filter(string_split(text, ' '), w -> w IN $inList)) AS s_$lang"
-      }.mkString(",\n    ")
-      val bestExpr = langStopwords.map { case (l, _) => s"s_$l" }
-        .mkString("greatest(", ", ", ")")
-      val predExpr = "CASE " + langStopwords.map { case (l, _) =>
-        s"WHEN s_$l = best AND best > 0 THEN '$l'"
-      }.mkString(" ") + " ELSE 'und' END"
-      s"""WITH base AS (
-         |  SELECT doc_id, source, text,
-         |    len(string_split(text, ' ')) AS n_words,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      w -> w IN $stop7)) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
-         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS avg_word_len,
-         |    $hits
-         |  FROM documents),
-         |b2 AS (SELECT *, $bestExpr AS best FROM base),
-         |f AS (
-         |  SELECT doc_id, source, text FROM b2
-         |  WHERE 0.4 * least(stop_ratio * 5.0, 1.0)
-         |      + 0.3 * least(avg_word_len / 8.0, 1.0)
-         |      + 0.3 * (CASE WHEN n_words BETWEEN 20 AND 1000
-         |               THEN 1.0 ELSE 0.0 END) >= 0.5
-         |    AND ($predExpr) = 'en'),
-         |${DedupQueries.sigOnlySql("corpus AS (SELECT doc_id, text FROM f)")},
-         |s2 AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
-         |owners AS (
-         |  SELECT band, sig, min(doc_id) AS owner FROM s2 GROUP BY 1, 2),
-         |dup AS (
-         |  SELECT s2.doc_id,
-         |    max(CASE WHEN s2.doc_id <> o.owner THEN 1 ELSE 0 END) AS d
-         |  FROM s2 JOIN owners o ON s2.band = o.band AND s2.sig = o.sig
-         |  GROUP BY s2.doc_id),
-         |k AS (
+    "pipeline_curate" ->
+      (s"WITH $curatePrefixSql,\n" +
+        """k AS (
          |  SELECT f.doc_id, f.source,
          |    CAST(len(string_split(f.text, ' ')) AS BIGINT) AS n_tokens
          |  FROM f LEFT JOIN dup USING (doc_id)
@@ -904,8 +930,33 @@ object TextQueries {
          |  FROM k)
          |SELECT doc_id, source, n_tokens,
          |  CAST(before // 1024 AS BIGINT) AS pack_id
-         |FROM c""".stripMargin
-    },
+         |FROM c""".stripMargin),
+
+    // Mirror of pipeline_export: the shared curation prefix (filters +
+    // first-wins verdicts) feeding the corpus_shards manifest aggregate
+    // over the kept documents.
+    "pipeline_export" ->
+      (s"WITH $curatePrefixSql,\n" +
+        """kept AS (
+         |  SELECT f.doc_id, f.text FROM f LEFT JOIN dup USING (doc_id)
+         |  WHERE dup.d IS NULL OR dup.d = 0),
+         |sa AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5('s42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+         |      * power(16.0, 4 - i))) AS INT) % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |      (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+         |      * power(16.0, 8 - i))) AS BIGINT) AS ch,
+         |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM kept)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  bit_xor(ch) AS checksum,
+         |  arg_min(doc_id, k) AS first_doc
+         |FROM sa GROUP BY shard ORDER BY shard""".stripMargin),
 
     // n_chunks = ceil(max(n - width, 0) / step) + 1; start k*step,
     // window width 64, step 48 — mirrors TextFunctions.chunk
