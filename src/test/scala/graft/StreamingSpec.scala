@@ -156,6 +156,34 @@ class StreamingSpec extends SparkSpec {
       "stream-ingested inverted index diverges from the one-shot index")
   }
 
+  test("E21 streaming shard manifest: complete-mode manifest over " +
+    "micro-batches equals the batch manifest") {
+    import spark.implicits._
+    // the D90 manifest's aggregates (counts, sums, bit_xor, min_by) are
+    // all MERGEABLE, so the data card doubles as streaming state: each
+    // micro-batch partial-aggregates map-side and merges into the store —
+    // the export manifest of an ingest stream is always current, no
+    // rescan. Same contract as E10's sketches-as-state.
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.sources.Shards.manifest(
+        ms.toDF().toDF("doc_id", "text"), nShards = 4, seed = "s42")
+      .writeStream.format("memory").queryName("shard_manifest")
+      .outputMode("complete").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("shard_manifest")
+      val batch = graft.sources.Shards.manifest(
+        docs.toDF("doc_id", "text"), nShards = 4, seed = "s42")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming manifest diverges from the batch manifest")
+    } finally q.stop()
+  }
+
   test("E2 sessionize: flatMapGroupsWithState equals batch window semantics") {
     import spark.implicits._
     val events = realEvents(20)
