@@ -49,6 +49,7 @@ object Bench {
       graft.queries.PipelineQueries.stacFixture(spark, sfDir)
       graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
       graft.queries.SimQueries.ivfIndex(spark, sfDir)
+      graft.queries.SimQueries.ivfPqIndex(spark, sfDir)
       graft.queries.SimQueries.invIndex(spark, sfDir)
       graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
     } catch { case e: Throwable =>

@@ -38,6 +38,25 @@ class InvertedIndexSpec extends SparkSpec {
     info(s"single-term query read $readFiles/$allFiles posting files")
   }
 
+  test("driver-side bucketOfTerm agrees with the Catalyst bucket column " +
+    "over the whole vocabulary") {
+    // the query path prunes with DRIVER-computed buckets against a layout
+    // partitioned by the CATALYST expression — any divergence silently
+    // returns wrong (empty) postings for the affected terms
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val mismatches = vocab.withColumn("cat",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % 16))
+      .collect()
+      .count { r =>
+        InvertedIndex.bucketOfTerm(r.getAs[String]("term"), 16) !=
+          r.getAs[Int]("cat")
+      }
+    assert(mismatches == 0,
+      s"$mismatches vocabulary terms bucket differently driver vs Catalyst")
+  }
+
   test("fresh build ranks identically to the direct BM25 query") {
     val path = freshIdx("graft_inv_parity_")
     val docs = Tables.documents(spark, sfDir)
