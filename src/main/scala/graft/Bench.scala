@@ -39,6 +39,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -67,6 +68,7 @@ object Bench {
     // each timing the operator's own cost, which is what the baseline
     // comparison reads.
     def sweep(): Unit = {
+      graft.core.CacheScope.releaseAll() // drain the pin registry too
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -33,6 +33,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the parquet write above is the materialization barrier: release
+      // operator-pinned intermediates (jaccardAuto candidates, ensemble
+      // shingle pass, …) so a 200-query gate doesn't accumulate
+      // corpus-scale cached blocks that tax every later query
+      graft.core.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

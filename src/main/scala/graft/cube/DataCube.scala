@@ -1141,29 +1141,53 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
   /** min-max: (v - min)/(max - min), statistics per band computed over the
     * cube (partial aggregation map-side, then broadcast back).
     */
-  def scaleMinMax(perDim: Option[String]): DataCube = scaleWith(perDim) { w =>
-    (v - min(v).over(w)) / (max(v).over(w) - min(v).over(w))
-  }
+  def scaleMinMax(perDim: Option[String]): DataCube =
+    scaleWith(perDim, Seq(min(v), max(v))) { st =>
+      (v - st(0)) / (st(1) - st(0))
+    }
 
   /** z-score: (v - mean)/stddev_pop, statistics per band. Mean and variance
     * come from exact decimal sums (see graft.core.Exact) via the explicit
     * E[v²]−E[v]² formulation, so the result is bitwise reproducible across
     * engines and runs.
     */
-  def scaleZScore(perDim: Option[String]): DataCube = scaleWith(perDim) { w =>
+  def scaleZScore(perDim: Option[String]): DataCube = {
     import graft.core.Exact
-    val n = count(v).over(w)
-    val mu = Exact.esumOver(v, w) / n
-    val m2n = Exact.esumOver(v * v, w) / n
-    (v - mu) / sqrt(m2n - mu * mu)
+    scaleWith(perDim, Seq(count(v), Exact.esum(v), Exact.esum(v * v))) { st =>
+      val mu = st(1) / st(0)
+      val m2n = st(2) / st(0)
+      (v - mu) / sqrt(m2n - mu * mu)
+    }
   }
 
-  private def scaleWith(perDim: Option[String])(f: org.apache.spark.sql.expressions.WindowSpec => Column): DataCube = {
-    val w = perDim match {
-      case Some(d) => Window.partitionBy(col(d))
-      case None    => Window.partitionBy()
+  /** Shared scaling plan: the statistics are a `groupBy(dim)` aggregate
+    * (|dim| rows — a handful of bands even at 100 TB) broadcast-joined
+    * back onto the cube, or a 1-row global aggregate cross-joined as a
+    * broadcast relation. The cube itself never shuffles: the only
+    * exchange is the metadata-sized stats aggregation, and the scaled
+    * value is computed map-side inside whole-stage codegen. (A
+    * `Window.partitionBy(band)` formulation computes the same numbers but
+    * funnels the ENTIRE cube into |bands| reducer partitions — unbounded
+    * per-reducer buffering at scale — so it is deliberately avoided.)
+    * The aggregate expressions are evaluated identically to their window
+    * counterparts, so results are bitwise unchanged.
+    */
+  private def scaleWith(perDim: Option[String], aggs: Seq[Column])
+                       (f: IndexedSeq[Column] => Column): DataCube = {
+    val named = aggs.zipWithIndex.map { case (a, i) => a.as(s"_st$i") }
+    val stCols = aggs.indices.map(i => col(s"_st$i")).toIndexedSeq
+    val joined = perDim match {
+      case Some(d) =>
+        val stats = df.groupBy(col(d)).agg(named.head, named.tail: _*)
+        df.join(broadcast(stats), Seq(d))
+      case None =>
+        val stats = df.agg(named.head, named.tail: _*)
+        df.crossJoin(broadcast(stats))
     }
-    copy(df = df.withColumn(valueCol, f(w)))
+    // USING-joins hoist the key column to the front: restore the cube's
+    // original column order so dim layout is unchanged for downstream ops.
+    copy(df = joined.withColumn(valueCol, f(stCols))
+      .select(df.columns.map(col).toIndexedSeq: _*))
   }
 
   /** openEO `flatten_dimensions`: combine several dimensions into one whose

@@ -249,20 +249,22 @@ object Dedup {
                   threshold: Double = 0.5, idCol: String = "doc_id",
                   textCol: String = "text",
                   densePairs: Long = 1000000L): DataFrame = {
-    val pinned = candidates
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = graft.core.CacheScope.pin(candidates)
     val dense = pinned.count() >= densePairs
     if (dense) jaccardDense(docs, pinned, w, threshold, idCol, textCol)
     else jaccard(docs, pinned, w, threshold, idCol, textCol)
   }
 
   /** [[jaccardAuto]] over a pre-shingled corpus (idCol, `_shs`) — same
-    * measured regime switch, same persisted-candidates contract. */
+    * measured regime switch, same pinned-candidates contract. `pin=false`
+    * skips the internal persist when the caller already pinned the
+    * candidate source ([[dedupEnsemble]] — avoids caching the same pair
+    * table twice). */
   private[graft] def jaccardAutoFrom(sh: DataFrame, candidates: DataFrame,
       threshold: Double = 0.5, idCol: String = "doc_id",
-      densePairs: Long = 1000000L): DataFrame = {
-    val pinned = candidates
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      densePairs: Long = 1000000L, pin: Boolean = true): DataFrame = {
+    val pinned =
+      if (pin) graft.core.CacheScope.pin(candidates) else candidates
     val dense = pinned.count() >= densePairs
     if (dense) jaccardDenseFrom(sh, pinned, threshold, idCol)
     else jaccardFrom(sh, pinned, threshold, idCol)
@@ -1019,8 +1021,7 @@ object Dedup {
     // ~4 s of Catalyst planning for the 64-aggregate signature (the
     // embed_pca planning-cost phenomenon) — execution itself is ~1 s at
     // sf0.1 and is what scales with the corpus.
-    val blocks = blockRows
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = graft.core.CacheScope.pin(blockRows)
     blocks.count()
     // the D20 aggregate-count guard: sizes collapse map-side to at most
     // 4·2^16 rows regardless of corpus size; singleton buckets can't form
@@ -1084,20 +1085,23 @@ object Dedup {
     // consumes the raw token array (its signature is frequency-weighted),
     // minhash and the Jaccard verifier the DISTINCT 4-shingle set (band
     // mins are duplicate-insensitive, so signatures are bit-identical).
-    // Caller-owned persist, the jaccardAuto convention; within the single
-    // projection the tokens subtree is codegen-CSE'd.
-    val shared = docs.select(col(idCol), tk.as("_toks"),
-        array_distinct(TextFunctions.shingles(tk, 4)).as("_shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CacheScope-pinned (released at the caller's materialization barrier
+    // — Verify/Bench sweep per query, a service per request); within the
+    // single projection the tokens subtree is codegen-CSE'd.
+    val shared = graft.core.CacheScope.pin(
+      docs.select(col(idCol), tk.as("_toks"),
+        array_distinct(TextFunctions.shingles(tk, 4)).as("_shs")))
     // mh is consumed twice (the evidence join below AND the Jaccard
-    // verifier's candidate input) — persist, or candidate generation runs
-    // twice (Spark does not CSE duplicate plan subtrees).
-    val mh = minhashCandidates(minhashSignaturesFrom(shared, idCol = idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verifier's candidate input) — pin, or candidate generation runs
+    // twice (Spark does not CSE duplicate plan subtrees). pin=false below
+    // stops jaccardAutoFrom from caching a second copy of the same pairs;
+    // its regime-switch count() reads straight through this cache.
+    val mh = graft.core.CacheScope.pin(
+      minhashCandidates(minhashSignaturesFrom(shared, idCol = idCol)))
     val sh = simhashHammingPairsFrom(shared, idCol = idCol)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     val jc = jaccardAutoFrom(shared, mh.select("doc_a", "doc_b"),
-        threshold = jThreshold, idCol = idCol)
+        threshold = jThreshold, idCol = idCol, pin = false)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val base = mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
       .join(jc, Seq("doc_a", "doc_b"), "left")

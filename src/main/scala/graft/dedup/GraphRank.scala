@@ -56,12 +56,13 @@ object GraphRank {
     val ids = nodes.select(col(idCol).as("id"))
       .repartition(col("id")).persist()
     val nD = ids.count().toDouble
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
-      .repartition(col("src")).persist()
-    val deg = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg")).persist()
+    val edges = graft.core.CacheScope.pin(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst")))
+        .repartition(col("src")))
+    val deg = graft.core.CacheScope.pin(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     deg.count() // materialize edges + deg once, before the rounds
     var ranks = ids.select(col("id"), lit(1.0 / nD).as("r")).persist()
     // the dangling aggregate doubles as the round's materializing action:
@@ -90,6 +91,9 @@ object GraphRank {
       ranks = next
     }
     ids.unpersist(false)
+    // the surviving iterate stays cached for the caller's consumption of
+    // the returned plan; register it for the scope's release barrier
+    graft.core.CacheScope.adopt(ranks)
     ranks
       .join(deg, Seq("id"), "left")
       .select(col("id").as("doc_id"),

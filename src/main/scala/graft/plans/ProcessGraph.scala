@@ -834,10 +834,10 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
 
     case "score_containment" =>
       // one shingle pass shared by candidate generation and verification
-      // (the dedup_jaccard/dedup_containment convention); caller-owned
-      // persist
-      val shared = graft.dedup.Dedup.shingledDistinct(docsArg(args, evalNode))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (the dedup_jaccard/dedup_containment convention); CacheScope-
+      // pinned, released at the harness/service materialization barrier
+      val shared = graft.core.CacheScope.pin(
+        graft.dedup.Dedup.shingledDistinct(docsArg(args, evalNode)))
       graft.dedup.Dedup.containmentFrom(shared,
         graft.dedup.Dedup.minhashCandidates(
             graft.dedup.Dedup.minhashSignaturesFrom(shared))

@@ -212,8 +212,8 @@ object DedupQueries {
     // and the verifier consume it — band mins are duplicate-insensitive,
     // so signatures off the distinct set are bit-identical.
     "dedup_jaccard" -> { (s, d) =>
-      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = graft.core.CacheScope.pin(
+        Dedup.shingledDistinct(nearCorpus(s, d)))
       Dedup.jaccardAutoFrom(shared,
         Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"))
@@ -224,8 +224,8 @@ object DedupQueries {
     // quote/truncation signal a resemblance threshold alone misses.
     // Same single shingle pass as dedup_jaccard.
     "dedup_containment" -> { (s, d) =>
-      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = graft.core.CacheScope.pin(
+        Dedup.shingledDistinct(nearCorpus(s, d)))
       Dedup.containmentFrom(shared,
         Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"))
@@ -236,8 +236,8 @@ object DedupQueries {
     // then the (b, r) S-curve expectation table. Shares the single
     // shingle pass with the jaccard/containment queries.
     "dedup_lsh_plan" -> { (s, d) =>
-      val shared = Dedup.shingledDistinct(nearCorpus(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = graft.core.CacheScope.pin(
+        Dedup.shingledDistinct(nearCorpus(s, d)))
       val scored = Dedup.jaccardAutoFrom(shared,
         Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"),

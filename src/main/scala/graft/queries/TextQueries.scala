@@ -717,11 +717,10 @@ object TextQueries {
     // shared by everything can't detonate the join at lake scale.
     "text_winnow_overlap" -> { (s, d) =>
       // the fingerprint set feeds the cap filter, both pair sides and the
-      // per-doc totals — persist it so the md5 gram hashing runs once
-      // (caller-owned, the jaccardAuto convention; Bench sweeps state)
-      val fps = winnowFps(docs(s, d))
-        .select(col("doc_id"), col("s.fp").as("fp")).distinct()
-        .persist()
+      // per-doc totals — pin it so the md5 gram hashing runs once
+      // (released at the harness's per-query barrier)
+      val fps = graft.core.CacheScope.pin(winnowFps(docs(s, d))
+        .select(col("doc_id"), col("s.fp").as("fp")).distinct())
       val small = fps.groupBy("fp").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= 16)
       val capped = fps.join(broadcast(small.select("fp")), Seq("fp"))

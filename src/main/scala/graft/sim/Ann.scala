@@ -53,16 +53,17 @@ object Ann {
     * The greedy is `kOut−1` window-argmax rounds over those rows. All
     * similarities land on the rnd4 grid BEFORE the MMR arithmetic and
     * λ = 0.75 keeps (1−λ) IEEE-exact, so selection replays bit-for-bit
-    * cross-engine. The shortlist and pair-sim tables are persisted
-    * (caller-owned, the jaccardAuto convention) so the greedy rounds
-    * don't rescan the corpus.
+    * cross-engine. The shortlist and pair-sim tables are CacheScope-pinned
+    * (released at the caller's materialization barrier) so the greedy
+    * rounds don't rescan the corpus.
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, kCand: Int = 8,
                 kOut: Int = 4, lam: Double = 0.75,
                 idCol: String = "vec_id",
                 embCol: String = "embedding"): DataFrame = {
     require(kOut >= 1 && kOut <= kCand, s"mmrRerank: need 1 <= kOut <= kCand")
-    val top = bruteForceTopK(queries, corpus, kCand, idCol, embCol).persist()
+    val top = graft.core.CacheScope.pin(
+      bruteForceTopK(queries, corpus, kCand, idCol, embCol))
     val cvec = corpus
       .join(broadcast(top.select(col("c_id")).distinct()),
         corpus(idCol) === col("c_id"))
@@ -76,7 +77,7 @@ object Ann {
       .select(col("q_id"), col("c_id"), col("o_id"),
         Exact.rnd4(VectorFunctions.cosine(col("_ce"), col("_oe")))
           .as("psim"))
-      .persist()
+    graft.core.CacheScope.pin(pairSims) // persists in place; loop reuses it
     var selected = top.filter(col("rank") === 1)
       .select(col("q_id"), col("c_id"), lit(1).as("round"), col("sim"),
         Exact.rnd4(lit(lam) * col("sim")).as("mmr"))

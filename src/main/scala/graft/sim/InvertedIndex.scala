@@ -120,8 +120,13 @@ object InvertedIndex {
     * ledger is scanned once, not twice. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String = "doc_id"): Unit = {
-    val live = spark.read.parquet(s"$path/doclens")
-      .join(broadcast(ids.select(col(idCol).cast("long").as("doc_id"))
+    val ledger = spark.read.parquet(s"$path/doclens")
+    // cast caller ids to the ledger's own doc_id type: build/add/query are
+    // doc-id-type-agnostic, so a hardcoded long cast would null out string
+    // ids and silently no-op the delete
+    val idType = ledger.schema("doc_id").dataType
+    val live = ledger
+      .join(broadcast(ids.select(col(idCol).cast(idType).as("doc_id"))
         .distinct()), Seq("doc_id"))
     val dead = tombstones(spark, path)
       .fold(live)(t => live.join(broadcast(t), Seq("doc_id"), "left_anti"))
@@ -194,9 +199,13 @@ object InvertedIndex {
     * (score DESC, doc_id ASC) top-k), so an index round-trip shares the
     * direct query's hash oracle. Corpus totals come from the O(#batches)
     * stats partials; df/tf from the pruned scan itself. */
-  def query(spark: SparkSession, path: String, terms: Seq[String],
+  def query(spark: SparkSession, path: String, rawTerms: Seq[String],
             topN: Int): DataFrame = {
-    require(terms.nonEmpty, "InvertedIndex.query: no terms")
+    require(rawTerms.nonEmpty, "InvertedIndex.query: no terms")
+    // dedup caller-supplied terms: the score is a fixed-order sum of one
+    // conditional sum per element, so a repeated term would count twice
+    // (probedScan/dfTab already dedup via isin)
+    val terms = rawTerms.distinct
     val postings = probedScan(spark, path, terms)
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum("n_docs").as("n"), sum("total_len").as("total_len"))

@@ -34,10 +34,13 @@ object Retrieval {
     * (raw score DESC, id ASC). The term IN-filter runs map-side before
     * the postings groupBy, so only the query terms' postings shuffle.
     */
-  def bm25Rank(docs: DataFrame, terms: Seq[String], topN: Int,
+  def bm25Rank(docs: DataFrame, rawTerms: Seq[String], topN: Int,
                idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    require(terms.nonEmpty, "bm25Rank: no query terms")
+    require(rawTerms.nonEmpty, "bm25Rank: no query terms")
+    // dedup caller terms: the fixed-order conditional sum would count a
+    // repeated term twice (same contract as InvertedIndex.query)
+    val terms = rawTerms.distinct
     val base = docs.select(col(idCol).as("id"),
       size(TextFunctions.tokens(col(textCol))).as("dl"),
       TextFunctions.tokens(col(textCol)).as("_t"))

@@ -163,7 +163,7 @@ object Rasters {
   /** TIFF assembly: header, pixel strips, then one IFD. Offsets are all
     * computed up front (uncompressed, one strip per row), so the file
     * streams out in a single pass. */
-  private[sources] def tiffBytes(w: Int, h: Int, rowMajor: Array[Double],
+  private[graft] def tiffBytes(w: Int, h: Int, rowMajor: Array[Double],
                                  originX: Double, originY: Double,
                                  scaleX: Double, scaleY: Double,
                                  epsg: Int): Array[Byte] = {
@@ -175,10 +175,14 @@ object Rasters {
     val ifdBytes = 2 + nTags * 12 + 4
     val extraStart = ifdStart + ifdBytes
     // out-of-line payloads: strip offsets (h ints), strip counts (h ints),
-    // pixel scale (3 doubles), tiepoint (6 doubles), geokeys (4*4 shorts)
+    // pixel scale (3 doubles), tiepoint (6 doubles), geokeys (4*4 shorts).
+    // TIFF 6.0: a count-1 LONG tag stores its VALUE inline in the value
+    // field, so when h == 1 the strip offset/byte-count go inline and the
+    // out-of-line arrays are omitted entirely.
+    val stripArr = if (h == 1) 0 else h * 4
     val offStripOff = extraStart
-    val offStripCnt = offStripOff + h * 4
-    val offScale = offStripCnt + h * 4
+    val offStripCnt = offStripOff + stripArr
+    val offScale = offStripCnt + stripArr
     val offTie = offScale + 3 * 8
     val offKeys = offTie + 6 * 8
     val total = offKeys + 4 * 4 * 2
@@ -197,18 +201,22 @@ object Rasters {
     tag(258, 3, 1, 64)                // BitsPerSample
     tag(259, 3, 1, 1)                 // Compression = none
     tag(262, 3, 1, 1)                 // Photometric = BlackIsZero
-    tag(273, 4, h, offStripOff)       // StripOffsets
+    tag(273, 4, h,                    // StripOffsets (inline iff h == 1)
+      if (h == 1) dataStart else offStripOff)
     tag(277, 3, 1, 1)                 // SamplesPerPixel
     tag(278, 3, 1, 1)                 // RowsPerStrip
-    tag(279, 4, h, offStripCnt)       // StripByteCounts
+    tag(279, 4, h,                    // StripByteCounts (inline iff h == 1)
+      if (h == 1) rowBytes else offStripCnt)
     tag(284, 3, 1, 1)                 // PlanarConfiguration = chunky
     tag(339, 3, 1, 3)                 // SampleFormat = IEEE float
     tag(33550, 12, 3, offScale)       // ModelPixelScaleTag
     tag(33922, 12, 6, offTie)         // ModelTiepointTag
     tag(34735, 3, 16, offKeys)        // GeoKeyDirectoryTag
     bb.putInt(0)                      // next IFD
-    i = 0; while (i < h) { bb.putInt(dataStart + i * rowBytes); i += 1 }
-    i = 0; while (i < h) { bb.putInt(rowBytes); i += 1 }
+    if (h > 1) {
+      i = 0; while (i < h) { bb.putInt(dataStart + i * rowBytes); i += 1 }
+      i = 0; while (i < h) { bb.putInt(rowBytes); i += 1 }
+    }
     bb.putDouble(scaleX).putDouble(scaleY).putDouble(0.0)
     Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(bb.putDouble)
     // GeoKey directory: version 1.1.0, 3 keys
@@ -241,7 +249,7 @@ object Rasters {
   /** Minimal TIFF parse for the layout [[tiffBytes]] writes (little-endian,
     * float64, strip-per-row). Independent of the writer's offset math: it
     * walks the IFD like any TIFF reader. */
-  private[sources] def parseTiff(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+  private[graft] def parseTiff(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.getShort(0) == 0x4949.toShort && bb.getShort(2) == 42,
       "not a little-endian TIFF")

@@ -111,6 +111,39 @@ class InvertedIndexSpec extends SparkSpec {
       "second delete of the same ids must be a no-op on stats")
   }
 
+  test("delete matches string doc ids on the ledger's native type") {
+    // build/add/query are doc-id-type-agnostic; a hardcoded long cast in
+    // delete would null string ids, match nothing, and silently no-op
+    val path = freshIdx("graft_inv_strid_")
+    val docs = Tables.documents(spark, sfDir)
+      .select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    InvertedIndex.build(docs, path, nBuckets = 8)
+    val dead = docs.filter($"doc_id".endsWith("0")).select("doc_id")
+    InvertedIndex.delete(spark, path, dead)
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs")).collect().head.getLong(0)
+    assert(st == docs.count() - dead.count(),
+      "string-id delete must subtract exactly the dead docs from stats")
+    val hits = InvertedIndex.query(spark, path, terms, topN = 50)
+      .filter($"doc_id".endsWith("0")).count()
+    assert(hits == 0, "tombstoned string ids must not rank")
+  }
+
+  test("repeated query terms do not double-count") {
+    val path = freshIdx("graft_inv_dup_")
+    val docs = Tables.documents(spark, sfDir)
+    InvertedIndex.build(docs, path, nBuckets = 8)
+    val once = InvertedIndex.query(spark, path, terms, topN = 10).collect()
+    val duped = InvertedIndex.query(spark, path,
+      terms ++ terms, topN = 10).collect()
+    assert(once.toSeq == duped.toSeq,
+      "a duplicated term must not add its score contribution twice")
+    val direct = Retrieval.bm25Rank(docs, terms ++ terms, topN = 10)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id")).toSeq
+    assert(once.map(_.getAs[Long]("doc_id")).toSeq == direct,
+      "bm25Rank must share the dedup contract")
+  }
+
   test("compaction recovers from a leftover _old directory") {
     val path = freshIdx("graft_inv_crash_")
     val docs = Tables.documents(spark, sfDir)

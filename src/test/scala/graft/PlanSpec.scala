@@ -375,6 +375,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scale stats are agg + broadcast join: zero Window in the plan") {
+    // scaleMinMax/scaleZScore statistics must be a |bands|-row groupBy
+    // aggregate broadcast back (global: 1-row agg cross-joined). A
+    // Window.partitionBy(band) computes the same numbers but funnels the
+    // ENTIRE cube into |bands| reducer partitions — unbounded per-reducer
+    // buffering at 100 TB.
+    Seq("scale_minmax", "scale_zscore").foreach { q =>
+      val full = plan(SparkEntry.queries(q)(spark, sfDir))
+      val p = full.split("== Initial Plan ==").head
+      assert(!p.contains("Window"),
+        s"$q: stats must not run through a window:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+             p.contains("BroadcastNestedLoopJoin"),
+        s"$q: stats must broadcast back onto the cube:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the cube must not shuffle for a stats join:\n$p")
+    }
+  }
+
+  test("CacheScope: operator pins are released at the harness barrier") {
+    graft.core.CacheScope.releaseAll() // clean slate
+    spark.catalog.clearCache()
+    val out = SparkEntry.queries("dedup_ensemble")(spark, sfDir)
+    assert(out.count() > 0)
+    assert(graft.core.CacheScope.size > 0,
+      "ensemble must pin its shared shingle pass through the scope")
+    graft.core.CacheScope.releaseAll()
+    assert(graft.core.CacheScope.size == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseAll must leave no cached relation behind")
+  }
+
   test("bpe apply is a pure map: merges are plan literals, no Exchange") {
     val p = plan(SparkEntry.queries("text_bpe_apply")(spark, sfDir))
     assert(!p.contains("Exchange"),

@@ -63,6 +63,30 @@ class RasterSpec extends SparkSpec {
     assert(exact.filter(col("value") =!= col("v0")).count() == 0)
   }
 
+  test("geotiff: single-row raster stores strip offset inline (TIFF 6.0)") {
+    // TIFF 6.0: a count-1 LONG tag's value field holds the VALUE, not a
+    // pointer — so an h==1 file must carry StripOffsets/StripByteCounts
+    // inline, or external readers dereference pixel data at the wrong
+    // offset and round-trips read the offsets array as doubles.
+    val bytes = Rasters.tiffBytes(w = 5, h = 1,
+      rowMajor = Array(1.5, -2.25, 3.0, 0.0, 42.125),
+      originX = 0.0, originY = 0.0, scaleX = 1.0, scaleY = 1.0,
+      epsg = 32633)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd)
+    val inline = (0 until n).map(k => ifd + 2 + k * 12).flatMap { e =>
+      val id = bb.getShort(e) & 0xffff
+      if (id == 273 || id == 279) Some(id -> bb.getInt(e + 8)) else None
+    }.toMap
+    assert(inline(273) == 8, "strip offset must be the inline data start")
+    assert(inline(279) == 5 * 8, "byte count must be inline row bytes")
+    val (w, h, pix) = Rasters.parseTiff(bytes)
+    assert(w == 5 && h == 1)
+    assert(pix.toSeq == Seq(1.5, -2.25, 3.0, 0.0, 42.125))
+  }
+
   test("netcdf: classic magic, label coordinates, exact values") {
     val dir = tmp("nc")
     val cube = fixture
