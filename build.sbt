@@ -42,3 +42,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ----- ortcheck: compile-only guard for the optional ORT adapter -----
+// The image ships no onnxruntime jar, so the GRAFT_WITH_ORT source set
+// would otherwise rot uncompiled between rounds. `sbt ortcheck/compile`
+// builds src/ort/scala against the API-shape stubs in src/ort-stub/java
+// (compile-only, never shipped, never on the main classpath). The root
+// project is defined explicitly (bare settings above still scope to it;
+// no aggregation, so driver `sbt test`/`runMain` behavior is unchanged)
+// only so ortcheck can depend on it for graft.ml.TensorSession.
+lazy val root = (project in file("."))
+
+lazy val ortcheck = (project in file("ort-check"))
+  .dependsOn(root)
+  .settings(
+    Compile / unmanagedSourceDirectories := Seq(
+      (ThisBuild / baseDirectory).value / "src" / "ort" / "scala",
+      (ThisBuild / baseDirectory).value / "src" / "ort-stub" / "java",
+    ),
+    Compile / unmanagedBase := file("/opt/spark/jars"),
+  )
