@@ -425,6 +425,37 @@ object MlQueries {
         .select(col("sample"), col("py"), col("px"),
           col("pos").cast("int").as("pos"),
           graft.core.Exact.rnd4(col("col").cast("double")).as("value"))
+    },
+
+    // A5 interop: a REAL pickled-sklearn RandomForestClassifier
+    // (tools/fixtures/sklearn_rf.pkl — the reference's model format,
+    // data_model/scikit_learn_model.py:53), converted OFFLINE by
+    // tools/convert_sklearn.py (no sklearn, no JVM unpickling: the
+    // pickle's numpy tree arrays become explicit node tables) and scored
+    // natively as a zero-shuffle literal CASE chain over the D58 quality
+    // features. Rides the A4/A5 save→load surface (ProbeModels sidecar).
+    // FULL hash oracle: thresholds and leaf probabilities are
+    // toString-exact literals in both engines; mean-over-trees and the
+    // numpy-argmax (strictly-greater) tie-break mirror op-for-op.
+    "ml_sklearn_predict" -> { (s, d) =>
+      import graft.ml.{ProbeModels, RidgeProbe, SkForest}
+      val in = getClass.getResourceAsStream("/graft/sklearn_rf.json")
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sk_model_").toString + "/probe.json"
+      ProbeModels.write(s, path, json)
+      val forest = SkForest.fromJson(ProbeModels.read(s, path))
+      val xs = Seq(col("x1"), col("x2"), col("x3"))
+      val scored = forest.classes.indices.foldLeft(
+        RidgeProbe.qualityFeatures(Tables.documents(s, d))) { (df, c) =>
+        df.withColumn(s"p$c", SkForest.probCol(forest, c, xs))
+      }
+      val ps = forest.classes.indices.map(c => col(s"p$c"))
+      scored.withColumn("pred", SkForest.predictCol(forest, ps))
+        .select(col("doc_id") +: col("x1") +: col("x2") +: col("x3") +:
+          col("y") +: (ps :+ col("pred")): _*)
     }
   )
 
@@ -432,6 +463,25 @@ object MlQueries {
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
   val oracle: Map[String, String] = Map(
+
+    // Mirror of ml_sklearn_predict: the converted forest's node tables
+    // replayed as nested CASE chains from the SAME committed JSON (same
+    // doubles), mean-over-trees in tree order, strictly-greater argmax.
+    "ml_sklearn_predict" -> {
+      val forest = graft.ml.SkForest.loadFixture()
+      val xs = IndexedSeq("x1", "x2", "x3")
+      val ps = forest.classes.indices.map(c => s"p$c")
+      val probSel = forest.classes.indices
+        .map(c => s"${graft.ml.SkForest.probSql(forest, c, xs)} AS p$c")
+        .mkString(",\n    ")
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |skp AS (SELECT doc_id, x1, x2, x3, y,
+        |    $probSel
+        |  FROM f)
+        |SELECT doc_id, x1, x2, x3, y, ${ps.mkString(", ")},
+        |  ${graft.ml.SkForest.predictSql(forest, ps)} AS pred
+        |FROM skp""".stripMargin
+    },
 
     // Mirror of ml_nb_fit: identical count CTEs and score DAG (generator).
     "ml_nb_fit" -> graft.ml.NaiveBayesProbe.oracleSql(),

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.SkForest
+
+/** The pickled-sklearn interop loop: tools/convert_sklearn.py must turn
+  * the committed sklearn-shaped pickle into EXACTLY the committed
+  * graft-sk-forest resource (byte parity — drift in either artifact or
+  * the converter fails here), and the Scala scorer must walk the trees
+  * with sklearn's documented predict semantics (x<=t left, leaf-prob
+  * normalization baked offline, mean over trees, first-index argmax).
+  */
+class SkForestSpec extends SparkSpec {
+
+  private lazy val forest = SkForest.loadFixture()
+
+  test("converter reproduces the committed resource byte-for-byte") {
+    val repo = new java.io.File(".").getCanonicalFile
+    val py = new java.io.File(repo, "tools/convert_sklearn.py")
+    val pkl = new java.io.File(repo, "tools/fixtures/sklearn_rf.pkl")
+    assume(py.isFile && pkl.isFile, "converter fixture not present")
+    val out = java.nio.file.Files.createTempFile("sk_conv_", ".json")
+    // PATH-resolved python3 (pyenv shims etc.); skip if absent or no numpy
+    val rc =
+      try new ProcessBuilder("python3", py.getPath, pkl.getPath,
+        out.toString).inheritIO().start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    assume(rc != -1, "no python3 in this environment")
+    assert(rc == 0, s"convert_sklearn.py exited $rc")
+    val produced = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    val committed = {
+      val in = getClass.getResourceAsStream("/graft/sklearn_rf.json")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(produced == committed,
+      "converted JSON differs from committed resource")
+  }
+
+  test("fixture parses: 3 trees, 2 integer classes, 3 features") {
+    assert(forest.nFeatures == 3)
+    assert(forest.classes == IndexedSeq(0.0, 1.0))
+    assert(forest.trees.size == 3)
+    assert(forest.trees.map(_.nodes.size) == IndexedSeq(5, 5, 3))
+    // every leaf distribution sums to ~1 (converter normalized offline)
+    for (t <- forest.trees; n <- t.nodes if n.l < 0)
+      assert(math.abs(n.probs.sum - 1.0) < 1e-12)
+  }
+
+  test("scoring matches hand-traversed sklearn semantics, <= goes left") {
+    val df = spark.createDataFrame(Seq(
+      (1L, 0.4, 0.2, 0.8),        // t0→leaf2, t1→leaf4, t2→leaf1
+      (2L, 0.02, 0.5, 0.03),      // t0→leaf3, t1→leaf1, t2→leaf1
+      (3L, 0.0635, 0.5461, 0.056) // every split exactly at threshold → left
+    )).toDF("id", "x1", "x2", "x3")
+    val xs = Seq(col("x1"), col("x2"), col("x3"))
+    val scored = df
+      .withColumn("p0", SkForest.probCol(forest, 0, xs))
+      .withColumn("p1", SkForest.probCol(forest, 1, xs))
+      .withColumn("pred",
+        SkForest.predictCol(forest, Seq(col("p0"), col("p1"))))
+      .orderBy("id").collect()
+
+    def row(leaf0: Int, leaf1: Int, leaf2: Int, c: Int): Double =
+      (forest.trees(0).nodes(leaf0).probs(c) +
+        forest.trees(1).nodes(leaf1).probs(c) +
+        forest.trees(2).nodes(leaf2).probs(c)) / 3.0
+
+    assert(scored(0).getAs[Double]("p0") == row(2, 4, 1, 0))
+    assert(scored(0).getAs[Double]("p1") == row(2, 4, 1, 1))
+    assert(scored(0).getAs[Double]("pred") == 1.0)
+    assert(scored(1).getAs[Double]("p0") == row(3, 1, 1, 0))
+    assert(scored(1).getAs[Double]("pred") == 0.0)
+    // boundary: x == threshold takes the LEFT branch in sklearn
+    assert(scored(2).getAs[Double]("p0") == row(3, 1, 1, 0))
+    assert(scored(2).getAs[Double]("pred") == 0.0)
+  }
+
+  test("argmax tie-break: first (lowest-index) class wins, like numpy") {
+    val tied = SkForest.Forest(1, IndexedSeq(0.0, 1.0), IndexedSeq(
+      SkForest.Tree(IndexedSeq(
+        SkForest.Node(-1, -1, -1, Double.NaN, IndexedSeq(0.5, 0.5))))))
+    val df = spark.range(1).toDF("id").withColumn("x1", lit(0.3))
+    val out = df
+      .withColumn("p0", SkForest.probCol(tied, 0, Seq(col("x1"))))
+      .withColumn("p1", SkForest.probCol(tied, 1, Seq(col("x1"))))
+      .withColumn("pred",
+        SkForest.predictCol(tied, Seq(col("p0"), col("p1"))))
+      .head()
+    assert(out.getAs[Double]("pred") == 0.0)
+  }
+
+  test("gate query runs on sf0.001 and predicts both classes") {
+    val out = graft.queries.MlQueries.queries("ml_sklearn_predict")(
+      spark, sfDir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "x1", "x2", "x3", "y", "p0", "p1", "pred"))
+    val preds = out.groupBy("pred").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(preds.keySet.subsetOf(Set(0.0, 1.0)) && preds.size == 2,
+      s"expected both classes, got $preds")
+    // p0 + p1 == 1 exactly is NOT guaranteed (double sums), but close
+    val drift = out.select(max(abs(col("p0") + col("p1") - 1.0))).head()
+      .getDouble(0)
+    assert(drift < 1e-12)
+  }
+
+  test("oracle SQL literals derive from the same fixture doubles") {
+    val sql = graft.queries.MlQueries.oracle("ml_sklearn_predict")
+    // every leaf probability literal appears verbatim (toString-exact)
+    for (t <- forest.trees; n <- t.nodes if n.l < 0; p <- n.probs)
+      assert(sql.contains(p.toString), s"missing literal $p")
+    assert(sql.contains("/ 3.0"))
+  }
+}
