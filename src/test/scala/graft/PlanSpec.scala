@@ -113,6 +113,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"langid must not shuffle:\n$p")
   }
 
+  test("AUC/PR windows run on the collapsed score grid, not corpus rows") {
+    // SCALE.md §1: the only legal unpartitioned windows sit above a
+    // grid-collapsing aggregate (≤10001 distinct rnd4 scores) or a
+    // distributed top-k. Representative guard: in ml_eval_auc/_pr the
+    // Window's subtree must reach HashAggregate(keys=[score…]) before
+    // any file scan — i.e. the corpus collapses BELOW the window.
+    for (q <- Seq("ml_eval_auc", "ml_eval_pr")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      val w = p.indexOf("Window")
+      assert(w >= 0, s"$q: expected a Window node:\n$p")
+      val below = p.substring(w)
+      val agg = below.indexOf("HashAggregate(keys=[score")
+      assert(agg >= 0,
+        s"$q: window must sit above the score-grid aggregate:\n$p")
+      val scan = below.indexOf("FileScan")
+      assert(scan < 0 || agg < scan,
+        s"$q: the grid collapse must happen between window and scan:\n$p")
+    }
+  }
+
   test("simhash signatures are map-side: exactly one Exchange (sig groupBy)") {
     val full = plan(SparkEntry.queries("dedup_simhash")(spark, sfDir))
     // AQE's toString repeats the plan under "== Initial Plan =="; count
