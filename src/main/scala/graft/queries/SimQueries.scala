@@ -61,6 +61,13 @@ object SimQueries {
       : Array[Array[Array[Double]]] =
     booksCache.getOrElseUpdate(d,
       Ann.pqCodebooks(Tables.embeddings(s, d), m = 4, ksub = 16, dims = 64))
+  private val resBooksCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def resBooks4x16(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] =
+    resBooksCache.getOrElseUpdate(d,
+      Ann.pqResidualCodebooks(Tables.embeddings(s, d), coarse16(s, d),
+        m = 4, ksub = 16, dims = 64))
 
   /** The on-disk IVF-PQ layout for `ann_ivfpq_probe`, built once per
     * (JVM, sf dir) like [[ivfIndex]]. */
@@ -292,6 +299,18 @@ object SimQueries {
     // to the in-memory plan, so it shares the ann_ivfpq oracle.
     "ann_ivfpq_probe" -> { (s, d) =>
       Ann.ivfPqProbe(s, ivfPqIndex(s, d), qset(s, d), k = 5, nProbe = 4)
+    },
+
+    // D39c: residual-encoded IVF-PQ (the FAISS IndexIVFPQ default) —
+    // codes quantize e − cent, reconstruction = cent + r̂ with every
+    // cross term a plan literal; tighter quantization than ann_ivfpq's
+    // raw-space codes at the same bit budget. Full replay oracle: coarse
+    // chain → float-rounded residuals → m sub-trainings → literal
+    // norm/cross tables, bit-for-bit.
+    "ann_ivfpq_residual" -> { (s, d) =>
+      Ann.ivfPqResidualTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
+        nlist = 16, nProbe = 4, m = 4, ksub = 16, dims = 64,
+        coarse = Some(coarse16(s, d)), books = Some(resBooks4x16(s, d)))
     },
 
     // D7c through the gate: the PHYSICAL index path — corpus written
@@ -690,6 +709,143 @@ object SimQueries {
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
+  /** Mirror of Ann.ivfPqResidualTopK: the coarse k-means replays with the
+    * "_c" suffix, residuals are the single float rounding
+    * `CAST(CAST(e[i] AS DOUBLE) − c[i] AS FLOAT)`, each sub-book trains on
+    * its residual slice, and the reconstruction-norm cross tables
+    * (‖cent‖², cent_subj·codeword, ‖codeword‖²) are the same i-ascending
+    * list_sum folds the Spark plan inlines as literals — composed in the
+    * identical ((cn2 + 2·ΣΣcd) + Σrn) order, so sims match bit-for-bit. */
+  private def pqResidualOracleSql(m: Int, ksub: Int, dims: Int, sampleN: Int,
+                                  iters: Int, k: Int, rerank: Int,
+                                  nlist: Int, nProbe: Int): String = {
+    val dsub = dims / m
+    val coarseChain = kmeansSql(
+      "nc_c AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
+      nlist, sampleN, iters, dims, "_c")
+    val subspaces = (0 until m).map { j =>
+      val nc = s"""nc_p$j AS (
+        |  SELECT id,
+        |    list_transform(generate_series(1, $dsub),
+        |      i -> e[${j * dsub} + i]) AS e
+        |  FROM res)""".stripMargin
+      kmeansSql(nc, ksub, sampleN, iters, dsub, s"_p$j")
+    }.mkString(",\n")
+    val perBook = (0 until m).map { j =>
+      s"""as$j AS (
+         |  SELECT nc_p$j.id, cent_p$j.cell,
+         |    ${assignScoreSql(s"nc_p$j.e", dsub)} AS score
+         |  FROM nc_p$j CROSS JOIN cent_p$j),
+         |k$j AS (
+         |  SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+         |    FROM as$j) WHERE r = 1),
+         |rn$j AS (
+         |  SELECT cell AS code, list_sum(list_transform(
+         |    generate_series(1, $dsub), i -> c[i] * c[i])) AS n2
+         |  FROM cent_p$j),
+         |cd$j AS (
+         |  SELECT co.cell AS ccell, cb.cell AS code,
+         |    list_sum(list_transform(generate_series(1, $dsub),
+         |      i -> co.c[${j * dsub} + i] * cb.c[i])) AS d
+         |  FROM cent_c co CROSS JOIN cent_p$j cb)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(j =>
+      s"JOIN k$j ON k$j.id = e.vec_id " +
+        s"JOIN cd$j ON cd$j.ccell = cc.cell AND cd$j.code = k$j.cell " +
+        s"JOIN rn$j ON rn$j.code = k$j.cell").mkString("\n  ")
+    val cdSum = (0 until m).map(j => s"cd$j.d").reduceLeft((a, b) => s"($a + $b)")
+    val rnSum = (0 until m).map(j => s"rn$j.n2").reduceLeft((a, b) => s"($a + $b)")
+    val kCols = (0 until m).map(j => s"k$j.cell AS k${j}c").mkString(", ")
+    val centJoins = (0 until m).map(j =>
+      s"JOIN cent_p$j c$j ON c$j.cell = corp.k${j}c").mkString("\n  ")
+    val dts = (0 until m).map { j =>
+      s"""list_sum(list_transform(generate_series(1, $dsub),
+         |      i -> CAST(qe[${j * dsub} + i] AS DOUBLE) * c$j.c[i]))""".stripMargin
+    }
+    val adot = (s"qcd.qc" +: dts).reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH $coarseChain,
+       |csc_c AS (
+       |  SELECT nc_c.id, cent_c.cell,
+       |    ${assignScoreSql("nc_c.e", dims)} AS score
+       |  FROM nc_c CROSS JOIN cent_c),
+       |cc AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+       |    FROM csc_c) WHERE r = 1),
+       |qpr AS (
+       |  SELECT id AS q_id, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY score, cell) AS r
+       |    FROM csc_c WHERE id < 20) WHERE r <= $nProbe),
+       |res AS (
+       |  SELECT e.vec_id AS id,
+       |    list_transform(generate_series(1, $dims),
+       |      i -> CAST(CAST(e.embedding[i] AS DOUBLE) - cent_c.c[i] AS FLOAT))
+       |      AS e
+       |  FROM embeddings e
+       |  JOIN cc ON cc.id = e.vec_id
+       |  JOIN cent_c ON cent_c.cell = cc.cell),
+       |$subspaces,
+       |$perBook,
+       |cn_c AS (
+       |  SELECT cell, list_sum(list_transform(generate_series(1, $dims),
+       |    i -> c[i] * c[i])) AS n2
+       |  FROM cent_c),
+       |corp AS (
+       |  SELECT e.vec_id AS c_id, cc.cell, $kCols,
+       |    ((cn_c.n2 + 2.0 * $cdSum) + $rnSum) AS rn2
+       |  FROM embeddings e
+       |  JOIN cc ON cc.id = e.vec_id
+       |  JOIN cn_c ON cn_c.cell = cc.cell
+       |  $codeJoins),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe,
+       |    list_sum(list_transform(generate_series(1, $dims),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS qn2
+       |  FROM embeddings WHERE vec_id < 20),
+       |qcd AS (
+       |  SELECT qpr.q_id, qpr.cell,
+       |    list_sum(list_transform(generate_series(1, $dims),
+       |      i -> CAST(q.qe[i] AS DOUBLE) * cent_c.c[i])) AS qc
+       |  FROM qpr
+       |  JOIN q ON q.q_id = qpr.q_id
+       |  JOIN cent_c ON cent_c.cell = qpr.cell),
+       |cand AS (
+       |  SELECT qpr.q_id, qpr.cell, cc.id AS c_id
+       |  FROM qpr JOIN cc USING (cell) WHERE qpr.q_id <> cc.id),
+       |sims AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    $adot / (sqrt(q.qn2) * sqrt(corp.rn2)) AS sim
+       |  FROM cand
+       |  JOIN q ON q.q_id = cand.q_id
+       |  JOIN qcd ON qcd.q_id = cand.q_id AND qcd.cell = cand.cell
+       |  JOIN corp ON corp.c_id = cand.c_id
+       |  $centJoins),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+       |        AS rank
+       |    FROM sims) WHERE rank <= $rerank),
+       |rr AS (
+       |  SELECT s.q_id, s.c_id, ${cosSql("q.qe", "e2.embedding")} AS sim
+       |  FROM short s
+       |  JOIN q ON q.q_id = s.q_id
+       |  JOIN embeddings e2 ON e2.vec_id = s.c_id),
+       |reranked AS (
+       |  SELECT q_id, c_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+       |      AS rank
+       |  FROM rr)
+       |SELECT q_id, c_id, rank, floor((sim) * 10000 + 0.5) / 10000.0 AS sim
+       |FROM reranked WHERE rank <= $k""".stripMargin
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
   /** Mirror of SemDedup.semanticDedup over the embCorpus fixture: the
     * corpus is unit-normalized (CAST-to-float single rounding), the
     * k-means replay trains on the normalized vectors, and the sweep is
@@ -982,6 +1138,12 @@ object SimQueries {
     // precedent).
     "ann_ivfpq_probe" -> pqOracleSql(m = 4, ksub = 16, dims = 64,
       sampleN = 256, iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
+
+    // Mirrors Ann.ivfPqResidualTopK(k=5, nlist=16, nProbe=4, m=4,
+    // ksub=16, rerank=64) — see pqResidualOracleSql.
+    "ann_ivfpq_residual" -> pqResidualOracleSql(m = 4, ksub = 16,
+      dims = 64, sampleN = 256, iters = 5, k = 5, rerank = 64,
+      nlist = 16, nProbe = 4),
 
     // The physical-index probe ranks the same candidates with the same
     // centroids — one oracle serves both plans.

@@ -727,8 +727,8 @@ object Ann {
     * replays coarse + all m sub-trainings and lands on identical cells,
     * codes, shortlists and final ranks. (FAISS encodes RESIDUALS e−cent
     * into the PQ codes for tighter quantization; codes here are raw-space
-    * so one code table serves every probe list — the residual variant is
-    * the same plan with a recentered [[pqCodebooks]] input.)
+    * so one code table serves every probe list — see
+    * [[ivfPqResidualTopK]] for the residual-encoded variant.)
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nlist: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 16,
@@ -752,6 +752,120 @@ object Ann {
     val adc = coded.join(q, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), pqAdcSim(cbs.length).as("sim"))
+      .as[Scored]
+    refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
+  }
+
+  /** The float-rounded coarse residual e − cent_{cell} (FAISS's encoding
+    * input, faiss IndexIVFPQ::train_residual): double subtraction against
+    * the plan-literal centroid of the row's `cellCol`, then ONE cast to
+    * float — the single rounding the oracle mirrors with
+    * `CAST(CAST(e[i] AS DOUBLE) − c[i] AS FLOAT)`. */
+  private def residualOf(cents: Array[Array[Double]],
+                         emb: org.apache.spark.sql.Column,
+                         cellCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    zip_with(emb.cast("array<double>"),
+      element_at(typedlit(cents), cellCol + 1),
+      (a, b) => a - b).cast("array<float>")
+
+  /** PQ codebooks trained on coarse residuals — FAISS's IVFPQ training
+    * step: ONE shared codebook set over the residuals of every vector
+    * w.r.t. its assigned coarse centroid (tighter quantization than
+    * raw-space because residual norms are a fraction of vector norms).
+    * Same deterministic [[seededCentroids]] trainer per subspace, so the
+    * oracle replays coarse assignment → residual → all m sub-trainings. */
+  def pqResidualCodebooks(corpus: DataFrame, cents: Array[Array[Double]],
+                          m: Int, ksub: Int, dims: Int,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    val res = corpus
+      .withColumn("_cell", cellOf(cents, col(embCol)))
+      .select(col(idCol),
+        residualOf(cents, col(embCol), col("_cell")).as("_res"))
+    pqCodebooks(res, m, ksub, dims, idCol, "_res")
+  }
+
+  /** Residual-encoded IVF-PQ (the FAISS IndexIVFPQ default, vs
+    * [[ivfPqTopK]]'s raw-space codes): codes quantize e − cent, and the
+    * ADC reconstruction is cent + r̂, so
+    * sim ≈ (q·cent + Σ_j dt_j[code_j]) / (‖q‖·‖cent + r̂‖) with
+    * ‖cent + r̂‖² = ‖cent‖² + 2·Σ_j (cent_subj·ĉ_j) + Σ_j ‖ĉ_j‖².
+    * Every cross term is a plan-time literal — ‖cent‖² per cell (nlist
+    * doubles), cent_subj·codeword per (cell, book, code) (nlist·m·ksub
+    * doubles, 1024 here) and ‖codeword‖² per (book, code) — so scoring
+    * stays m+2 table lookups per pair plus one per-(query, probed-cell)
+    * q·cent dot computed broadcast-side. Same probe pruning, per-partition
+    * heap prune and exact refine as the raw-space plan; the corpus never
+    * shuffles. All derived literals are i-ascending sequential folds, the
+    * exact `list_sum(list_transform(...))` image the oracle replays, so
+    * sims match bit-for-bit.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nlist: Int = 16, nProbe: Int = 4, m: Int = 4,
+                        ksub: Int = 16, dims: Int = 64, rerank: Int = 64,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding",
+                        coarse: Option[Array[Array[Double]]] = None,
+                        books: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val cbs = books.getOrElse(
+      pqResidualCodebooks(corpus, cents, m, ksub, dims, idCol, embCol))
+    val dsub = dims / m
+    def fold2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+    // plan-time literal tables for the reconstruction norm
+    val cn2: Array[Double] = cents.map(fold2)
+    val rn: Array[Array[Double]] = cbs.map(_.map(fold2))
+    val cd: Array[Array[Array[Double]]] = Array.tabulate(cbs.length) { j =>
+      Array.tabulate(cents.length) { cl =>
+        Array.tabulate(cbs(j).length) { r =>
+          var s = 0.0; var i = 0
+          while (i < dsub) {
+            s += cents(cl)(j * dsub + i) * cbs(j)(r)(i); i += 1
+          }
+          s
+        }
+      }
+    }
+    val coded = corpus.select(col(idCol).as("c_id"), col(embCol).as("_ce"))
+      .withColumn("cell", cellOf(cents, col("_ce")))
+      .withColumn("_res", residualOf(cents, col("_ce"), col("cell")))
+      .select(col("c_id") +: col("cell") +: cbs.indices.map(j =>
+        cellOf(cbs(j), slice(col("_res"), j * dsub + 1, dsub))
+          .as(s"_code$j")): _*)
+    val rn2 = element_at(typedlit(cn2), col("cell") + 1) +
+      lit(2.0) * cbs.indices.map(j =>
+        element_at(element_at(typedlit(cd(j)), col("cell") + 1),
+          col(s"_code$j") + 1)).reduceLeft(_ + _) +
+      cbs.indices.map(j =>
+        element_at(typedlit(rn(j)), col(s"_code$j") + 1)).reduceLeft(_ + _)
+    val codedRn = coded.withColumn("_rn2", rn2)
+    // broadcast query side: per probed cell, q·cent joins the distance
+    // tables (qc is an element_at over nlist literal dots, like _dt*)
+    val qpre = queries.select(
+      col(idCol).as("q_id"), col(embCol).as("_qe"),
+      explode(probesOf(cents, col(embCol), nProbe)).as("cell"))
+    val q = broadcast(qpre.select(
+      col("q_id") +: col("cell") +:
+        (element_at(array(cents.map(c =>
+            VectorFunctions.dotFD(col("_qe"), typedlit(c))): _*),
+          col("cell") + 1).as("_qc") +:
+          (pqDtCols(cbs, "_qe") :+
+            VectorFunctions.dot(col("_qe"), col("_qe")).as("_qn2"))): _*))
+    val adot = (col("_qc") +: cbs.indices.map(j =>
+      element_at(col(s"_dt$j"), col(s"_code$j") + 1))).reduceLeft(_ + _)
+    val adc = codedRn.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))).as("sim"))
       .as[Scored]
     refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
   }

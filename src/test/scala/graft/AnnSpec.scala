@@ -201,6 +201,28 @@ class AnnSpec extends SparkSpec {
     info(f"ivfpq recall@5 = $recall%.2f (4/16 cells → adc 64 → rerank)")
   }
 
+  test("residual ivfpq: exact refine sims, recall@5 >= raw-space codes") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "c_id").join(bf, Seq("q_id", "c_id")).count()
+        .toDouble / bf.count()
+    val raw = Ann.ivfPqTopK(qs, emb, k = 5, nlist = 16, nProbe = 4).cache()
+    val res = Ann.ivfPqResidualTopK(qs, emb, k = 5, nlist = 16, nProbe = 4)
+      .cache()
+    // the refine stage rescores exactly, so shared pairs must agree
+    val joined = res.select(col("q_id"), col("c_id"), col("sim").as("rsim"))
+      .join(bf.select(col("q_id"), col("c_id"), col("sim").as("bsim")),
+        Seq("q_id", "c_id"))
+    assert(joined.filter(col("rsim") =!= col("bsim")).count() == 0)
+    // residual codes quantize a tighter domain than raw-space codes at
+    // the same bit budget — the ADC shortlist must not lose recall
+    val rRaw = recall(raw)
+    val rRes = recall(res)
+    assert(rRes >= rRaw,
+      f"residual codes must not lose recall: $rRes%.2f vs raw $rRaw%.2f")
+    info(f"ivfpq recall@5: raw $rRaw%.2f → residual $rRes%.2f")
+    raw.unpersist(false); res.unpersist(false)
+  }
+
   test("ivfpq layout: probe equals in-memory plan and prunes partitions") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_ivfpq_").toString
