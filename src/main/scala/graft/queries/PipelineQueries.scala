@@ -268,6 +268,48 @@ object PipelineQueries {
         .select(col("x"), col("y"), col("band"), col("value"))
     },
 
+    // C15d through the GATE (not just specs): an events-derived 5-band
+    // grid is written to all three binary raster containers and read back
+    // through the independent distributed loaders; the oracle computes
+    // the same grid straight from events (× the three format tags), so a
+    // hash match proves every format round-trips every cell bit-exactly
+    // AT THE DRIVER'S SCALE FACTOR — the grid aggregates the full events
+    // table, and zarr writes chunk-parallel (32×32 chunks, 16 chunk files
+    // per band slice). Holes (grid cells no event hashes to) are NaN in
+    // the rasters and absent from both sides of the compare.
+    "raster_roundtrip" -> { (s, d) =>
+      import graft.sources.Rasters
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type").as("band"),
+          expr("event_id % 128").as("y"),
+          expr("(event_id div 128) % 128").as("x"))
+        .agg(Exact.rnd4(Exact.esum(col("value"))).as("value"))
+      val cube = graft.cube.DataCube(grid)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_raster_rt_").toString
+      Rasters.saveGeoTiff(cube, s"$base/tif")
+      Rasters.saveNetcdf(cube, s"$base/nc")
+      Rasters.saveZarr(cube, s"$base/zarr", chunkY = 32, chunkX = 32)
+      val band = regexp_replace(col("slice"), "band-", "").as("band")
+      // default CRS has e > 0 (no north-up flip) and the axis labels are
+      // dense 0-based, so loader row/col indices ARE the y/x labels
+      val tif = Rasters.loadGeoTiff(s, s"$base/tif")
+        .filter(!isnan(col("value")))
+        .select(lit("gtiff").as("fmt"), band,
+          col("row").cast("long").as("y"),
+          col("colx").cast("long").as("x"), col("value"))
+      val nc = Rasters.loadNetcdf(s, s"$base/nc")
+        .filter(!isnan(col("value")))
+        .select(lit("netcdf").as("fmt"), band,
+          col("y").cast("long").as("y"),
+          col("x").cast("long").as("x"), col("value"))
+      val zr = Rasters.loadZarr(s, s"$base/zarr")
+        .select(lit("zarr").as("fmt"), band,
+          col("row").cast("long").as("y"),
+          col("colx").cast("long").as("x"), col("value"))
+      tif.unionByName(nc).unionByName(zr)
+    },
+
     // C16 + child-graph callbacks: expression apply nodes and an
     // expression overlap resolver, all through the parse-tree whitelist.
     "process_graph_expr" -> { (s, d) =>
@@ -708,6 +750,23 @@ object PipelineQueries {
       s"""WITH ${CubeQueries.gridCubeSql}
         |SELECT x, y, band, value FROM cube
         |WHERE x >= 10 AND x < 40 AND y >= 2 AND y < 9""".stripMargin,
+
+    // Mirror of raster_roundtrip: the same events grid (decimal-exact sum,
+    // rnd4) crossed with the three format tags — the raster files
+    // themselves are the Spark side's concern; a hash match means every
+    // container reproduced every cell bit-exactly.
+    "raster_roundtrip" ->
+      """WITH grid AS (
+        |  SELECT event_type AS band,
+        |    event_id % 128 AS y,
+        |    (event_id // 128) % 128 AS x,
+        |    floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE))
+        |      * 10000 + 0.5) / 10000.0 AS value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT f.fmt, g.band, g.y, g.x, g.value
+        |FROM grid g
+        |CROSS JOIN (VALUES ('gtiff'), ('netcdf'), ('zarr')) AS f(fmt)"""
+        .stripMargin,
 
     "process_graph_expr" ->
       s"""WITH ${CubeQueries.gridCubeSql},
