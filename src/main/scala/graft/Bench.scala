@@ -51,6 +51,7 @@ object Bench {
       graft.queries.PipelineQueries.stacSpatialFixture(spark, sfDir)
       graft.queries.SimQueries.ivfIndex(spark, sfDir)
       graft.queries.SimQueries.ivfPqIndex(spark, sfDir)
+      graft.queries.SimQueries.ivfPqResIndex(spark, sfDir)
       graft.queries.SimQueries.invIndex(spark, sfDir)
       graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
     } catch { case e: Throwable =>

@@ -1178,8 +1178,13 @@ final case class DataCube(df: DataFrame, valueCol: String = "value",
     val stCols = aggs.indices.map(i => col(s"_st$i")).toIndexedSeq
     val joined = perDim match {
       case Some(d) =>
+        // null-SAFE equality (<=>): groupBy puts null dim values in their
+        // own group, and a plain USING join would silently DROP those rows
+        // (null keys never equal-match) — the old Window.partitionBy form
+        // scaled the null partition, so the join form must too.
         val stats = df.groupBy(col(d)).agg(named.head, named.tail: _*)
-        df.join(broadcast(stats), Seq(d))
+          .withColumnRenamed(d, "_stKey")
+        df.join(broadcast(stats), col(d) <=> col("_stKey")).drop("_stKey")
       case None =>
         val stats = df.agg(named.head, named.tail: _*)
         df.crossJoin(broadcast(stats))

@@ -60,13 +60,45 @@ object SkForest {
   }
 
   /** The committed converter fixture (tools/fixtures/sklearn_rf.pkl →
-    * this resource); SkForestSpec re-runs the converter and pins
-    * byte-parity. */
-  def loadFixture(): Forest = {
+    * this resource) as raw JSON; null-checked so a missing resource fails
+    * with its own message, not an NPE inside a finally. */
+  def fixtureJson(): String = {
     val in = getClass.getResourceAsStream("/graft/sklearn_rf.json")
     require(in != null, "missing /graft/sklearn_rf.json resource")
-    try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  /** The committed converter fixture, parsed; SkForestSpec re-runs the
+    * converter and pins byte-parity. */
+  def loadFixture(): Forest = fromJson(fixtureJson())
+
+  /** The mlm:framework value a STAC-MLM item uses to declare a converted
+    * sklearn forest asset (see [[StacMlm.loadSkForest]]). */
+  val Framework = "graft-sk-forest"
+
+  /** Score the documents table's quality features with a converted
+    * sklearn forest — the reference's pickled-model predict over a
+    * feature table (scikit_learn_model.py:53), shared VERBATIM by the
+    * `ml_sklearn_predict` query and the `process_graph_sklearn` graph
+    * twin so both land on one oracle. `bands` is the model's declared
+    * mlm:input band list; it must name the quality-feature columns. */
+  def scoreDocuments(docs: org.apache.spark.sql.DataFrame, forest: Forest,
+                     bands: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(bands == Seq("x1", "x2", "x3"),
+      s"graft-sk-forest scoring runs on the quality-feature bands " +
+        s"x1,x2,x3; the item declares $bands")
+    require(forest.nFeatures == bands.size,
+      s"model expects ${forest.nFeatures} features, item declares " +
+        s"${bands.size} bands")
+    val xs = bands.map(col)
+    val feats = RidgeProbe.qualityFeatures(docs)
+    val scored = forest.classes.indices.foldLeft(feats) { (df, c) =>
+      df.withColumn(s"p$c", probCol(forest, c, xs))
+    }
+    val ps = forest.classes.indices.map(c => col(s"p$c"))
+    scored.withColumn("pred", predictCol(forest, ps))
+      .select(col("doc_id") +: xs ++: (col("y") +: ps :+ col("pred")): _*)
   }
 
   /** Per-tree class-`c` probability: the nested literal CASE chain from
@@ -88,16 +120,25 @@ object SkForest {
 
   /** classes(argmax) over already-materialized per-class prob columns
     * (pass the SAME named columns the output carries, so prediction and
-    * reported probabilities cannot diverge). */
+    * reported probabilities cannot diverge).
+    *
+    * Shape: `greatest(p0..pC)` + a first-match equality CASE — the first
+    * class whose prob equals the maximum wins, which IS numpy argmax's
+    * first-maximal-index rule. Expression size is O(C²) attribute
+    * references (the greatest() inlined per WHEN), never the O(2^C)
+    * blowup a running-best fold produces — a 20-class forest stays a
+    * few-hundred-node plan. */
   def predictCol(forest: Forest, ps: Seq[Column]): Column = {
-    var bestP = ps.head
-    var bestC: Column = lit(forest.classes.head)
-    for (c <- 1 until ps.size) {
-      val better = ps(c) > bestP
-      bestC = when(better, lit(forest.classes(c))).otherwise(bestC)
-      bestP = when(better, ps(c)).otherwise(bestP)
+    require(ps.size == forest.classes.size,
+      s"predict: ${ps.size} prob columns for ${forest.classes.size} classes")
+    if (ps.size == 1) lit(forest.classes.head)
+    else {
+      val best = greatest(ps: _*)
+      ps.init.zip(forest.classes.init)
+        .foldRight(lit(forest.classes.last): Column) {
+          case ((p, c), acc) => when(p === best, lit(c)).otherwise(acc)
+        }
     }
-    bestC
   }
 
   // ------------------------- DuckDB mirror -------------------------
@@ -123,15 +164,19 @@ object SkForest {
       .mkString("(", " + ", s") / ${forest.trees.size.toDouble}")
 
   /** SQL argmax over per-class prob COLUMN NAMES (from a CTE that
-    * materialized [[probSql]] once per class). */
+    * materialized [[probSql]] once per class) — the same linear
+    * greatest + first-match CASE as [[predictCol]], so both engines pick
+    * the first maximal index. */
   def predictSql(forest: Forest, ps: IndexedSeq[String]): String = {
-    var bestP = ps.head
-    var bestC = s"CAST(${forest.classes.head} AS DOUBLE)"
-    for (c <- 1 until ps.size) {
-      bestC = s"(CASE WHEN ${ps(c)} > $bestP THEN " +
-        s"CAST(${forest.classes(c)} AS DOUBLE) ELSE $bestC END)"
-      bestP = s"(CASE WHEN ${ps(c)} > $bestP THEN ${ps(c)} ELSE $bestP END)"
+    require(ps.size == forest.classes.size,
+      s"predict: ${ps.size} prob columns for ${forest.classes.size} classes")
+    if (ps.size == 1) s"CAST(${forest.classes.head} AS DOUBLE)"
+    else {
+      val best = ps.mkString("greatest(", ", ", ")")
+      val whens = ps.init.zip(forest.classes.init).map { case (p, c) =>
+        s"WHEN $p = $best THEN CAST($c AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE $whens ELSE CAST(${forest.classes.last} AS DOUBLE) END)"
     }
-    bestC
   }
 }

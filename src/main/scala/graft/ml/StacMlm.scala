@@ -87,22 +87,46 @@ object StacMlm {
     val runtime: Option[ModelRuntime] =
       if (item.artifactType.contains(MlpWeights.ArtifactType)) {
         val probe = new ExternalModel(item, inputIndex, outputIndex)
-        val href = item.weightsHref.get
-        val itemPath = new org.apache.hadoop.fs.Path(uri)
-        // an href that doesn't parse as a URI (spaces, odd chars) is a
-        // relative path by STAC convention, not an error
-        val isAbsolute = href.startsWith("/") ||
-          (try new java.net.URI(href).isAbsolute
-           catch { case _: java.net.URISyntaxException => false })
-        val resolved =
-          if (isAbsolute) href
-          else new org.apache.hadoop.fs.Path(itemPath.getParent, href).toString
-        val layers = MlpWeights.load(resolved, probe.featureWidth,
-          probe.outputWidth)
+        val layers = MlpWeights.load(resolveHref(uri, item.weightsHref.get),
+          probe.featureWidth, probe.outputWidth)
         Some(new SessionRuntime(new MlpSession(layers),
           probe.featureWidth, probe.outputWidth))
       } else None
     new ExternalModel(item, inputIndex, outputIndex, runtime)
+  }
+
+  /** Resolve a model-asset href against the item's own location — the
+    * STAC convention the reference applies when it downloads the pickled
+    * model (download_utils.py). An href that doesn't parse as a URI
+    * (spaces, odd chars) is a relative path, not an error. */
+  private def resolveHref(itemUri: String, href: String): String = {
+    val isAbsolute = href.startsWith("/") ||
+      (try new java.net.URI(href).isAbsolute
+       catch { case _: java.net.URISyntaxException => false })
+    if (isAbsolute) href
+    else new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(itemUri).getParent, href).toString
+  }
+
+  /** load_stac_ml for a converted-sklearn item: the item's mlm:model
+    * asset is a `graft-sk-forest` JSON (the output of
+    * tools/convert_sklearn.py — the reference's pickled
+    * RandomForestClassifier re-expressed as explicit node tables), fetched
+    * through the same item→asset href resolution the reference's pickle
+    * download takes (load_model.py:21 + scikit_learn_model.py:53) and
+    * scored natively by [[SkForest]]. Returns the forest plus the item's
+    * declared input bands (feature column names for scoring). */
+  def loadSkForest(uri: String, modelAsset: Option[String] = None)
+      : (SkForest.Forest, Seq[String]) = {
+    val item = parseItem(graft.sources.Remote.readString(uri), modelAsset)
+    require(item.framework.equalsIgnoreCase(SkForest.Framework),
+      s"load_stac_ml: expected an mlm:framework of ${SkForest.Framework}, " +
+        s"got '${item.framework}'")
+    require(item.weightsHref.nonEmpty,
+      "load_stac_ml: the item has no asset with the mlm:model role")
+    val forest = SkForest.fromJson(graft.sources.Remote.readString(
+      resolveHref(uri, item.weightsHref.get)))
+    (forest, item.inputs.head.bands)
   }
 
   /** Validate + parse an item JSON string into the metadata model.

@@ -532,21 +532,31 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       graft.ml.MlProcesses.loadMlModel(spark, args.get("path").asText())
 
     // ml_predict: `model` is a from_node reference (fitted in-graph), a
-    // STAC-MLM item JSON path (external batched execution), or a saved
-    // MLlib model directory.
+    // STAC-MLM item JSON path (external batched execution — or, when the
+    // item's framework is graft-sk-forest, the converted-sklearn native
+    // scorer over a documents table: the reference's pickle-predict seam,
+    // scikit_learn_model.py:53), or a saved MLlib model directory.
     case "ml_predict" =>
-      val cube = cubeArg(args, "data", evalNode)
       if (args.path("model").has("from_node"))
-        fittedArg(args, evalNode).predictCube(cube)
+        fittedArg(args, evalNode).predictCube(cubeArg(args, "data", evalNode))
       else {
         val uri = args.get("model").asText()
         if (uri.endsWith(".json")) {
-          val m = graft.ml.StacMlm.load(uri,
-            inputIndex = args.path("input_index").asInt(0),
-            outputIndex = args.path("output_index").asInt(0))
-          DataCube(m.predictCube(cube))
+          val framework = graft.ml.StacMlm
+            .parseItem(graft.sources.Remote.readString(uri)).framework
+          if (framework.equalsIgnoreCase(graft.ml.SkForest.Framework)) {
+            val (forest, bands) = graft.ml.StacMlm.loadSkForest(uri)
+            graft.ml.SkForest.scoreDocuments(docsArg(args, evalNode),
+              forest, bands)
+          } else {
+            val m = graft.ml.StacMlm.load(uri,
+              inputIndex = args.path("input_index").asInt(0),
+              outputIndex = args.path("output_index").asInt(0))
+            DataCube(m.predictCube(cubeArg(args, "data", evalNode)))
+          }
         } else {
-          graft.ml.RfClassModel.load(spark, uri).predictCube(cube)
+          graft.ml.RfClassModel.load(spark, uri)
+            .predictCube(cubeArg(args, "data", evalNode))
         }
       }
 

@@ -66,6 +66,74 @@ object MlQueries {
     p.toString
   }
 
+  /** The committed sklearn-converter fixture routed ONCE per JVM through
+    * the A4/A5 ProbeModels save→load surface (the asset round-trip the
+    * reference's load_ml_model performs) — Bench's warmup + timed runs
+    * reuse one deleteOnExit temp dir instead of accumulating one per
+    * invocation. */
+  private val skForestCache =
+    new java.util.concurrent.atomic.AtomicReference[graft.ml.SkForest.Forest]()
+  private def skFixtureForest(s: SparkSession): graft.ml.SkForest.Forest = {
+    val cached = skForestCache.get()
+    if (cached != null) cached
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sk_model_")
+      val path = dir.toString + "/probe.json"
+      graft.ml.ProbeModels.write(s, path, graft.ml.SkForest.fixtureJson())
+      val f = graft.ml.SkForest.fromJson(graft.ml.ProbeModels.read(s, path))
+      Option(dir.toFile.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+      dir.toFile.deleteOnExit()
+      skForestCache.compareAndSet(null, f)
+      skForestCache.get()
+    }
+  }
+
+  /** A STAC-MLM item whose `mlm:model` asset IS the committed
+    * graft-sk-forest JSON, written next to the item — the exact
+    * asset-fetch path the reference runs for its pickled model
+    * (load_model.py:21 resolves the item's model asset,
+    * scikit_learn_model.py:53 loads and predicts). `load_stac_ml` →
+    * `ml_predict` consume it in the process_graph_sklearn twin. */
+  lazy val skItemPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_item_")
+    java.nio.file.Files.write(dir.resolve("sk_forest.json"),
+      graft.ml.SkForest.fixtureJson()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val item =
+      s"""{
+         |  "stac_version": "1.0.0",
+         |  "stac_extensions": [
+         |    "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+         |  "type": "Feature",
+         |  "id": "graft-sk-forest-probe",
+         |  "properties": {
+         |    "mlm:name": "graft-sk-forest-probe",
+         |    "mlm:framework": "graft-sk-forest",
+         |    "mlm:input": [{
+         |      "name": "quality features",
+         |      "bands": ["x1", "x2", "x3"],
+         |      "input": {"shape": [-1, 3],
+         |                "dim_order": ["batch", "band"],
+         |                "data_type": "float64"}}],
+         |    "mlm:output": [{
+         |      "name": "class probabilities",
+         |      "result": {"shape": [-1, 2],
+         |                 "dim_order": ["batch", "class"],
+         |                 "data_type": "float64"}}]
+         |  },
+         |  "assets": {"model": {
+         |    "href": "sk_forest.json",
+         |    "roles": ["mlm:model"],
+         |    "mlm:artifact_type": "graft-sk-forest-json"}}
+         |}""".stripMargin
+    val p = dir.resolve("item.json")
+    java.nio.file.Files.write(p,
+      item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Option(dir.toFile.listFiles()).foreach(_.foreach(_.deleteOnExit()))
+    dir.toFile.deleteOnExit()
+    p.toString
+  }
+
   /** The REAL-inference fixture: a `graft-mlp` item whose `mlm:model`
     * asset is an actual weights file (64 → 8 relu → 4 identity), written
     * next to the item so the STAC-relative href resolution is exercised.
@@ -438,24 +506,8 @@ object MlQueries {
     // toString-exact literals in both engines; mean-over-trees and the
     // numpy-argmax (strictly-greater) tie-break mirror op-for-op.
     "ml_sklearn_predict" -> { (s, d) =>
-      import graft.ml.{ProbeModels, RidgeProbe, SkForest}
-      val in = getClass.getResourceAsStream("/graft/sklearn_rf.json")
-      val json =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_sk_model_").toString + "/probe.json"
-      ProbeModels.write(s, path, json)
-      val forest = SkForest.fromJson(ProbeModels.read(s, path))
-      val xs = Seq(col("x1"), col("x2"), col("x3"))
-      val scored = forest.classes.indices.foldLeft(
-        RidgeProbe.qualityFeatures(Tables.documents(s, d))) { (df, c) =>
-        df.withColumn(s"p$c", SkForest.probCol(forest, c, xs))
-      }
-      val ps = forest.classes.indices.map(c => col(s"p$c"))
-      scored.withColumn("pred", SkForest.predictCol(forest, ps))
-        .select(col("doc_id") +: col("x1") +: col("x2") +: col("x3") +:
-          col("y") +: (ps :+ col("pred")): _*)
+      graft.ml.SkForest.scoreDocuments(Tables.documents(s, d),
+        skFixtureForest(s), Seq("x1", "x2", "x3"))
     }
   )
 

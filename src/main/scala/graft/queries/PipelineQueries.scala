@@ -508,6 +508,23 @@ object PipelineQueries {
           |}""".stripMargin)
     },
 
+    // The reference's pickled-sklearn predict as ONE declared graph
+    // (A29 twin): ml_predict takes the STAC-MLM item URI, whose mlm:model
+    // asset (a graft-sk-forest JSON) is fetched through load_stac_ml's
+    // item→asset href resolution — the exact asset path the reference
+    // runs for its pickle (load_model.py:21 + scikit_learn_model.py:53).
+    // Identical rows to ml_sklearn_predict → shares its hash oracle.
+    "process_graph_sklearn" -> { (s, d) =>
+      new ProcessGraph(s, d).run(
+        s"""{
+          |  "src":  {"process_id": "load_documents", "arguments": {}},
+          |  "pred": {"process_id": "ml_predict",
+          |           "arguments": {"data": {"from_node": "src"},
+          |                         "model": "${MlQueries.skItemPath}"},
+          |           "result": true}
+          |}""".stripMargin)
+    },
+
     // Boosted-tree TRAINING as a graph node (A15) — identical rows to
     // ml_boost_fit → shares its hash oracle.
     "process_graph_boost" -> { (s, d) =>
@@ -978,6 +995,7 @@ object PipelineQueries {
     "process_graph_ndcg" -> SimQueries.oracle("ml_eval_ndcg"),
 
     "process_graph_boost" -> MlQueries.oracle("ml_boost_fit"),
+    "process_graph_sklearn" -> MlQueries.oracle("ml_sklearn_predict"),
     "process_graph_ann" -> SimQueries.oracle("ann_ivf"),
     "process_graph_pca" -> SimQueries.oracle("embed_pca"),
     "process_graph_bpe" -> TextQueries.oracle("text_bpe_apply"),

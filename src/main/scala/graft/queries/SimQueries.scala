@@ -82,6 +82,22 @@ object SimQueries {
       path
     })
 
+  /** The on-disk RESIDUAL-encoded IVF-PQ layout for
+    * `ann_ivfpq_residual_probe`, built once per (JVM, sf dir) with the
+    * shared deterministic quantizers — the FAISS-default encoding as the
+    * at-rest index. */
+  private val ivfPqResIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfPqResIndex(s: SparkSession, d: String): String =
+    ivfPqResIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpqres_idx_").toString
+      Ann.ivfPqResidualBuild(Tables.embeddings(s, d), path, nlist = 16,
+        m = 4, ksub = 16, dims = 64,
+        coarse = Some(coarse16(s, d)), books = Some(resBooks4x16(s, d)))
+      path
+    })
+
   /** Per-dim SQ8 stats, trained once per (JVM, sf dir) like [[coarse16]]. */
   private val sq8Cache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Double], Array[Double])]
@@ -311,6 +327,16 @@ object SimQueries {
       Ann.ivfPqResidualTopK(qset(s, d), Tables.embeddings(s, d), k = 5,
         nlist = 16, nProbe = 4, m = 4, ksub = 16, dims = 64,
         coarse = Some(coarse16(s, d)), books = Some(resBooks4x16(s, d)))
+    },
+
+    // D39d: the residual encoding AT REST — written through the D39b
+    // physical layout (residual codes + the cross-term-baked norm inline,
+    // partitionBy(cell)), probe = partition IN-filter + stored-code ADC +
+    // in-row refine; identical ranking to the in-memory residual plan →
+    // shares its oracle.
+    "ann_ivfpq_residual_probe" -> { (s, d) =>
+      Ann.ivfPqResidualProbe(s, ivfPqResIndex(s, d), qset(s, d),
+        k = 5, nProbe = 4)
     },
 
     // D7c through the gate: the PHYSICAL index path — corpus written
@@ -1142,6 +1168,13 @@ object SimQueries {
     // Mirrors Ann.ivfPqResidualTopK(k=5, nlist=16, nProbe=4, m=4,
     // ksub=16, rerank=64) — see pqResidualOracleSql.
     "ann_ivfpq_residual" -> pqResidualOracleSql(m = 4, ksub = 16,
+      dims = 64, sampleN = 256, iters = 5, k = 5, rerank = 64,
+      nlist = 16, nProbe = 4),
+
+    // The at-rest residual layout ranks the same candidates with the
+    // same stored quantizers — one oracle serves both plans (the
+    // ann_ivfpq_probe precedent).
+    "ann_ivfpq_residual_probe" -> pqResidualOracleSql(m = 4, ksub = 16,
       dims = 64, sampleN = 256, iters = 5, k = 5, rerank = 64,
       nlist = 16, nProbe = 4),
 

@@ -816,15 +816,33 @@ object Ann {
       seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
     val cbs = books.getOrElse(
       pqResidualCodebooks(corpus, cents, m, ksub, dims, idCol, embCol))
-    val dsub = dims / m
+    val codedRn = residualCoded(corpus, cents, cbs, idCol, embCol,
+      keepEmb = false)
+    val q = residualQuerySide(queries, cents, cbs, nProbe, idCol, embCol)
+    val adc = codedRn.join(q, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        residualAdcSim(cbs.length).as("sim"))
+      .as[Scored]
+    refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
+  }
+
+  /** The residual encoding's plan-time literal tables: ‖cent‖² per cell,
+    * ‖codeword‖² per (book, code), and the cross term cent_subj·codeword
+    * per (book, cell, code) — O(nlist·m·ksub) doubles, all i-ascending
+    * sequential folds (the exact `list_sum(list_transform(...))` image
+    * the oracle replays). */
+  private def residualTables(cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]])
+      : (Array[Double], Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val dsub = cbs(0)(0).length
     def fold2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }; s
     }
-    // plan-time literal tables for the reconstruction norm
-    val cn2: Array[Double] = cents.map(fold2)
-    val rn: Array[Array[Double]] = cbs.map(_.map(fold2))
-    val cd: Array[Array[Array[Double]]] = Array.tabulate(cbs.length) { j =>
+    val cn2 = cents.map(fold2)
+    val rn = cbs.map(_.map(fold2))
+    val cd = Array.tabulate(cbs.length) { j =>
       Array.tabulate(cents.length) { cl =>
         Array.tabulate(cbs(j).length) { r =>
           var s = 0.0; var i = 0
@@ -835,39 +853,144 @@ object Ann {
         }
       }
     }
+    (cn2, rn, cd)
+  }
+
+  /** Residual-encoded corpus rows `(c_id[, _c_emb], cell, _code*, _rn2)`
+    * — the map-only encode pass shared by [[ivfPqResidualTopK]] and the
+    * at-rest [[ivfPqResidualBuild]]; `_rn2` bakes every cross term in,
+    * so any consumer scores with m+1 lookups and never re-derives the
+    * reconstruction norm. */
+  private def residualCoded(corpus: DataFrame, cents: Array[Array[Double]],
+                            cbs: Array[Array[Array[Double]]], idCol: String,
+                            embCol: String, keepEmb: Boolean): DataFrame = {
+    val dsub = cbs(0)(0).length
+    val (cn2, rn, cd) = residualTables(cents, cbs)
+    val keep =
+      if (keepEmb) Seq(col("_ce").cast("array<float>").as("_c_emb"))
+      else Seq.empty
     val coded = corpus.select(col(idCol).as("c_id"), col(embCol).as("_ce"))
       .withColumn("cell", cellOf(cents, col("_ce")))
       .withColumn("_res", residualOf(cents, col("_ce"), col("cell")))
-      .select(col("c_id") +: col("cell") +: cbs.indices.map(j =>
+      .select(col("c_id") +: col("cell") +: (cbs.indices.map(j =>
         cellOf(cbs(j), slice(col("_res"), j * dsub + 1, dsub))
-          .as(s"_code$j")): _*)
+          .as(s"_code$j")) ++ keep): _*)
     val rn2 = element_at(typedlit(cn2), col("cell") + 1) +
       lit(2.0) * cbs.indices.map(j =>
         element_at(element_at(typedlit(cd(j)), col("cell") + 1),
           col(s"_code$j") + 1)).reduceLeft(_ + _) +
       cbs.indices.map(j =>
         element_at(typedlit(rn(j)), col(s"_code$j") + 1)).reduceLeft(_ + _)
-    val codedRn = coded.withColumn("_rn2", rn2)
-    // broadcast query side: per probed cell, q·cent joins the distance
-    // tables (qc is an element_at over nlist literal dots, like _dt*)
+    coded.withColumn("_rn2", rn2)
+  }
+
+  /** Broadcast query side of the residual ADC: per probed cell, q·cent
+    * (an element_at over nlist literal dots, like the `_dt*` tables),
+    * the m distance tables and ‖q‖². */
+  private def residualQuerySide(queries: DataFrame,
+                                cents: Array[Array[Double]],
+                                cbs: Array[Array[Array[Double]]],
+                                nProbe: Int, idCol: String,
+                                embCol: String): DataFrame = {
     val qpre = queries.select(
       col(idCol).as("q_id"), col(embCol).as("_qe"),
       explode(probesOf(cents, col(embCol), nProbe)).as("cell"))
-    val q = broadcast(qpre.select(
+    broadcast(qpre.select(
       col("q_id") +: col("cell") +:
         (element_at(array(cents.map(c =>
             VectorFunctions.dotFD(col("_qe"), typedlit(c))): _*),
           col("cell") + 1).as("_qc") +:
           (pqDtCols(cbs, "_qe") :+
             VectorFunctions.dot(col("_qe"), col("_qe")).as("_qn2"))): _*))
-    val adot = (col("_qc") +: cbs.indices.map(j =>
+  }
+
+  /** Residual ADC cosine from the joined code/table columns:
+    * (q·cent + Σ_j dt_j[code_j]) / (‖q‖·‖recon‖), sums left-associative. */
+  private def residualAdcSim(m: Int): org.apache.spark.sql.Column = {
+    val adot = (col("_qc") +: (0 until m).map(j =>
       element_at(col(s"_dt$j"), col(s"_code$j") + 1))).reduceLeft(_ + _)
-    val adc = codedRn.join(q, Seq("cell"))
+    adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))
+  }
+
+  /** Materialize the residual-encoded IVF-PQ layout — the FAISS
+    * IndexIVFPQ DEFAULT encoding, at rest through the [[ivfPqBuild]]
+    * physical shape: corpus partitioned by coarse cell with the residual
+    * codes, the raw vector AND the cross-term-baked reconstruction norm
+    * inline in each row (scan compressed, refine from the same row),
+    * plus centroid/codebook sidecars and an `encoding` marker so a probe
+    * refuses a layout whose codes it would misread. One encode pass;
+    * every future query batch pays only the probe. */
+  def ivfPqResidualBuild(corpus: DataFrame, path: String, nlist: Int = 16,
+                         m: Int = 4, ksub: Int = 16, dims: Int = 64,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding",
+                         coarse: Option[Array[Array[Double]]] = None,
+                         books: Option[Array[Array[Array[Double]]]] = None)
+      : Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = coarse.getOrElse(
+      seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol))
+    val cbs = books.getOrElse(
+      pqResidualCodebooks(corpus, cents, m, ksub, dims, idCol, embCol))
+    residualCoded(corpus, cents, cbs, idCol, embCol, keepEmb = true)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, r) => (j, r, c.toSeq) }
+    }.toSeq.toDF("book", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq("residual").toDF("encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/encoding")
+  }
+
+  /** Query the residual-encoded layout: probed cells → partition
+    * IN-filter (directory pruning, nProbe/nlist of the lake read), ADC
+    * from the stored codes + inline `_rn2` (cross terms already baked
+    * into the row at build time), exact refine from the raw vectors in
+    * the scanned rows. Identical ranking to [[ivfPqResidualTopK]] (same
+    * deterministic quantizers), so the at-rest round-trip shares its
+    * hash oracle. Honors [[ivfDelete]] tombstones via [[probedScan]]. */
+  def ivfPqResidualProbe(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, k: Int,
+                         nProbe: Int = 4, rerank: Int = 64,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(isResidualLayout(spark, path),
+      s"ivfPqResidualProbe: $path carries no residual encoding marker — " +
+        "its codes are raw-space (use ivfPqProbe) or the layout is foreign")
+    val cents = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    val scan = probedScan(spark, path, queries, cents, nProbe, idCol, embCol)
+    val q = residualQuerySide(queries, cents, cbs, nProbe, idCol, embCol)
+    val adc = scan.join(q, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (adot / (sqrt(col("_qn2")) * sqrt(col("_rn2")))).as("sim"))
+        residualAdcSim(cbs.length).as("sim"))
       .as[Scored]
-    refineExact(queries, corpus, rankPruned(adc, rerank), k, idCol, embCol)
+    val shortlist = rankPruned(adc, rerank).select("q_id", "c_id")
+    val qRaw = broadcast(queries.select(col(idCol).as("q_id"),
+      col(embCol).as("_q_emb")))
+    val exact = scan.select(col("c_id"), col("_c_emb"))
+      .join(broadcast(shortlist), Seq("c_id"))
+      .join(qRaw, Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
+      .as[Scored]
+    rankPruned(exact, k)
+  }
+
+  /** True iff the layout's `encoding` sidecar says residual — O(1)
+    * metadata read, the guard [[ivfPqResidualProbe]] requires. */
+  private def isResidualLayout(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/encoding")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && spark.read.parquet(p.toString)
+      .filter(col("encoding") === "residual").count() > 0
   }
 
   /** Query-side ADC distance tables `_dt0.._dtM-1`: dt_j[r] = q_subj ·

@@ -269,6 +269,39 @@ class AnnSpec extends SparkSpec {
       "append-then-probe must equal the one-shot index ranking")
   }
 
+  test("residual ivfpq layout: probe equals in-memory plan, prunes " +
+       "partitions, rejects raw-space layouts") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqres_").toString
+    Ann.ivfPqResidualBuild(emb, path, nlist = 16, m = 4, ksub = 16,
+      dims = 64)
+    val probed = Ann.ivfPqResidualProbe(spark, path, qs, k = 5, nProbe = 4)
+    val inMem = Ann.ivfPqResidualTopK(qs, emb, k = 5, nlist = 16, nProbe = 4)
+    assert(probed.exceptAll(inMem).isEmpty && inMem.exceptAll(probed).isEmpty,
+      "stored residual-code probe must equal the in-memory residual ranking")
+    // a small query batch reads only its probed cell directories
+    val fewQs = emb.filter(col("vec_id") < 3)
+    val cents = Ann.seededCentroids(emb, nlist = 16)
+    val pruned = Ann.probedScan(spark, path, fewQs, cents, nProbe = 4)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"residual ivfpq probe must prune partitions: $readFiles of $allFiles")
+    // a raw-space layout carries no residual marker — scoring its codes
+    // with the residual ADC would silently mis-rank, so the probe refuses
+    val rawPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rawonly_").toString
+    Ann.ivfPqBuild(emb, rawPath, nlist = 16, m = 4, ksub = 16, dims = 64)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqResidualProbe(spark, rawPath, qs, k = 5)
+    }
+    assert(e.getMessage.contains("residual"))
+  }
+
   test("sq8: recall vs brute force is near-exact; recon error within grid") {
     val (mn, mx) = Ann.sq8Stats(emb)
     val sq = Ann.sq8TopK(qs, emb, k = 5, stats = Some((mn, mx))).cache()

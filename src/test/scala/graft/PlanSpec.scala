@@ -414,6 +414,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scale stats join is null-safe: a null dim value scales, not drops") {
+    // the old Window.partitionBy(d) form scaled the null partition; the
+    // agg+join form must too (<=> match), or rows silently vanish
+    import graft.cube.DataCube
+    val df = spark.createDataFrame(Seq(
+      (Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 30.0)
+    )).toDF("band", "value")
+    val out = DataCube(df).scaleMinMax(Some("band")).df
+    assert(out.count() == 4, "null-band rows must survive the stats join")
+    val nulls = out.filter(col("band").isNull)
+      .orderBy("value").collect().map(_.getDouble(1))
+    assert(nulls.toSeq == Seq(0.0, 1.0),
+      s"null band must scale within its own group, got ${nulls.toSeq}")
+  }
+
   test("CacheScope: operator pins are released at the harness barrier") {
     graft.core.CacheScope.releaseAll() // clean slate
     spark.catalog.clearCache()

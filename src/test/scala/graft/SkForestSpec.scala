@@ -106,6 +106,65 @@ class SkForestSpec extends SparkSpec {
     assert(drift < 1e-12)
   }
 
+  test("12-class conversion scores with a linear-size argmax plan") {
+    // the reference predicts arbitrary class counts
+    // (scikit_learn_model.py:53); the argmax must stay linear in C — the
+    // running-best fold this replaced grew O(2^C) (~3^11 nodes at C=12)
+    val repo = new java.io.File(".").getCanonicalFile
+    val py = new java.io.File(repo, "tools/convert_sklearn.py")
+    val pkl = new java.io.File(repo, "tools/fixtures/sklearn_rf12.pkl")
+    assume(py.isFile && pkl.isFile, "12-class fixture not present")
+    val out = java.nio.file.Files.createTempFile("sk12_", ".json")
+    val rc =
+      try new ProcessBuilder("python3", py.getPath, pkl.getPath,
+        out.toString).inheritIO().start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    assume(rc != -1, "no python3 in this environment")
+    assert(rc == 0, s"convert_sklearn.py exited $rc")
+    val f12 = SkForest.fromJson(
+      new String(java.nio.file.Files.readAllBytes(out), "UTF-8"))
+    assert(f12.classes.size == 12 && f12.trees.size == 2)
+
+    val df = spark.createDataFrame(Seq(
+      (1L, 0.3, 0.3, 0.0), // both stumps left → class 2 with prob 1
+      (2L, 0.9, 0.9, 0.0)  // right/right → 7 and 11 tie at 0.5
+    )).toDF("id", "x1", "x2", "x3")
+    val xs = Seq(col("x1"), col("x2"), col("x3"))
+    val scored = f12.classes.indices.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"p$c", SkForest.probCol(f12, c, xs))
+    }
+    val ps = f12.classes.indices.map(c => col(s"p$c"))
+    val predCol = SkForest.predictCol(f12, ps)
+    assert(predCol.toString.length < 30000,
+      s"argmax expression blew up: ${predCol.toString.length} chars")
+    val sql = SkForest.predictSql(f12, f12.classes.indices.map(c => s"p$c"))
+    assert(sql.length < 10000, s"argmax SQL blew up: ${sql.length} chars")
+
+    val rows = scored.withColumn("pred", predCol).orderBy("id").collect()
+    assert(rows(0).getAs[Double]("p2") == 1.0)
+    assert(rows(0).getAs[Double]("pred") == 2.0)
+    // numpy tie-break: 0.5 at classes 7 and 11 → FIRST maximal index
+    assert(rows(1).getAs[Double]("p7") == 0.5 &&
+      rows(1).getAs[Double]("p11") == 0.5)
+    assert(rows(1).getAs[Double]("pred") == 7.0)
+  }
+
+  test("graph twin: ml_predict via the STAC-MLM sk-forest item lands on " +
+       "identical rows (load_stac_ml asset-fetch path)") {
+    val direct = graft.queries.MlQueries.queries("ml_sklearn_predict")(
+      spark, sfDir)
+    val twin = graft.queries.PipelineQueries.queries(
+      "process_graph_sklearn")(spark, sfDir)
+    assert(twin.exceptAll(direct).isEmpty && direct.exceptAll(twin).isEmpty,
+      "graph-declared sklearn predict must land on the direct query's rows")
+    // a non-sk-forest item must be rejected by the sk-forest loader
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.StacMlm.loadSkForest(
+        graft.queries.MlQueries.mlpItemPath)
+    }
+    assert(e.getMessage.contains("graft-sk-forest"))
+  }
+
   test("oracle SQL literals derive from the same fixture doubles") {
     val sql = graft.queries.MlQueries.oracle("ml_sklearn_predict")
     // every leaf probability literal appears verbatim (toString-exact)

@@ -10,7 +10,7 @@ scikit_learn_model.py:53 loads the pickle with `pickle.load` and calls
 `model.predict`): a Python pickle cannot execute on the JVM, so users run
 this converter once, offline, and `load_ml_model` the emitted JSON.
 
-NO sklearn import needed: a permissive Unpickler substitutes inert stub
+NO sklearn import needed: a restricted Unpickler substitutes inert stub
 classes for every `sklearn.*` global (recording constructor args and
 state), while numpy objects unpickle for real — the tree data lives
 entirely in numpy arrays (`sklearn.tree._tree.Tree.__reduce__` =
@@ -18,6 +18,16 @@ entirely in numpy arrays (`sklearn.tree._tree.Tree.__reduce__` =
 ndarray, "values": float64 ndarray})`). Extraction then reads the
 documented public node fields by NAME (left_child, right_child, feature,
 threshold) so any sklearn >=0.22 node-record layout works.
+
+Trust model: a pickle is a PROGRAM, so find_class is an ALLOWLIST —
+sklearn.* names become inert stubs, and only the numpy/builtins globals a
+legitimate sklearn model pickle actually references resolve for real
+(ndarray reconstructors, dtype, scalar types). Anything else (os.system,
+subprocess, codecs, ...) raises UnpicklingError instead of importing.
+This blocks the classic reduce-to-arbitrary-callable vector; it does NOT
+make converting a malicious pickle "safe" in general (numpy unpickles
+real array bytes) — convert models you trust, but a stray `os.system`
+payload no longer executes.
 
 Semantics preserved exactly (sklearn's documented predict path):
   - internal node: x[feature] <= threshold -> left child, else right;
@@ -46,6 +56,21 @@ class _SkStub:
             self._state = state
 
 
+# The only non-sklearn globals a RandomForest/DecisionTree pickle needs:
+# numpy's array/dtype/scalar reconstructors (protocol-dependent names) and
+# the handful of builtins numpy state references. Module -> allowed names.
+_ALLOWED = {
+    "numpy": {"ndarray", "dtype", "int64", "float64", "intp", "bool_",
+              "int32", "float32", "uint8"},
+    "numpy.core.multiarray": {"_reconstruct", "scalar"},
+    "numpy._core.multiarray": {"_reconstruct", "scalar"},  # numpy >= 2
+    "numpy.core.numeric": {"_frombuffer"},
+    "numpy._core.numeric": {"_frombuffer"},
+    "builtins": {"bytearray", "set", "frozenset", "complex", "slice",
+                 "range"},
+}
+
+
 class _SkUnpickler(pickle.Unpickler):
     _cache = {}
 
@@ -56,7 +81,11 @@ class _SkUnpickler(pickle.Unpickler):
                 self._cache[key] = type(name, (_SkStub,),
                                         {"__module__": module})
             return self._cache[key]
-        return super().find_class(module, name)
+        if name in _ALLOWED.get(module, ()):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to resolve {module}.{name}: not in the sklearn-model "
+            f"allowlist (a pickle is a program; see the docstring)")
 
 
 def _load(path):

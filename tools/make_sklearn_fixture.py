@@ -113,7 +113,7 @@ LEAF = -1  # sklearn TREE_LEAF / TREE_UNDEFINED = -1/-2; leaves use -1
 
 def make_tree(nodes, values, n_features=3, n_classes=2):
     """nodes: list of (left, right, feature, threshold); values: list of
-    [count_class0, count_class1] per node."""
+    per-class counts per node."""
     t = Tree(n_features, np.array([n_classes], dtype=np.intp), 1)
     arr = np.zeros(len(nodes), dtype=NODE_DTYPE)
     depth = 0
@@ -133,7 +133,7 @@ def make_tree(nodes, values, n_features=3, n_classes=2):
         max_depth=3,
         n_features_in_=n_features,
         n_outputs_=1,
-        classes_=np.array([0, 1], dtype=np.int64),
+        classes_=np.arange(n_classes, dtype=np.int64),
         n_classes_=n_classes,
         tree_=t,
     )
@@ -166,6 +166,12 @@ TREES = [
 ]
 
 
+def _dump(rf, out_path):
+    with open(out_path, "wb") as fh:
+        pickle.dump(rf, fh, protocol=4)
+    print(f"wrote {out_path}")
+
+
 def main(out_path):
     rf = RandomForestClassifier()
     rf.__dict__.update(
@@ -181,10 +187,52 @@ def main(out_path):
         estimators_=TREES,
         _sklearn_version="1.4.2",
     )
-    with open(out_path, "wb") as fh:
-        pickle.dump(rf, fh, protocol=4)
-    print(f"wrote {out_path}")
+    _dump(rf, out_path)
+
+
+def main_many(out_path, n_classes=12):
+    """The MANY-CLASS fixture (sklearn_rf12.pkl): 2 stumps over 12 classes.
+    SkForestSpec uses it to pin that the converter handles arbitrary class
+    counts and that the scorer's argmax stays a LINEAR-size plan (the
+    running-best fold it replaced grew O(2^C)). Leaf design makes the
+    expectations hand-checkable: (0.3,0.3,*) -> both stumps left -> class 2
+    with prob 1; (0.9,0.9,*) -> right/right -> classes 7 and 11 tie at 0.5
+    -> numpy argmax picks the FIRST maximal index, class 7."""
+    def leaf(idx):
+        v = [0] * n_classes
+        v[idx] = 5
+        return v
+    trees = [
+        make_tree(nodes=[(1, 2, 0, 0.5), (LEAF, LEAF, 0, 0.0),
+                         (LEAF, LEAF, 0, 0.0)],
+                  values=[[1] * n_classes, leaf(2), leaf(7)],
+                  n_classes=n_classes),
+        make_tree(nodes=[(1, 2, 1, 0.5), (LEAF, LEAF, 0, 0.0),
+                         (LEAF, LEAF, 0, 0.0)],
+                  values=[[1] * n_classes, leaf(2), leaf(11)],
+                  n_classes=n_classes),
+    ]
+    rf = RandomForestClassifier()
+    rf.__dict__.update(
+        n_estimators=len(trees),
+        criterion="gini",
+        max_depth=1,
+        bootstrap=True,
+        random_state=0,
+        n_features_in_=3,
+        n_outputs_=1,
+        classes_=np.arange(n_classes, dtype=np.int64),
+        n_classes_=n_classes,
+        estimators_=trees,
+        _sklearn_version="1.4.2",
+    )
+    _dump(rf, out_path)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tools/fixtures/sklearn_rf.pkl")
+    if len(sys.argv) > 1 and sys.argv[1] == "--many":
+        main_many(sys.argv[2] if len(sys.argv) > 2
+                  else "tools/fixtures/sklearn_rf12.pkl")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1
+             else "tools/fixtures/sklearn_rf.pkl")
