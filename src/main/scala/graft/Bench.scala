@@ -84,6 +84,27 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
       name -> sec
     }
+    // Drift-band adjudication, in the artifact itself: the 5 slowest
+    // in-battery queries are re-measured SOLO (fresh sweep, same warm JVM)
+    // so a round-over-round regression adjudicates from one committed
+    // bench.json — an in-battery number that doesn't reproduce solo is
+    // battery drift (cache/GC neighborhood effects), not an operator
+    // change. GRAFT_NO_SOLO=1 skips it for quick local loops.
+    val slowest5 = results.sortBy(-_._2).take(5)
+    val soloPairs =
+      if (sys.env.contains("GRAFT_NO_SOLO")) Seq.empty
+      else slowest5.map { case (name, _) =>
+        sweep()
+        val t0 = System.nanoTime()
+        try picked(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] solo $name failed: ${e.getMessage}") }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] solo $name%-24s $sec%8.3f s")
+        name -> sec
+      }
+    val solo = soloPairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     // The driver's line capture truncates anything near the 91-query full
     // object (r02 AND r03 both came back "parsed": null), so stdout gets a
     // SHORT totals-only line — guaranteed to fit — and the complete
@@ -92,11 +113,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val slowest = results.sortBy(-_._2).take(5)
+    val slowest = slowest5
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"detail":"bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":"$sfDir"}""")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"solo":$solo,"sf":"$sfDir"}"""
     try {
       // a filtered run must not clobber the full-battery artifact
       val out = java.nio.file.Paths.get(
