@@ -946,6 +946,23 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/encoding")
   }
 
+  /** Incremental ADD to a residual-encoded layout — the [[ivfPqAdd]]
+    * contract with residual codes: new vectors encode against the STORED
+    * coarse centroids and residual codebooks (add never retrains) and
+    * append inside their cell directories; the probe sees one homogeneous
+    * layout. */
+  def ivfPqResidualAdd(newVecs: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    require(isResidualLayout(spark, path),
+      s"ivfPqResidualAdd: $path carries no residual encoding marker")
+    val cents = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    residualCoded(newVecs, cents, cbs, idCol, embCol, keepEmb = true)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   /** Query the residual-encoded layout: probed cells → partition
     * IN-filter (directory pruning, nProbe/nlist of the lake read), ADC
     * from the stored codes + inline `_rn2` (cross terms already baked

@@ -302,6 +302,37 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("residual"))
   }
 
+  test("residual ivfpq add: build-then-append equals the one-shot index") {
+    // train/add with residual codes: quantizers train ONCE (even half),
+    // add encodes residuals against the STORED quantizers and appends
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val cents = Ann.seededCentroids(half, nlist = 16)
+    val books = Ann.pqResidualCodebooks(half, cents, m = 4, ksub = 16,
+      dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqres_add_").toString
+    Ann.ivfPqResidualBuild(half, path, nlist = 16, m = 4, ksub = 16,
+      dims = 64, coarse = Some(cents), books = Some(books))
+    val before = spark.read.parquet(s"$path/data").inputFiles.length
+    Ann.ivfPqResidualAdd(rest, path)
+    val after = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(after > before, "append must add files inside the cell layout")
+    val probed = Ann.ivfPqResidualProbe(spark, path, qs, k = 5, nProbe = 4)
+    val oneShot = Ann.ivfPqResidualTopK(qs, emb, k = 5, nlist = 16,
+      nProbe = 4, coarse = Some(cents), books = Some(books))
+    assert(probed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(probed).isEmpty,
+      "append-then-probe must equal the one-shot residual ranking")
+    // a raw layout refuses residual adds too
+    val rawPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rawadd_").toString
+    Ann.ivfPqBuild(half, rawPath, nlist = 16, m = 4, ksub = 16, dims = 64)
+    assertThrows[IllegalArgumentException] {
+      Ann.ivfPqResidualAdd(rest, rawPath)
+    }
+  }
+
   test("sq8: recall vs brute force is near-exact; recon error within grid") {
     val (mn, mx) = Ann.sq8Stats(emb)
     val sq = Ann.sq8TopK(qs, emb, k = 5, stats = Some((mn, mx))).cache()

@@ -116,6 +116,44 @@ class StreamingSpec extends SparkSpec {
       "stream-ingested index diverges from the one-shot index")
   }
 
+  test("E11b streaming ingest into the RESIDUAL layout equals the " +
+    "one-shot residual index") {
+    import spark.implicits._
+    // same daily-ingest stream against the FAISS-default encoding: each
+    // micro-batch encodes residuals with the STORED quantizers
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val cents = graft.sim.Ann.seededCentroids(base, nlist = 16)
+    val books = graft.sim.Ann.pqResidualCodebooks(base, cents, m = 4,
+      ksub = 16, dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_residx_").toString
+    graft.sim.Ann.ivfPqResidualBuild(base, path, nlist = 16, m = 4,
+      ksub = 16, dims = 64, coarse = Some(cents), books = Some(books))
+    val arrivals = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sim.Ann.ivfPqResidualAdd(batch, path)
+      }.start()
+    try {
+      arrivals.grouped((arrivals.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qs = emb.filter(col("vec_id") < 20)
+    val probed = graft.sim.Ann.ivfPqResidualProbe(spark, path, qs, k = 5,
+      nProbe = 4)
+    val oneShot = graft.sim.Ann.ivfPqResidualTopK(qs, emb, k = 5,
+      nlist = 16, nProbe = 4, coarse = Some(cents), books = Some(books))
+    assert(probed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(probed).isEmpty,
+      "stream-ingested residual index diverges from the one-shot index")
+  }
+
   test("E20 streaming postings ingest: foreachBatch InvertedIndex.add " +
     "equals the one-shot index") {
     import spark.implicits._
