@@ -52,6 +52,7 @@ object Bench {
       graft.queries.SimQueries.ivfIndex(spark, sfDir)
       graft.queries.SimQueries.ivfPqIndex(spark, sfDir)
       graft.queries.SimQueries.ivfPqResIndex(spark, sfDir)
+      graft.queries.SimQueries.ivfDelIndex(spark, sfDir)
       graft.queries.SimQueries.invIndex(spark, sfDir)
       graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
     } catch { case e: Throwable =>

@@ -98,6 +98,25 @@ object SimQueries {
       path
     })
 
+  /** The DELETE-lifecycle IVF index for `ann_ivf_delete`, built once per
+    * (JVM, sf dir): build on the full table, delete ids ≡3 (mod 7), FOLD
+    * that delete in via compaction (physical rewrite), then delete ids
+    * ≡5 (mod 11) left as LIVE tombstones — so one probe exercises both
+    * halves of the FAISS remove_ids analog at the hash gate. */
+  private val ivfDelIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfDelIndex(s: SparkSession, d: String): String =
+    ivfDelIndexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfdel_idx_").toString
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfBuild(emb, path, nlist = 16)
+      Ann.ivfDelete(s, path, emb.filter(col("vec_id") % 7 === 3))
+      Ann.ivfCompactDeletes(s, path)
+      Ann.ivfDelete(s, path, emb.filter(col("vec_id") % 11 === 5))
+      path
+    })
+
   /** Per-dim SQ8 stats, trained once per (JVM, sf dir) like [[coarse16]]. */
   private val sq8Cache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Double], Array[Double])]
@@ -349,6 +368,17 @@ object SimQueries {
       Ann.ivfProbe(s, ivfIndex(s, d), qset(s, d), k = 5, nProbe = 4)
     },
 
+    // D86 through the gate: the FAISS remove_ids analog — one probe
+    // against a layout that has BOTH a compacted delete (ids ≡3 mod 7,
+    // physically rewritten out) and live tombstones (ids ≡5 mod 11,
+    // anti-joined at probe time); the oracle replays the same training on
+    // the FULL corpus (delete never retrains) and excludes the deleted
+    // ids from the candidates — tombstone AND compaction semantics are
+    // hash-verified, not just spec-pinned.
+    "ann_ivf_delete" -> { (s, d) =>
+      Ann.ivfProbe(s, ivfDelIndex(s, d), qset(s, d), k = 5, nProbe = 4)
+    },
+
     // D43: semantic decontamination — corpus vs the vec_id<20 benchmark
     // set, max-cosine verdict at τ=0.30, map-only (benchmark = literals).
     "dedup_semantic_decontam" -> { (s, d) =>
@@ -547,7 +577,12 @@ object SimQueries {
        |          i -> CAST($e[i] AS DOUBLE) * c[i]))""".stripMargin
 
   private def ivfOracleSql(nlist: Int, sampleN: Int, iters: Int, dims: Int,
-                           k: Int, nProbe: Int): String = {
+                           k: Int, nProbe: Int,
+                           exclude: Option[String] = None): String = {
+    // `exclude`: a c_id predicate naming DELETED corpus ids — the mirror
+    // of the layout's tombstone anti-join / compaction rewrite (training
+    // replays on the FULL corpus because delete never retrains)
+    val del = exclude.map(e => s" AND NOT ($e)").getOrElse("")
     s"""WITH ${kmeansSql(
          "nc AS (SELECT vec_id AS id, embedding AS e FROM embeddings)",
          nlist, sampleN, iters, dims)},
@@ -567,7 +602,7 @@ object SimQueries {
        |    FROM csc WHERE c_id < 20) WHERE r <= $nProbe),
        |cand AS (
        |  SELECT q_id, qe, c_id, ce
-       |  FROM qp JOIN corp USING (cell) WHERE q_id <> c_id),
+       |  FROM qp JOIN corp USING (cell) WHERE q_id <> c_id$del),
        |sims AS (
        |  SELECT q_id, c_id, ${cosSql("qe", "ce")} AS sim FROM cand),
        |ranked AS (
@@ -1182,6 +1217,13 @@ object SimQueries {
     // centroids — one oracle serves both plans.
     "ann_ivf_probe" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
       dims = 64, k = 5, nProbe = 4),
+
+    // Mirror of the delete-lifecycle probe: identical training replay
+    // (delete never retrains), deleted ids excluded from the candidates
+    // — the union of the compacted set and the live tombstones.
+    "ann_ivf_delete" -> ivfOracleSql(nlist = 16, sampleN = 256, iters = 5,
+      dims = 64, k = 5, nProbe = 4,
+      exclude = Some("c_id % 7 = 3 OR c_id % 11 = 5")),
 
     // Mirrors Ann.lshTopK(k=5, planes=4, tables=8, hammingProbes=1):
     // corpus bucketed once per table; queries probe the base bucket plus
