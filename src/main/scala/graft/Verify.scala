@@ -28,6 +28,7 @@ object Verify {
       // upstream), which turns the heavier per-doc text/dedup expressions
       // into one-core stragglers at larger SF. The explicit shuffle keeps
       // compute on all cores and still lands one file per query dir.
+      System.err.println(s"[verify] $name")
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
