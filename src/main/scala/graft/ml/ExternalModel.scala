@@ -350,31 +350,49 @@ final class ExternalModel(
         raise_error(lit("ml_predict: cube is missing one of bands " +
           input.bands.mkString("[", ",", "]"))).cast("array<double>"))
       .otherwise(feats)
-    // keep dims first, features LAST — the closure below relies on position
+    // keep dims first, features LAST — the closure below relies on
+    // position. `_allnan` flags the nodata shortcut cells (checked on the
+    // RAW features — numpy scaling preserves NaN-ness, so this matches the
+    // reference's post-scale isnan(block).all() test, data_model.py:899).
     val prepped = cube.df.groupBy(keep.map(col): _*)
       .agg(scaleExpr(guarded, cube.df.sparkSession)
-        .cast("array<float>").as("_feats"))
-      .select((keep.map(col) :+ col("_feats")): _*)
+        .cast("array<float>").as("_feats"),
+        forall(guarded, x => isnan(x)).as("_allnan"),
+        element_at(guarded, 1).as("_nanval"))
+      .select((keep.map(col) :+ col("_feats") :+ col("_allnan") :+
+        col("_nanval")): _*)
     val outDim = output.dimOrder.filterNot(_ == "batch")
       .headOption.getOrElse("embedding")
     val outSchema = StructType(
-      prepped.schema.fields.dropRight(1)
+      prepped.schema.fields.dropRight(3)
         :+ StructField(outDim, IntegerType, nullable = false)
         :+ StructField(cube.valueCol, DoubleType, nullable = false))
     val bs = batchSize
     val rt = runtime
     val nKeep = keep.length
-    prepped.mapPartitions { it =>
-      it.grouped(bs).flatMap { batch =>
-        val scored = rt.score(batch.iterator
-          .map(_.getSeq[Float](nKeep).toArray).toArray)
-        batch.iterator.zip(scored.iterator).flatMap { case (r, out) =>
-          val base = r.toSeq.take(nKeep)
-          out.iterator.zipWithIndex.map { case (v, k) =>
-            Row.fromSeq((base :+ k) :+ v.toDouble)
+    val scored = prepped.filter(!col("_allnan")).drop("_allnan", "_nanval")
+      .mapPartitions { it =>
+        it.grouped(bs).flatMap { batch =>
+          val out = rt.score(batch.iterator
+            .map(_.getSeq[Float](nKeep).toArray).toArray)
+          batch.iterator.zip(out.iterator).flatMap { case (r, o) =>
+            val base = r.toSeq.take(nKeep)
+            o.iterator.zipWithIndex.map { case (v, k) =>
+              Row.fromSeq((base :+ k) :+ v.toDouble)
+            }
           }
         }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    // nodata cells expand to a NaN output vector, the model never called.
+    // The NaN is `_nanval` — the RAW first feature (all-NaN under the
+    // filter; the scaled `_feats` could have rewritten it, Spark's
+    // least/greatest clip does not propagate NaN the way numpy does) —
+    // never a lit(NaN): a literal branch would constant-fold into any
+    // downstream int cast and ANSI-fail even on cubes with zero nodata.
+    val empties = prepped.filter(col("_allnan"))
+      .select((keep.map(col) :+
+        explode(typedlit((0 until outputWidth).toArray)).as(outDim) :+
+        col("_nanval").as(cube.valueCol)): _*)
+    scored.unionByName(empties)
   }
 }

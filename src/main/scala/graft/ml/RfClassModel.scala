@@ -98,12 +98,22 @@ final class RfClassModel(
       .otherwise(feats)
     val assembled = cube.df.groupBy(keep.map(col): _*)
       .agg(guarded.as("_features"))
-    val predicted = predict(assembled, "_features").drop("_features")
-    graft.cube.DataCube(
-      predicted.withColumnRenamed("prediction", cube.valueCol)
-        .select((keep.map(col) :+ col(cube.valueCol).cast("double")
-          .as(cube.valueCol)): _*),
-      cube.valueCol)
+    // nodata shortcut (reference data_model.py:899 save_blocks): a cell
+    // whose features are ALL NaN never reaches the model and predicts NaN
+    // — the empty-block sentinel of the dask path, per-row here.
+    val allNan = forall(col("_features"), x => isnan(x))
+    val predicted = predict(assembled.filter(!allNan), "_features")
+      .drop("_features")
+      .withColumnRenamed("prediction", cube.valueCol)
+      .select((keep.map(col) :+ col(cube.valueCol).cast("double")
+        .as(cube.valueCol)): _*)
+    // the NaN comes from the features COLUMN (all-NaN by the filter), not
+    // a literal: a lit(NaN) branch would constant-fold into any downstream
+    // int cast and ANSI-fail even on cubes with zero nodata cells
+    val empties = assembled.filter(allNan)
+      .select((keep.map(col) :+
+        element_at(col("_features"), 1).as(cube.valueCol)): _*)
+    graft.cube.DataCube(predicted.unionByName(empties), cube.valueCol)
   }
 
   def save(path: String): Unit = {

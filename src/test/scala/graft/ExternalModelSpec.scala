@@ -382,6 +382,33 @@ class ExternalModelSpec extends SparkSpec {
       "cube-predict must equal vector-predict")
   }
 
+  test("cube predict: an all-NaN (nodata) cell yields a NaN output vector " +
+       "and the session never sees it (reference empty-block sentinel)") {
+    import graft.ml.SessionRuntime
+    RecordingSession.shapes.clear()
+    val base = StacMlm.load(MlQueries.externalItemPath)
+    val m = new ExternalModel(base.item, 0, 0,
+      Some(new SessionRuntime(new RecordingSession(64, 8), 64, 8)))
+    val emb3 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(3)
+    val nodataId = emb3.agg(min("vec_id")).head().getLong(0)
+    val cube = graft.cube.DataCube(emb3.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        when(col("vec_id") === nodataId, lit(Double.NaN))
+          .otherwise(col("value").cast("double")).as("value")))
+    val out = m.predictCube(cube).cache()
+    assert(out.count() == 3 * 8, "every cell expands to the 8-wide output")
+    val nodataVals = out.filter(col("vec_id") === nodataId)
+      .collect().map(_.getAs[Double]("value"))
+    assert(nodataVals.length == 8 && nodataVals.forall(_.isNaN),
+      "nodata cell must expand to a NaN output vector")
+    // the session scored only the 2 valid rows — the NaN cell never
+    // crossed the tensor boundary
+    val scoredRows = RecordingSession.shapes
+      .toArray(Array.empty[(Long, Long)]).map(_._1).sum
+    assert(scoredRows == 2, s"session saw $scoredRows rows, expected 2")
+  }
+
   test("SessionRuntime: packs batches row-major, honors the session's " +
     "tensor contract (ORT seam)") {
     import graft.ml.{SessionRuntime, TensorSession}

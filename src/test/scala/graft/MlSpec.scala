@@ -76,6 +76,30 @@ class MlSpec extends SparkSpec {
       "cube-predict must equal vector-predict")
   }
 
+  test("cube predict: an all-NaN (nodata) cell predicts NaN, others " +
+       "unchanged (reference empty-block sentinel)") {
+    import org.apache.spark.sql.functions.posexplode
+    val base = emb.limit(20)
+    val nodataId = base.agg(min("vec_id")).head().getLong(0)
+    val cube = graft.cube.DataCube(base.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        when(col("vec_id") === nodataId, lit(Double.NaN))
+          .otherwise(col("value").cast("double")).as("value")))
+    val out = model.predictCube(cube).df
+    assert(out.count() == 20)
+    val nodata = out.filter(col("vec_id") === nodataId).head()
+    assert(java.lang.Double.isNaN(nodata.getAs[Double]("value")),
+      "nodata cell must predict NaN")
+    val others = out.filter(col("vec_id") =!= nodataId)
+      .select(col("vec_id"), col("value").cast("int").as("p"))
+    val direct = MlProcesses.mlPredict(model,
+      base.filter(col("vec_id") =!= nodataId))
+      .select(col("vec_id"), col("prediction").as("p"))
+    assert(others.exceptAll(direct).isEmpty && direct.exceptAll(others).isEmpty,
+      "non-nodata cells must predict exactly as before")
+  }
+
   test("cube predict fails fast on a missing band") {
     import org.apache.spark.sql.functions.posexplode
     val partial = graft.cube.DataCube(emb.select(col("vec_id"),
