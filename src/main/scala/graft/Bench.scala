@@ -92,17 +92,29 @@ object Bench {
     // battery drift (cache/GC neighborhood effects), not an operator
     // change. GRAFT_NO_SOLO=1 skips it for quick local loops.
     val slowest5 = results.sortBy(-_._2).take(5)
+    // ann_ivf_probe rides along: its sf ratio is the one under
+    // adjudication (r9 verdict item 4 — 12.3× at sf0.1→sf1), so every
+    // round's artifact carries its solo number whether or not it lands
+    // in the slowest-5.
+    val soloNames = (slowest5.map(_._1) :+ "ann_ivf_probe")
+      .distinct.filter(picked.contains)
     val soloPairs =
       if (sys.env.contains("GRAFT_NO_SOLO")) Seq.empty
-      else slowest5.map { case (name, _) =>
+      else soloNames.flatMap { name =>
         sweep()
         val t0 = System.nanoTime()
-        try picked(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] solo $name failed: ${e.getMessage}") }
+        // a failed solo run must NOT masquerade as a (typically fast)
+        // valid timing and adjudicate a regression as battery drift —
+        // omit the pair entirely on exception
+        val ok = try { picked(name)(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
+                   false }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] solo $name%-24s $sec%8.3f s")
-        name -> sec
+        if (ok) {
+          System.err.println(f"[bench] solo $name%-24s $sec%8.3f s")
+          Some(name -> sec)
+        } else None
       }
     val solo = soloPairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -117,14 +129,26 @@ object Bench {
     val slowest = slowest5
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":"$sfDir"}""")
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"solo":$solo,"sf":"$sfDir"}"""
+    val fullBody =
+      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"solo":$solo,"sf":"$sfDir"}"""
+    val full = "{" + fullBody
     try {
       // a filtered run must not clobber the full-battery artifact
       val out = java.nio.file.Paths.get(
         if (only.isDefined) "bench_only.json" else "bench.json")
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query timings -> ${out.toAbsolutePath}")
+      // bench.json is overwritten each run, which made round-over-round
+      // per-query diffs impossible beyond the slowest-5 (r9 verdict item
+      // 3) — full-battery runs ALSO append to a committed history log so
+      // regression diffs are mechanical across rounds
+      if (only.isEmpty) {
+        val stamped = s"""{"ts":${System.currentTimeMillis()},$fullBody"""
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+          (stamped + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }

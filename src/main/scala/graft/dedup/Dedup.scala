@@ -316,13 +316,65 @@ object Dedup {
       threshold: Double = 0.9, idCol: String = "doc_id"): DataFrame = {
     val tagged = candidates.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as(idCol))
-    val agg = sh.select(col(idCol), col("_shs"))
-      .join(broadcast(tagged), Seq(idCol))
-      .groupBy("doc_a", "doc_b").agg(
-        first(when(col(idCol) === col("doc_a"), col("_shs")),
-          ignoreNulls = true).as("_sha"),
-        first(when(col(idCol) === col("doc_b"), col("_shs")),
-          ignoreNulls = true).as("_shb"))
+    containScores(sh.select(col(idCol), col("_shs"))
+      .join(broadcast(tagged), Seq(idCol)), threshold, idCol)
+  }
+
+  /** Dense-regime twin of [[containmentFrom]] — the [[jaccardDenseFrom]]
+    * plan shape applied to Broder's containment pair: when the candidate
+    * PAIR list outgrows a sane broadcast (high true-duplicate density),
+    * broadcast only the distinct member-ID SET as a semi-join filter on
+    * the shingled corpus and shuffle the surviving members against the
+    * pair list by id — O(members + pairs), never O(corpus) and never
+    * O(pairs) on the driver. Same rows as the broadcast form (parity
+    * spec-pinned), same oracle.
+    */
+  private[graft] def containmentDenseFrom(sh: DataFrame,
+      candidates: DataFrame, threshold: Double = 0.9,
+      idCol: String = "doc_id"): DataFrame = {
+    val tagged = candidates.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val members = tagged.select(col(idCol)).distinct()
+    val pruned = sh.select(col(idCol), col("_shs"))
+      .join(broadcast(members), Seq(idCol), "left_semi")
+    containScores(pruned.join(tagged.hint("shuffle_hash"), Seq(idCol)),
+      threshold, idCol)
+  }
+
+  /** Adaptive containment: the [[jaccardAuto]] measured regime switch for
+    * [[containment]] — count the persisted candidate pairs once and route
+    * below `densePairs` to the broadcast-pairs plan, above it to the
+    * member-semi-join [[containmentDenseFrom]]. Both plans return
+    * identical rows, so the switch is invisible to the oracle. */
+  def containmentAuto(docs: DataFrame, candidates: DataFrame, w: Int = 4,
+      threshold: Double = 0.9, idCol: String = "doc_id",
+      textCol: String = "text", densePairs: Long = 1000000L): DataFrame =
+    containmentAutoFrom(shingledDistinct(docs, w, idCol, textCol),
+      candidates, threshold, idCol, densePairs)
+
+  /** [[containmentAuto]] over a pre-shingled corpus (idCol, `_shs`) —
+    * same pinned-candidates contract as [[jaccardAutoFrom]]; `pin=false`
+    * when the caller already pinned the candidate source. */
+  private[graft] def containmentAutoFrom(sh: DataFrame,
+      candidates: DataFrame, threshold: Double = 0.9,
+      idCol: String = "doc_id", densePairs: Long = 1000000L,
+      pin: Boolean = true): DataFrame = {
+    val pinned =
+      if (pin) graft.core.CacheScope.pin(candidates) else candidates
+    val dense = pinned.count() >= densePairs
+    if (dense) containmentDenseFrom(sh, pinned, threshold, idCol)
+    else containmentFrom(sh, pinned, threshold, idCol)
+  }
+
+  /** Shared containment tail: regroup (pair, member-shingles) rows to one
+    * row per pair and score C(A→B), C(B→A), and Jaccard. */
+  private def containScores(joined: DataFrame, threshold: Double,
+                            idCol: String): DataFrame = {
+    val agg = joined.groupBy("doc_a", "doc_b").agg(
+      first(when(col(idCol) === col("doc_a"), col("_shs")),
+        ignoreNulls = true).as("_sha"),
+      first(when(col(idCol) === col("doc_b"), col("_shs")),
+        ignoreNulls = true).as("_shb"))
     val nInter = size(array_intersect(col("_sha"), col("_shb")))
     val cAb = nInter.cast("double") / size(col("_sha"))
     val cBa = nInter.cast("double") / size(col("_shb"))

@@ -193,6 +193,100 @@ case class DotProductDD(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** argmin over a centroid MATRIX: the cell id of the nearest centroid
+  * under L2, scored as |c|² − 2·x·c (monotone in distance — ‖x‖² is
+  * shared and dropped). This is the codegen-splittable form of
+  * `array_min(array(struct(d_0,0), …, struct(d_{nlist−1},nlist−1)))`:
+  * the literal-unrolled array form generates O(nlist·dims) source in ONE
+  * janino method and blows the 64 KB limit at nlist=128 (Spark then
+  * falls back to interpreted evaluation — SURVEY.md's round-9 known
+  * issue), while this expression holds the matrix as a reference object
+  * and generates one fixed-size doubly-nested loop — O(1) code for any
+  * nlist, which is what a lake-scale quantizer (nlist in the thousands)
+  * needs.
+  *
+  * Bit-exactness with the array_min form (the cross-engine oracle
+  * contract): per centroid, |c|² folds dimension-ascending at
+  * CONSTRUCTION time (same fold the plan-literal performed) and the
+  * mixed-width dot replays DotProductFD's sequential
+  * double(float)·double accumulation; the argmin replays the struct
+  * ordering — Spark's double compare (NaN greatest, −0.0 = 0.0, via
+  * the `x == y` short-circuit then `Double.compare`) with ties falling
+  * to the smaller cell id.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  // |c|² per centroid, dimension-ascending sequential fold (identical to
+  // the fold the plan-literal c2 performed driver-side)
+  private lazy val c2: Array[Double] = cents.map { c =>
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = 0.0
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(x.numElements(), c.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += x.getFloat(j).toDouble * c(j); j += 1 }
+      val d = c2(ci) - 2.0 * dot
+      // Spark double ordering: x == y short-circuit makes −0.0 tie 0.0,
+      // Double.compare puts NaN above every real; ties keep the first
+      // (smallest) cell id — array_min's lexicographic struct order
+      if (ci == 0 ||
+          (if (d == bestD) 0 else java.lang.Double.compare(d, bestD)) < 0) {
+        bestD = d; best = ci
+      }
+      ci += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+      val ci = ctx.freshName("ci"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d"); val c = ctx.freshName("c")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $best = 0;
+         |double $bestD = 0.0;
+         |for (int $ci = 0; $ci < $cRef.length; $ci++) {
+         |  double[] $c = $cRef[$ci];
+         |  int $n = Math.min($a.numElements(), $c.length);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $a.getFloat($j) * $c[$j];
+         |  }
+         |  double $d = $c2Ref[$ci] - 2.0 * $dot;
+         |  int $cmp = ($d == $bestD) ? 0 : java.lang.Double.compare($d, $bestD);
+         |  if ($ci == 0 || $cmp < 0) { $bestD = $d; $best = $ci; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import GraftBridge.{toColumn, toExpression}
   private def f(c: Column): Column = c.cast("array<float>")
@@ -207,4 +301,6 @@ object VectorFunctions {
   def dotDD(a: Column, b: Column): Column =
     toColumn(DotProductDD(toExpression(a.cast("array<double>")),
       toExpression(b.cast("array<double>"))))
+  def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column =
+    toColumn(NearestCentroid(toExpression(f(emb)), cents))
 }

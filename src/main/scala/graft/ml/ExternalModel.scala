@@ -341,10 +341,12 @@ final class ExternalModel(
     require(featureWidth == input.bands.length,
       s"ml_predict: cube predict supports 1-D feature models; input " +
         s"declares ${input.bands.length} bands but width $featureWidth")
+    // max, not first: deterministic pivot (partition-order-invariant; on
+    // duplicate (dims, band) rows with mixed NaN the NaN wins — the
+    // conservative nodata-ward resolution). See RfClassModel.predictCube.
     val feats = array(input.bands.map { name =>
       val alts = graft.cube.BandAliases.alternatives(name).map(_.toLowerCase)
-      first(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol),
-        ignoreNulls = true)
+      max(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol))
     }: _*)
     val guarded = when(exists(feats, _.isNull),
         raise_error(lit("ml_predict: cube is missing one of bands " +
@@ -370,29 +372,40 @@ final class ExternalModel(
     val bs = batchSize
     val rt = runtime
     val nKeep = keep.length
-    val scored = prepped.filter(!col("_allnan")).drop("_allnan", "_nanval")
-      .mapPartitions { it =>
-        it.grouped(bs).flatMap { batch =>
-          val out = rt.score(batch.iterator
-            .map(_.getSeq[Float](nKeep).toArray).toArray)
-          batch.iterator.zip(out.iterator).flatMap { case (r, o) =>
-            val base = r.toSeq.take(nKeep)
-            o.iterator.zipWithIndex.map { case (v, k) =>
-              Row.fromSeq((base :+ k) :+ v.toDouble)
+    val ow = outputWidth
+    // ONE pass: the nodata split happens INSIDE the scoring stage —
+    // `prepped` (built on first(...) pivots, non-deterministic under
+    // duplicate (dims, band) rows with mixed NaN) is evaluated exactly
+    // once, so a cell can never land in both or neither branch the way
+    // two complementary filters over separate plan subtrees could.
+    // Nodata cells expand to a NaN output vector, the model never called.
+    // The NaN is `_nanval` — the RAW first feature (all-NaN by the flag;
+    // the scaled `_feats` could have rewritten it, Spark's least/greatest
+    // clip does not propagate NaN the way numpy does) — never a lit(NaN):
+    // a literal branch would constant-fold into any downstream int cast
+    // and ANSI-fail even on cubes with zero nodata.
+    prepped.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val (nan, real) = batch.partition(_.getBoolean(nKeep + 1))
+        val realOut: Iterator[Row] =
+          if (real.isEmpty) Iterator.empty
+          else {
+            val out = rt.score(real.iterator
+              .map(_.getSeq[Float](nKeep).toArray).toArray)
+            real.iterator.zip(out.iterator).flatMap { case (r, o) =>
+              val base = r.toSeq.take(nKeep)
+              o.iterator.zipWithIndex.map { case (v, k) =>
+                Row.fromSeq((base :+ k) :+ v.toDouble)
+              }
             }
           }
+        val nanOut = nan.iterator.flatMap { r =>
+          val base = r.toSeq.take(nKeep)
+          val nv = r.getDouble(nKeep + 2)
+          (0 until ow).iterator.map(k => Row.fromSeq((base :+ k) :+ nv))
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-    // nodata cells expand to a NaN output vector, the model never called.
-    // The NaN is `_nanval` — the RAW first feature (all-NaN under the
-    // filter; the scaled `_feats` could have rewritten it, Spark's
-    // least/greatest clip does not propagate NaN the way numpy does) —
-    // never a lit(NaN): a literal branch would constant-fold into any
-    // downstream int cast and ANSI-fail even on cubes with zero nodata.
-    val empties = prepped.filter(col("_allnan"))
-      .select((keep.map(col) :+
-        explode(typedlit((0 until outputWidth).toArray)).as(outDim) :+
-        col("_nanval").as(cube.valueCol)): _*)
-    scored.unionByName(empties)
+        realOut ++ nanOut
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

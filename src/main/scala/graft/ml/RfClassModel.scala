@@ -85,10 +85,17 @@ final class RfClassModel(
     val b = cube.requireDim(cube.bandDim, "bands")
     val keep = cube.dims.filterNot(_ == b)
     val vcol = col(cube.valueCol)
+    // max, not first: a deterministic pivot. first() re-evaluated across
+    // the two nodata branches below could disagree on a cell holding
+    // duplicate (dims, band) rows with mixed NaN/non-NaN values (the cell
+    // would land in both or neither branch), and its pick depends on
+    // partition order. max ignores nulls the same way, is identical on
+    // well-formed cubes (one row per (dims, band)), and on poisoned
+    // duplicates resolves NaN-dominant (Spark orders NaN greatest) — the
+    // conservative choice, routing the cell to the nodata path.
     val feats = array(spec.bands.map { name =>
       val alts = graft.cube.BandAliases.alternatives(name).map(_.toLowerCase)
-      first(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol),
-        ignoreNulls = true)
+      max(when(lower(col(b)).isin(alts: _*) || col(b) === name, vcol))
     }: _*)
     // missing band for a cell-group → null element → fail at execution time
     // (reference raises on dimension/band mismatch before predicting)

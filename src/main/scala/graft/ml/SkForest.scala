@@ -77,28 +77,44 @@ object SkForest {
     * sklearn forest asset (see [[StacMlm.loadSkForest]]). */
   val Framework = "graft-sk-forest"
 
-  /** Score the documents table's quality features with a converted
-    * sklearn forest — the reference's pickled-model predict over a
-    * feature table (scikit_learn_model.py:53), shared VERBATIM by the
+  /** Score a feature table with a converted sklearn forest — the
+    * reference's pickled-model predict over any feature table
+    * (scikit_learn_model.py:53), shared VERBATIM by the
     * `ml_sklearn_predict` query and the `process_graph_sklearn` graph
     * twin so both land on one oracle. `bands` is the model's declared
-    * mlm:input band list; it must name the quality-feature columns. */
+    * mlm:input band list: when the input table already carries those
+    * columns they are scored DIRECTLY (the reference accepts any feature
+    * table — the declared bands bind, they are not decorative); only when
+    * they are absent and the item declares the quality-feature bands
+    * x1,x2,x3 are they derived from a raw documents table via
+    * [[RidgeProbe.qualityFeatures]] (the fixture pipeline's convenience
+    * path). */
   def scoreDocuments(docs: org.apache.spark.sql.DataFrame, forest: Forest,
                      bands: Seq[String]): org.apache.spark.sql.DataFrame = {
-    require(bands == Seq("x1", "x2", "x3"),
-      s"graft-sk-forest scoring runs on the quality-feature bands " +
-        s"x1,x2,x3; the item declares $bands")
     require(forest.nFeatures == bands.size,
       s"model expects ${forest.nFeatures} features, item declares " +
         s"${bands.size} bands")
     val xs = bands.map(col)
-    val feats = RidgeProbe.qualityFeatures(docs)
+    val feats =
+      if (bands.forall(docs.columns.contains)) docs
+      else {
+        require(bands == Seq("x1", "x2", "x3"),
+          s"graft-sk-forest scoring: input table lacks the declared band " +
+            s"columns $bands and no derivation is known (only the " +
+            s"quality-feature bands x1,x2,x3 derive from a raw documents " +
+            s"table)")
+        RidgeProbe.qualityFeatures(docs)
+      }
     val scored = forest.classes.indices.foldLeft(feats) { (df, c) =>
       df.withColumn(s"p$c", probCol(forest, c, xs))
     }
     val ps = forest.classes.indices.map(c => col(s"p$c"))
+    // id/label passthroughs kept when present (the documents pipeline
+    // carries both; a bare feature table may carry neither)
+    val idKeep = Seq("doc_id").filter(feats.columns.contains).map(col)
+    val yKeep = Seq("y").filter(feats.columns.contains).map(col)
     scored.withColumn("pred", predictCol(forest, ps))
-      .select(col("doc_id") +: xs ++: (col("y") +: ps :+ col("pred")): _*)
+      .select(idKeep ++ xs ++ yKeep ++ ps :+ col("pred"): _*)
   }
 
   /** Per-tree class-`c` probability: the nested literal CASE chain from

@@ -116,9 +116,13 @@ object StacMlm {
     * download takes (load_model.py:21 + scikit_learn_model.py:53) and
     * scored natively by [[SkForest]]. Returns the forest plus the item's
     * declared input bands (feature column names for scoring). */
-  def loadSkForest(uri: String, modelAsset: Option[String] = None)
+  def loadSkForest(uri: String, modelAsset: Option[String] = None,
+                   itemJson: Option[String] = None)
       : (SkForest.Forest, Seq[String]) = {
-    val item = parseItem(graft.sources.Remote.readString(uri), modelAsset)
+    // itemJson: the caller may already hold the fetched item (the graph's
+    // framework sniff) — don't fetch and parse the same URI twice
+    val item = parseItem(
+      itemJson.getOrElse(graft.sources.Remote.readString(uri)), modelAsset)
     require(item.framework.equalsIgnoreCase(SkForest.Framework),
       s"load_stac_ml: expected an mlm:framework of ${SkForest.Framework}, " +
         s"got '${item.framework}'")

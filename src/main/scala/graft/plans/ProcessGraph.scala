@@ -542,10 +542,11 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       else {
         val uri = args.get("model").asText()
         if (uri.endsWith(".json")) {
-          val framework = graft.ml.StacMlm
-            .parseItem(graft.sources.Remote.readString(uri)).framework
+          val itemJson = graft.sources.Remote.readString(uri)
+          val framework = graft.ml.StacMlm.parseItem(itemJson).framework
           if (framework.equalsIgnoreCase(graft.ml.SkForest.Framework)) {
-            val (forest, bands) = graft.ml.StacMlm.loadSkForest(uri)
+            val (forest, bands) = graft.ml.StacMlm.loadSkForest(uri,
+              itemJson = Some(itemJson))
             graft.ml.SkForest.scoreDocuments(docsArg(args, evalNode),
               forest, bands)
           } else {
@@ -848,7 +849,7 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
       // pinned, released at the harness/service materialization barrier
       val shared = graft.core.CacheScope.pin(
         graft.dedup.Dedup.shingledDistinct(docsArg(args, evalNode)))
-      graft.dedup.Dedup.containmentFrom(shared,
+      graft.dedup.Dedup.containmentAutoFrom(shared,
         graft.dedup.Dedup.minhashCandidates(
             graft.dedup.Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"),

@@ -222,11 +222,14 @@ object DedupQueries {
     // D76: asymmetric containment — the truncated variants are ~fully
     // contained in their originals even where symmetric Jaccard dips, the
     // quote/truncation signal a resemblance threshold alone misses.
-    // Same single shingle pass as dedup_jaccard.
+    // Same single shingle pass as dedup_jaccard; verification routes
+    // through containmentAuto (the jaccardAuto measured regime switch —
+    // the sf1 replica's ~4M pairs pick the dense member-semi-join plan
+    // instead of broadcasting 2 tagged rows per pair).
     "dedup_containment" -> { (s, d) =>
       val shared = graft.core.CacheScope.pin(
         Dedup.shingledDistinct(nearCorpus(s, d)))
-      Dedup.containmentFrom(shared,
+      Dedup.containmentAutoFrom(shared,
         Dedup.minhashCandidates(Dedup.minhashSignaturesFrom(shared))
           .select("doc_a", "doc_b"))
     },

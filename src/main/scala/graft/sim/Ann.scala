@@ -375,7 +375,21 @@ object Ann {
         .as("d"), lit(i).as("i"))
     }
 
+  /** Nearest-cell assignment. Routed through the native
+    * [[graft.functions.NearestCentroid]] expression (matrix as a codegen
+    * reference object, one fixed-size nested loop) instead of the
+    * literal-unrolled `array_min(array(centScores…))` form, whose
+    * O(nlist·dims) generated source blew janino's 64 KB method limit at
+    * nlist=128 (`embed_knn_graph`) and fell back to interpreted
+    * evaluation. Bit-identical scoring and tie-break — parity pinned in
+    * AnnSpec against the unrolled form. */
   private[sim] def cellOf(cents: Array[Array[Double]],
+                     emb: org.apache.spark.sql.Column) =
+    graft.functions.VectorFunctions.nearestCentroid(emb, cents)
+
+  /** The round-9 literal-unrolled assignment form — kept as the parity
+    * twin the AnnSpec pins [[cellOf]] against. */
+  private[sim] def cellOfUnrolled(cents: Array[Array[Double]],
                      emb: org.apache.spark.sql.Column) =
     array_min(array(centScores(cents, emb): _*)).getField("i")
 
@@ -1207,21 +1221,38 @@ object Ann {
       substring(b, 1, p),
       when(substring(b, p + 1, 1) === "1", "0").otherwise("1"),
       substring(b, p + 2, planes - p - 1))
-    def buckets(emb: org.apache.spark.sql.Column, probes: Int) =
-      array((0 until tables).flatMap { t =>
-        val base = Dedup.lshBucket(emb, planes, seed = s"$t/")
+    // Two-projection shape: the per-table base signature is computed ONCE
+    // as a named column, and the flip fan-out references that column. The
+    // round-9 form embedded the full base expression in every flip's
+    // three substrings — tables·(1+planes)·3 sign-LSH signatures inlined
+    // into ONE projection, past janino's 64 KB method limit on the query
+    // side (interpreted fallback). A multiply-referenced non-cheap column
+    // is exactly what CollapseProject refuses to inline, so the split
+    // survives optimization and each stage codegens.
+    def withBases(df: DataFrame, emb: org.apache.spark.sql.Column,
+                  keep: Seq[org.apache.spark.sql.Column]) =
+      df.select(keep ++ (0 until tables).map(t =>
+        Dedup.lshBucket(emb, planes, seed = s"$t/").as(s"_b$t")): _*)
+    def explodeBuckets(df: DataFrame, probes: Int,
+                       keep: Seq[org.apache.spark.sql.Column]) = {
+      val arr = array((0 until tables).flatMap { t =>
+        val base = col(s"_b$t")
         val bs =
           if (probes == 0) Seq(base)
           else base +: (0 until planes).map(p => flip(base, p))
         bs.map(b => struct(lit(t).as("t"), b.as("bucket")))
       }: _*)
-    val bucketed = corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
-      explode(buckets(col(embCol), 0)).as("tb"))
-      .select(col("c_id"), col("_c_emb"), col("tb.t"), col("tb.bucket"))
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(embCol).as("_q_emb"),
-      explode(buckets(col(embCol), hammingProbes)).as("tb"))
-      .select(col("q_id"), col("_q_emb"), col("tb.t"), col("tb.bucket")))
+      df.select(keep :+ explode(arr).as("tb"): _*)
+        .select(keep ++ Seq(col("tb.t"), col("tb.bucket")): _*)
+    }
+    val bucketed = explodeBuckets(
+      withBases(corpus, col(embCol),
+        Seq(col(idCol).as("c_id"), col(embCol).as("_c_emb"))),
+      0, Seq(col("c_id"), col("_c_emb")))
+    val q = broadcast(explodeBuckets(
+      withBases(queries, col(embCol),
+        Seq(col(idCol).as("q_id"), col(embCol).as("_q_emb"))),
+      hammingProbes, Seq(col("q_id"), col("_q_emb"))))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     bucketed.join(q, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("c_id"))

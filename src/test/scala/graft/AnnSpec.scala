@@ -18,6 +18,32 @@ class AnnSpec extends SparkSpec {
   private lazy val lsh = Ann.lshTopK(qs, emb, k = 5, planes = 4, tables = 8)
     .cache()
 
+  test("native NearestCentroid equals the unrolled array_min form (128 cells)") {
+    // the codegen-splittable assignment (reference-object matrix, fixed
+    // nested loop) must land on EXACTLY the cell the round-9 literal-
+    // unrolled expression picked — at the nlist that used to blow the
+    // janino 64 KB method limit, and on a degenerate tie fixture
+    val cents = Ann.seededCentroids(emb, nlist = 128)
+    val both = emb.select(
+      graft.sim.AnnTestAccess.cellOf(cents, col("embedding")).as("a"),
+      graft.sim.AnnTestAccess.cellOfUnrolled(cents, col("embedding")).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0,
+      "native nearest-centroid diverges from the unrolled form")
+    // tie fixture: duplicated centroids -> equal distances -> both forms
+    // must keep the SMALLEST cell id
+    import spark.implicits._
+    val dupCents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val tie = Seq(Seq(1.0f, 0.1f), Seq(0.1f, 1.0f), Seq(0.7f, 0.7f))
+      .toDF("embedding")
+    val t = tie.select(
+      graft.sim.AnnTestAccess.cellOf(dupCents, col("embedding")).as("a"),
+      graft.sim.AnnTestAccess.cellOfUnrolled(dupCents, col("embedding")).as("b"))
+      .collect()
+    t.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"tie-break diverges: native ${r.getInt(0)} vs unrolled ${r.getInt(1)}"))
+    assert(t.head.getInt(0) == 0, "duplicate-centroid tie must keep cell 0")
+  }
+
   test("brute-force top-k: 5 contiguous ranks per query, sims non-increasing") {
     val perQ = bf.groupBy("q_id")
       .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))

@@ -7,6 +7,8 @@ import org.apache.spark.sql.Column
 object AnnTestAccess {
   def cellOf(cents: Array[Array[Double]], emb: Column): Column =
     Ann.cellOf(cents, emb)
+  def cellOfUnrolled(cents: Array[Array[Double]], emb: Column): Column =
+    Ann.cellOfUnrolled(cents, emb)
   def probesOf(cents: Array[Array[Double]], emb: Column, nProbe: Int): Column =
     Ann.probesOf(cents, emb, nProbe)
 }

@@ -88,6 +88,29 @@ class DedupSpec extends SparkSpec {
       "auto (forced dense regime) diverges")
   }
 
+  test("containmentAuto matches containment in both regimes") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(150)
+    val t = split(col("text"), " ")
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3))))
+        .as("text")))
+    val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(corpus))
+      .select("doc_a", "doc_b")
+    val a = Dedup.containment(corpus, cand)
+    assert(a.count() > 0, "no pairs verified — fixture broke")
+    // auto default (broadcast regime on this fixture) and forced dense
+    // (densePairs=1) must both land on the broadcast form's exact rows
+    val auto = Dedup.containmentAuto(corpus, cand)
+    val forced = Dedup.containmentAuto(corpus, cand, densePairs = 1L)
+    assert(auto.exceptAll(a).isEmpty && a.exceptAll(auto).isEmpty,
+      "containmentAuto (broadcast regime) diverges")
+    assert(forced.exceptAll(a).isEmpty && a.exceptAll(forced).isEmpty,
+      "containmentAuto (forced dense regime) diverges")
+  }
+
   test("keepBest: one survivor per cluster, and quality outranks min-id") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sfDir)

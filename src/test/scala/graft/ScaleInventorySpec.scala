@@ -51,10 +51,17 @@ class ScaleInventorySpec extends AnyFunSuite {
     } finally stream.close()
   }
 
+  /** SCALE.md refs omit the `graft/` package root; resolve to the exact
+    * relative path. EXACT equality, not endsWith — a suffix match would
+    * let a same-suffix file (`foo/sub/dedup/Dedup.scala`) silently
+    * satisfy a `dedup/Dedup.scala` inventory row. */
+  private def sameFile(rel: String, documentedFile: String): Boolean =
+    rel == documentedFile || rel == s"graft/$documentedFile"
+
   private def assertInventoried(found: Seq[(String, Int)],
                                 what: String): Unit = {
     val missing = found.filterNot { case (f, l) =>
-      documented.exists { case (df, dl) => f.endsWith(df) && dl == l }
+      documented.exists { case (df, dl) => sameFile(f, df) && dl == l }
     }
     assert(missing.isEmpty,
       s"$what sites NOT in SCALE.md's inventory (a new site is a scale " +
@@ -79,7 +86,7 @@ class ScaleInventorySpec extends AnyFunSuite {
        "construct") {
     documented.foreach { case (f, l) =>
       val file = java.nio.file.Files.walk(mainSrc).iterator().asScala
-        .find(_.toString.endsWith(f))
+        .find(p => sameFile(mainSrc.relativize(p).toString, f))
       assert(file.isDefined, s"SCALE.md references $f which no longer exists")
       val lines = java.nio.file.Files.readAllLines(file.get)
       assert(l >= 1 && l <= lines.size(),

@@ -106,6 +106,40 @@ class SkForestSpec extends SparkSpec {
     assert(drift < 1e-12)
   }
 
+  test("declared bands bind: a table carrying them scores directly, " +
+      "any column names") {
+    // the reference's pickle predict accepts ANY feature table — when the
+    // input already has the item's declared band columns they are scored
+    // as-is (no silent re-derivation), and arbitrary band names work
+    val forest = graft.ml.SkForest.loadFixture()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val feats = graft.ml.RidgeProbe.qualityFeatures(docs)
+    val derived = graft.ml.SkForest.scoreDocuments(docs, forest,
+      Seq("x1", "x2", "x3"))
+    // feats already carries x1..x3 -> direct path; rows must be identical
+    val direct = graft.ml.SkForest.scoreDocuments(feats, forest,
+      Seq("x1", "x2", "x3"))
+    assert(direct.exceptAll(derived).isEmpty &&
+      derived.exceptAll(direct).isEmpty,
+      "direct-band scoring diverges from the derived-feature path")
+    // renamed bands: same features under different names, same probs/pred
+    val renamed = feats.withColumnRenamed("x1", "a")
+      .withColumnRenamed("x2", "b").withColumnRenamed("x3", "c")
+    val viaNames = graft.ml.SkForest.scoreDocuments(renamed, forest,
+      Seq("a", "b", "c"))
+    assert(viaNames.columns.toSeq ==
+      Seq("doc_id", "a", "b", "c", "y", "p0", "p1", "pred"))
+    val lhs = viaNames.select(col("doc_id"), col("p0"), col("p1"), col("pred"))
+    val rhs = derived.select(col("doc_id"), col("p0"), col("p1"), col("pred"))
+    assert(lhs.exceptAll(rhs).isEmpty && rhs.exceptAll(lhs).isEmpty,
+      "renamed-band scoring diverges")
+    // a bare feature table (no doc_id/y) still scores
+    val bare = graft.ml.SkForest.scoreDocuments(
+      feats.select("x1", "x2", "x3"), forest, Seq("x1", "x2", "x3"))
+    assert(bare.columns.toSeq == Seq("x1", "x2", "x3", "p0", "p1", "pred"))
+    assert(bare.count() == derived.count())
+  }
+
   test("12-class conversion scores with a linear-size argmax plan") {
     // the reference predicts arbitrary class counts
     // (scikit_learn_model.py:53); the argmax must stay linear in C — the
