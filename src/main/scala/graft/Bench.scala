@@ -55,6 +55,8 @@ object Bench {
       graft.queries.SimQueries.ivfDelIndex(spark, sfDir)
       graft.queries.SimQueries.invIndex(spark, sfDir)
       graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
+      graft.queries.SimQueries.invStreamIndex(spark, sfDir)
+      graft.queries.MlQueries.nbScored(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")
     }

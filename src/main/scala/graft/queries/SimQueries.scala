@@ -431,6 +431,21 @@ object SimQueries {
     "search_index_lifecycle" -> { (s, d) =>
       InvertedIndex.query(s, invLifecycleIndex(s, d),
         Seq("hash", "merge", "window"), topN = 20)
+    },
+
+    // E20 through the gate: the STREAMED-ingest twin of
+    // search_index_probe. A quarter of the corpus is indexed one-shot;
+    // the rest arrives as a Structured Streaming file source (one file
+    // per micro-batch) whose foreachBatch runs InvertedIndex.add — each
+    // batch appends its postings inside the term-bucket dirs plus one
+    // stats partial, never rewriting. The query path must then see one
+    // homogeneous layout: this key shares text_search_lexical's hash
+    // oracle VERBATIM, so the whole streamed lifecycle (batch splits,
+    // append bookkeeping, stats partial merges) is hash-gated the way
+    // E11b gated residual streaming add — not just spec-pinned.
+    "search_index_stream" -> { (s, d) =>
+      InvertedIndex.query(s, invStreamIndex(s, d),
+        Seq("hash", "merge", "window"), topN = 20)
     }
   )
 
@@ -444,6 +459,36 @@ object SimQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft_inv_idx_").toString
       InvertedIndex.build(Tables.documents(s, d), path, nBuckets = 16)
+      path
+    })
+
+  /** The stream-ingested index for `search_index_stream`, built once per
+    * (JVM, sf dir): base quarter one-shot, the rest micro-batched through
+    * a file-source stream (one staged file per trigger — no driver-side
+    * corpus collect) whose foreachBatch appends via [[InvertedIndex.add]].
+    */
+  private val invStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def invStreamIndex(s: SparkSession, d: String): String =
+    invStreamCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_inv_stream_").toString
+      val docs = Tables.documents(s, d)
+      InvertedIndex.build(docs.filter(col("doc_id") % 4 === 0), path,
+        nBuckets = 16)
+      val arrivals = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_inv_stream_arrivals_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          InvertedIndex.add(batch, path)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
       path
     })
 
@@ -1478,7 +1523,10 @@ object SimQueries {
     // Lifecycle mirror: the direct BM25 over the LIVE corpus (everything
     // except the deleted doc_id % 7 == 0 set) — build/add split, stats
     // partials, tombstones and compaction must all cancel out exactly.
-    "search_index_lifecycle" -> lexSql("doc_id % 7 <> 0")
+    "search_index_lifecycle" -> lexSql("doc_id % 7 <> 0"),
+    // the streamed ingest must land on the SAME ranking as the one-shot
+    // index over the full corpus — text_search_lexical's oracle verbatim
+    "search_index_stream" -> lexSql("TRUE")
   )
 
   /** The D51 BM25-shape CTE chain over `documents WHERE <live>` — the

@@ -116,6 +116,39 @@ object TextQueries {
         col("cb"), col("lift"))
   }
 
+  /** The streamed shard manifest for `corpus_shards_stream`, materialized
+    * once per (JVM, sf dir): the corpus staged as files, replayed as a
+    * micro-batched stream into the complete-mode manifest aggregation,
+    * final store dumped to parquet (the invIndex/nbScored at-rest-fixture
+    * convention — no driver-side corpus collect anywhere). */
+  private val shardStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def shardManifestStream(s: SparkSession, d: String): DataFrame = {
+    val path = shardStreamCache.getOrElseUpdate(d, {
+      val arrivals = docs(s, d).select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_shard_stream_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val name = "graft_shard_manifest_" +
+        java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val q = graft.sources.Shards.manifest(
+          s.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage),
+          nShards = 8, seed = "s42")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shard_manifest_").toString
+      try {
+        q.processAllAvailable()
+        s.table(name).write.mode("overwrite").parquet(out)
+      } finally q.stop()
+      out
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D10: whitespace + BPE-ish token counting, chars/4 estimator.
@@ -674,6 +707,18 @@ object TextQueries {
       graft.sources.Shards.manifest(docs(s, d), nShards = 8, seed = "s42")
     },
 
+    // E21 through the gate: the STREAMED manifest twin of corpus_shards.
+    // The manifest's aggregates (counts, sums, bit_xor, min_by) are all
+    // mergeable, so the data card doubles as streaming state: the corpus
+    // arrives as a file-source stream (one staged file per micro-batch)
+    // and a complete-mode groupBy(shard) partial-aggregates each batch
+    // and MERGES into the store. After the last batch the store must
+    // equal the batch manifest bit-for-bit — this key shares
+    // corpus_shards' hash oracle VERBATIM, putting the merge bookkeeping
+    // through the gate (StreamingSpec E21 remains the in-flight parity
+    // pin).
+    "corpus_shards_stream" -> { (s, d) => shardManifestStream(s, d) },
+
     // D77: token-distribution Shannon entropy — the compressibility
     // quality proxy (low entropy relative to length = repetitive,
     // templated or looping text; the signal a gzip-ratio filter
@@ -886,6 +931,29 @@ object TextQueries {
        |  FROM s2 JOIN owners o ON s2.band = o.band AND s2.sig = o.sig
        |  GROUP BY s2.doc_id)""".stripMargin
   }
+
+  /** Mirror of corpus_shards (and its streamed twin): the seeded-md5
+    * order key (first 4 hex → int, mod 8), exact counts, xor of the
+    * 8-hex content folds, and arg_min for the permutation's first doc —
+    * all integers, so the manifest replays bit-for-bit. */
+  private val shardsManifestSql: String =
+    """WITH sa AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('s42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |      * power(16.0, 4 - i))) AS INT) % 8 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+      |      (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+      |      * power(16.0, 8 - i))) AS BIGINT) AS ch,
+      |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  bit_xor(ch) AS checksum,
+      |  arg_min(doc_id, k) AS first_doc
+      |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -1725,24 +1793,11 @@ object TextQueries {
     // hex → int, mod 8), exact counts, xor of the 8-hex content folds,
     // and arg_min for the permutation's first doc — all integers, so the
     // manifest replays bit-for-bit.
-    "corpus_shards" ->
-      """WITH sa AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5('s42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |      * power(16.0, 4 - i))) AS INT) % 8 AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
-        |      (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
-        |      * power(16.0, 8 - i))) AS BIGINT) AS ch,
-        |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
-        |  FROM documents)
-        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |  bit_xor(ch) AS checksum,
-        |  arg_min(doc_id, k) AS first_doc
-        |FROM sa GROUP BY shard ORDER BY shard""".stripMargin,
+    "corpus_shards" -> shardsManifestSql,
+
+    // E21's gate twin: the streamed complete-mode manifest must merge to
+    // the identical data card — corpus_shards' oracle verbatim.
+    "corpus_shards_stream" -> shardsManifestSql,
 
     // Mirror of text_entropy: same per-term counts, the same ln DAG and
     // decimal k·ln(k) sum, redundancy from the unrounded entropy.
