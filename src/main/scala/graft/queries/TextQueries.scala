@@ -123,7 +123,7 @@ object TextQueries {
     * convention — no driver-side corpus collect anywhere). */
   private val shardStreamCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def shardManifestStream(s: SparkSession, d: String): DataFrame = {
+  def shardManifestStream(s: SparkSession, d: String): DataFrame = {
     val path = shardStreamCache.getOrElseUpdate(d, {
       val arrivals = docs(s, d).select(col("doc_id"), col("text"))
       val stage = java.nio.file.Files
