@@ -279,7 +279,11 @@ object Dedup {
         ignoreNulls = true).as("_sha"),
       first(when(col(idCol) === col("doc_b"), col("_shs")),
         ignoreNulls = true).as("_shb"))
-    val nInter = size(array_intersect(col("_sha"), col("_shb")))
+    // native count-only intersection: bit-identical to
+    // size(array_intersect(...)) but never materializes the intersection
+    // array — the per-pair hot path of every shingle verifier
+    val nInter = graft.functions.SetFunctions
+      .intersectCount(col("_sha"), col("_shb"))
     val j = nInter.cast("double") /
       (size(col("_sha")) + size(col("_shb")) - nInter)
     // degenerate guard: a shingle-less member makes j 0/0 = NaN, and Spark
@@ -375,7 +379,8 @@ object Dedup {
         ignoreNulls = true).as("_sha"),
       first(when(col(idCol) === col("doc_b"), col("_shs")),
         ignoreNulls = true).as("_shb"))
-    val nInter = size(array_intersect(col("_sha"), col("_shb")))
+    val nInter = graft.functions.SetFunctions
+      .intersectCount(col("_sha"), col("_shb"))
     val cAb = nInter.cast("double") / size(col("_sha"))
     val cBa = nInter.cast("double") / size(col("_shb"))
     val j = nInter.cast("double") /

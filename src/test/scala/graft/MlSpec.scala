@@ -100,6 +100,34 @@ class MlSpec extends SparkSpec {
       "non-nodata cells must predict exactly as before")
   }
 
+  test("cube predict: duplicate (dims, band) rows with mixed NaN land in " +
+       "EXACTLY one branch, deterministically (NaN-dominant pivot)") {
+    import org.apache.spark.sql.functions.posexplode
+    val base = emb.limit(12)
+    val poisonId = base.agg(min("vec_id")).head().getLong(0)
+    val clean = base.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("_pos", "value")))
+      .select(col("vec_id"), concat(lit("f"), col("_pos")).as("band"),
+        col("value").cast("double").as("value"))
+    // poison: a SECOND row per (poisonId, band) carrying NaN — the
+    // malformed-cube shape where a first()-based pivot re-evaluated
+    // across two branch filters could land the cell in both or neither
+    val poison = clean.filter(col("vec_id") === poisonId)
+      .withColumn("value", lit(Double.NaN))
+    val cube = graft.cube.DataCube(clean.unionByName(poison))
+    (1 to 3).foreach { rep =>
+      val out = model.predictCube(cube).df
+      assert(out.count() == 12, s"rep $rep: one output row per cell")
+      assert(out.filter(col("vec_id") === poisonId).count() == 1,
+        s"rep $rep: poisoned cell must land exactly once")
+      // max() resolves the duplicate NaN-dominant -> the cell routes to
+      // the nodata branch and predicts NaN, same answer every run
+      assert(java.lang.Double.isNaN(out.filter(col("vec_id") === poisonId)
+        .head().getAs[Double]("value")),
+        s"rep $rep: NaN-dominant pivot must route the cell to nodata")
+    }
+  }
+
   test("cube predict fails fast on a missing band") {
     import org.apache.spark.sql.functions.posexplode
     val partial = graft.cube.DataCube(emb.select(col("vec_id"),
