@@ -47,6 +47,10 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
+    // |A∩B| without materializing the intersection (the shingle-verifier
+    // hot path) — bit-identical to size(array_intersect(a, b))
+    "intersect_count" -> (args =>
+      graft.functions.IntersectCount(args(0), args(1))),
     // openEO normalized_difference (the ndvi kernel): (a − b) / (a + b)
     "normalized_difference" -> (args =>
       Divide(Subtract(args(0), args(1)), Add(args(0), args(1)))),

@@ -27,6 +27,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("intersect_count registers and matches size(array_intersect)") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val rng = new scala.util.Random(7)
+    (0 until 200).map { _ =>
+      def a() = (0 until rng.nextInt(10)).map(_ => s"t${rng.nextInt(6)}")
+      (a(), a())
+    }.toDF("a", "b").createOrReplaceTempView("ext_ic")
+    val bad = spark.sql(
+      """SELECT intersect_count(a, b) AS fast,
+        |  size(array_intersect(a, b)) AS ref FROM ext_ic""".stripMargin)
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, "SQL intersect_count diverges from array_intersect")
+  }
+
   test("sketch SQL functions match the Column API; probe round-trips") {
     import spark.implicits._
     GraftExtensions.install(spark)
