@@ -423,23 +423,33 @@ object Dedup {
       val q = lit(1.0) - jr
       lit(1.0) - (1 to b).map(_ => q).reduceLeft(_ * _)
     }
-    val aggs = Seq(
+    // ONE array-valued exact aggregate for all 2·|grid| decimal sums
+    // (graft_vec_esum — element i ≡ CAST(sum(CAST(vᵢ AS DECIMAL(38,10)))
+    // AS DOUBLE), the Exact.esum path exactly) instead of 2·|grid|
+    // separate decimal aggregates: one buffer, one pass, and the janino
+    // stage stays small as the grid grows. Identical doubles, same
+    // oracle.
+    val vals = array(grid.flatMap { case (b, r) => Seq(
+      when(j >= threshold, pCol(b, r)).otherwise(lit(0.0)),
+      when(j < threshold, pCol(b, r)).otherwise(lit(0.0)))
+    }: _*)
+    def vecEsum(arr: Column, dims: Int): Column = {
+      import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+      toColumn(graft.functions.VecESum(toExpression(arr), dims)
+        .toAggregateExpression())
+    }
+    val row = scored.agg(
       count(lit(1)).as("n_pairs"),
-      sum(when(j >= threshold, 1L).otherwise(0L)).as("n_dup")) ++
-      grid.flatMap { case (b, r) => Seq(
-        Exact.esum(when(j >= threshold, pCol(b, r)).otherwise(lit(0.0)))
-          .as(s"d_${b}_$r"),
-        Exact.esum(when(j < threshold, pCol(b, r)).otherwise(lit(0.0)))
-          .as(s"s_${b}_$r"))
-      }
-    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+      sum(when(j >= threshold, 1L).otherwise(0L)).as("n_dup"),
+      vecEsum(vals.cast("array<double>"), 2 * grid.size).as("sums")).head()
     val nPairs = row.getAs[Long]("n_pairs")
     val nDup = row.getAs[Long]("n_dup")
     val nSub = nPairs - nDup
+    val sums = row.getSeq[Double](row.fieldIndex("sums"))
     def rnd4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
-    val out = grid.map { case (b, r) =>
-      val dsum = row.getAs[Double](s"d_${b}_$r")
-      val ssum = row.getAs[Double](s"s_${b}_$r")
+    val out = grid.zipWithIndex.map { case ((b, r), i) =>
+      val dsum = sums(2 * i)
+      val ssum = sums(2 * i + 1)
       (b, r, nDup, nSub,
         if (nDup == 0) 0.0 else rnd4(dsum / nDup),
         if (nSub == 0) 0.0 else rnd4(1.0 - ssum / nSub),
