@@ -180,8 +180,13 @@ object Dedup {
   private[graft] def shingledDistinct(docs: DataFrame, w: Int = 4,
                                       idCol: String = "doc_id",
                                       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), array_distinct(
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+    // SORTED once per document: every pair verifier then intersects by
+    // merge scan (intersect_count_sorted) — binary comparisons instead of
+    // a per-PAIR HashSet build. Band mins are order-insensitive, so the
+    // minhash leg reads the same column unchanged.
+    docs.select(col(idCol), array_sort(array_distinct(
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)))
+      .as("_shs"))
 
   /** [[jaccard]] over a pre-shingled corpus (idCol, `_shs`). */
   private[graft] def jaccardFrom(sh: DataFrame, candidates: DataFrame,
@@ -212,8 +217,9 @@ object Dedup {
       explode(array(col("doc_a"), col("doc_b"))).as(idCol))
     val members = tagged.select(col(idCol)).distinct()
     val sh = docs.join(broadcast(members), Seq(idCol), "left_semi")
-      .select(col(idCol), array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)).as("_shs"))
+      .select(col(idCol), array_sort(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), w)))
+        .as("_shs"))
     pairScores(sh.join(tagged.hint("shuffle_hash"), Seq(idCol)),
       threshold, idCol)
   }
@@ -279,11 +285,13 @@ object Dedup {
         ignoreNulls = true).as("_sha"),
       first(when(col(idCol) === col("doc_b"), col("_shs")),
         ignoreNulls = true).as("_shb"))
-    // native count-only intersection: bit-identical to
-    // size(array_intersect(...)) but never materializes the intersection
-    // array — the per-pair hot path of every shingle verifier
+    // native count-only intersection over the per-DOC sorted shingle
+    // arrays: a pure merge scan — no intersection array materialized, no
+    // per-pair HashSet, no per-pair string hashing. Bit-identical to
+    // size(array_intersect(...)) on the sorted-distinct inputs every
+    // caller provides (spec-pinned).
     val nInter = graft.functions.SetFunctions
-      .intersectCount(col("_sha"), col("_shb"))
+      .intersectCountSorted(col("_sha"), col("_shb"))
     val j = nInter.cast("double") /
       (size(col("_sha")) + size(col("_shb")) - nInter)
     // degenerate guard: a shingle-less member makes j 0/0 = NaN, and Spark
@@ -380,7 +388,7 @@ object Dedup {
       first(when(col(idCol) === col("doc_b"), col("_shs")),
         ignoreNulls = true).as("_shb"))
     val nInter = graft.functions.SetFunctions
-      .intersectCount(col("_sha"), col("_shb"))
+      .intersectCountSorted(col("_sha"), col("_shb"))
     val cAb = nInter.cast("double") / size(col("_sha"))
     val cBa = nInter.cast("double") / size(col("_shb"))
     val j = nInter.cast("double") /
@@ -1157,7 +1165,8 @@ object Dedup {
     // single projection the tokens subtree is codegen-CSE'd.
     val shared = graft.core.CacheScope.pin(
       docs.select(col(idCol), tk.as("_toks"),
-        array_distinct(TextFunctions.shingles(tk, 4)).as("_shs")))
+        array_sort(array_distinct(TextFunctions.shingles(tk, 4)))
+          .as("_shs")))
     // mh is consumed twice (the evidence join below AND the Jaccard
     // verifier's candidate input) — pin, or candidate generation runs
     // twice (Spark does not CSE duplicate plan subtrees). pin=false below

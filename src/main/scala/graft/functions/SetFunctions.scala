@@ -79,8 +79,74 @@ case class IntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[IntersectCountSorted]]'s eval — static call site for codegen. */
+object IntersectCountSortedHelper {
+  /** |A ∩ B| by merge scan over two SORTED, DISTINCT string arrays —
+    * zero hashing and zero allocation per call (vs the per-pair HashSet
+    * the unsorted form builds). Equal to `size(array_intersect(a, b))`
+    * whenever both inputs are sorted ascending (nulls last, at most one
+    * each — Spark's array_sort order) and duplicate-free; the shingle
+    * verifiers guarantee that by sorting once per DOCUMENT, so millions
+    * of candidate pairs pay only binary comparisons. */
+  def countSorted(a: ArrayData, b: ArrayData): Int = {
+    val an = a.numElements(); val bn = b.numElements()
+    var i = 0; var k = 0; var cnt = 0
+    while (i < an && k < bn) {
+      if (a.isNullAt(i)) {
+        // nulls sort last: a null on both sides intersects once
+        if (b.isNullAt(k)) cnt += 1
+        i = an // nothing after a null but nulls (distinct input)
+      } else if (b.isNullAt(k)) {
+        k = bn
+      } else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(k))
+        if (c == 0) { cnt += 1; i += 1; k += 1 }
+        else if (c < 0) i += 1
+        else k += 1
+      }
+    }
+    cnt
+  }
+}
+
+/** Merge-scan |A ∩ B| over SORTED distinct string arrays — the pair-hot
+  * form of [[IntersectCount]]: the corpus pays one `array_sort` per
+  * document, every candidate pair then intersects by pure binary
+  * comparison (no per-pair HashSet build, no per-pair string hashing).
+  * Callers own the sortedness contract; parity vs
+  * `size(array_intersect)` on sorted inputs is spec-pinned. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_count_sorted"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountSortedHelper.countSorted(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.IntersectCountSortedHelper.countSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SetFunctions {
   import GraftBridge.{toColumn, toExpression}
   def intersectCount(a: Column, b: Column): Column =
     toColumn(IntersectCount(toExpression(a), toExpression(b)))
+  def intersectCountSorted(a: Column, b: Column): Column =
+    toColumn(IntersectCountSorted(toExpression(a), toExpression(b)))
 }

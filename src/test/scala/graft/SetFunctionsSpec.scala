@@ -41,6 +41,34 @@ class SetFunctionsSpec extends SparkSpec {
     assert(badEdge == 0)
   }
 
+  test("intersect_count_sorted equals size(array_intersect) on sorted " +
+       "distinct arrays (random + edge shapes)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def arr(): Seq[String] =
+      (0 until rng.nextInt(12)).map(_ => s"s${rng.nextInt(9)}")
+    val rows = (0 until 500).map(_ => (arr(), arr()))
+    val df = rows.toDF("a0", "b0").select(
+      array_sort(array_distinct(col("a0"))).as("a"),
+      array_sort(array_distinct(col("b0"))).as("b"))
+    val bad = df.select(
+      SetFunctions.intersectCountSorted(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0,
+      "intersect_count_sorted diverges from size(array_intersect)")
+    val edge = Seq(
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq.empty[String]),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("a", "b")
+    val badEdge = edge.select(
+      SetFunctions.intersectCountSorted(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badEdge == 0)
+  }
+
   test("intersect_count on real shingle pairs matches the reference form") {
     val docs = graft.core.Tables.documents(spark, sfDir).limit(200)
     val sh = docs.select(col("doc_id"), array_distinct(
