@@ -93,11 +93,15 @@ object IntersectCountSortedHelper {
     var i = 0; var k = 0; var cnt = 0
     while (i < an && k < bn) {
       if (a.isNullAt(i)) {
-        // nulls sort last: a null on both sides intersects once
-        if (b.isNullAt(k)) cnt += 1
-        i = an // nothing after a null but nulls (distinct input)
+        // Nulls sort last and are distinct (at most one per side), so once
+        // a side reaches its null the only remaining possible match is the
+        // OTHER side's trailing null — test b's LAST slot, not its cursor,
+        // or a=["x",null] ∩ b=[null] would miss the shared null.
+        if (b.isNullAt(bn - 1)) cnt += 1
+        i = an; k = bn
       } else if (b.isNullAt(k)) {
-        k = bn
+        if (a.isNullAt(an - 1)) cnt += 1
+        i = an; k = bn
       } else {
         val c = a.getUTF8String(i).compareTo(b.getUTF8String(k))
         if (c == 0) { cnt += 1; i += 1; k += 1 }

@@ -58,10 +58,15 @@ case class VecESum(child: Expression, dims: Int,
       var i = 0
       while (i < n) {
         // the exact double->DECIMAL(38,10) cast path: shortest-repr
-        // BigDecimal, HALF_UP rescale
-        val d = new JBigDecimal(java.lang.Double.toString(arr.getDouble(i)))
-          .setScale(10, RoundingMode.HALF_UP)
-        buf(i) = buf(i).add(d)
+        // BigDecimal, HALF_UP rescale; non-finite values cast to NULL
+        // there and the sum skips them — mirror that instead of letting
+        // BigDecimal(Double.toString(NaN)) throw
+        val x = arr.getDouble(i)
+        if (java.lang.Double.isFinite(x)) {
+          val d = new JBigDecimal(java.lang.Double.toString(x))
+            .setScale(10, RoundingMode.HALF_UP)
+          buf(i) = buf(i).add(d)
+        }
         i += 1
       }
     }

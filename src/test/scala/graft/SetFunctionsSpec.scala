@@ -45,8 +45,12 @@ class SetFunctionsSpec extends SparkSpec {
        "distinct arrays (random + edge shapes)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
+    // nullable elements too: array_sort puts the (deduped) null last,
+    // exactly the "nulls last, at most one each" contract countSorted owns
     def arr(): Seq[String] =
-      (0 until rng.nextInt(12)).map(_ => s"s${rng.nextInt(9)}")
+      (0 until rng.nextInt(12)).map { _ =>
+        if (rng.nextInt(6) == 0) null else s"s${rng.nextInt(9)}"
+      }
     val rows = (0 until 500).map(_ => (arr(), arr()))
     val df = rows.toDF("a0", "b0").select(
       array_sort(array_distinct(col("a0"))).as("a"),
@@ -61,7 +65,16 @@ class SetFunctionsSpec extends SparkSpec {
       (Seq.empty[String], Seq("x")),
       (Seq("x"), Seq.empty[String]),
       (Seq.empty[String], Seq.empty[String]),
-      (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("a", "b")
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      // trailing-null merges: one side exhausts its non-nulls while the
+      // other's cursor is still on a non-null — the shared null must count
+      (Seq("x", null), Seq(null)),
+      (Seq(null), Seq("x", null)),
+      (Seq("b", null), Seq("a", "c", null)),
+      (Seq("a", "c", null), Seq("b", null)),
+      (Seq(null), Seq(null)),
+      (Seq("a", null), Seq("a")),
+      (Seq("a"), Seq("a", null))).toDF("a", "b")
     val badEdge = edge.select(
       SetFunctions.intersectCountSorted(col("a"), col("b")).as("fast"),
       size(array_intersect(col("a"), col("b"))).as("ref"))

@@ -42,6 +42,20 @@ class VecESumSpec extends SparkSpec {
       b.map(java.lang.Double.doubleToLongBits))
   }
 
+  test("non-finite elements are skipped (cast-to-null semantics), no throw") {
+    // The legacy double->DECIMAL(38,10) cast nulls NaN/Inf and the sum
+    // skips them; VecESum must contribute zero for them, not throw.
+    val nf = Seq(
+      (1L, Array(1.5, Double.NaN, Double.PositiveInfinity)),
+      (2L, Array(2.5, 3.0, Double.NegativeInfinity)),
+      (3L, Array(Double.NaN, 4.0, 5.0))).toDF("id", "arr")
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    val vec = nf.agg(toColumn(graft.functions.VecESum(
+        toExpression(col("arr").cast("array<double>")), 3)
+      .toAggregateExpression()).as("s")).head().getSeq[Double](0)
+    assert(vec == Seq(4.0, 7.0, 5.0), s"got $vec")
+  }
+
   test("SQL surface: graft_vec_esum matches the Column API") {
     GraftExtensions.install(spark)
     fixture.createOrReplaceTempView("vec_fixture")
