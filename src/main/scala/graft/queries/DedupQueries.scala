@@ -190,6 +190,59 @@ object DedupQueries {
        | * sqrt(list_sum(list_transform(generate_series(1, len($b)),
        |     i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
+  /** The streamed first-wins verdicts for `dedup_online_stream` (E9
+    * through the gate), materialized once per (JVM, sf dir) like
+    * SimQueries.invStreamIndex: the near-dup corpus is staged as
+    * contiguous doc_id-range files whose modification times encode
+    * arrival order (repartitionByRange part files are already in range
+    * order; distinct mtimes make the file source's oldest-first pick
+    * deterministic), then replayed through a REAL micro-batched
+    * Structured Streaming file source (one file per trigger) into
+    * [[graft.streaming.DedupStreams.nearDupStream]]'s claim-store
+    * foreachBatch — including a MID-STREAM [[graft.streaming.DedupStreams
+    * .compactClaims]] rewrite (compactEvery=2 over 4 batches), so the
+    * store's maintenance compaction is inside the hash gate too. Arrival
+    * respecting id order is exactly the precondition under which the
+    * stream equals batch [[graft.dedup.Dedup.firstWinsKept]], so this key
+    * reuses `dedup_online`'s oracle VERBATIM — the whole streamed
+    * lifecycle (batch splits, claim appends, compaction swap) is
+    * hash-gated, not just spec-pinned. No driver-side corpus collect
+    * anywhere. */
+  private val onlineStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def onlineStreamVerdicts(s: SparkSession, d: String): DataFrame = {
+    val path = onlineStreamCache.getOrElseUpdate(d, {
+      val corpus = nearCorpus(s, d).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_online_stage_tmp_").toString
+      corpus.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_online_stream_").toString
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val fs = tmpP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis() - 86400000L
+      fs.listStatus(tmpP).filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, k) =>
+          val dst = new org.apache.hadoop.fs.Path(stage,
+            f"arrival-$k%05d.parquet")
+          fs.rename(f.getPath, dst)
+          fs.setTimes(dst, base + k * 60000L, -1)
+        }
+      val claimsDir = java.nio.file.Files
+        .createTempDirectory("graft_online_claims_").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_online_out_").toString
+      val q = graft.streaming.DedupStreams.nearDupStream(
+        s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        claimsDir, outDir, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> { (s, d) => Dedup.exactGroups(exactCorpus(s, d)) },
@@ -254,6 +307,13 @@ object DedupQueries {
     "dedup_online" -> { (s, d) =>
       Dedup.firstWinsKept(Dedup.minhashSignatures(nearCorpus(s, d)))
     },
+
+    // E9 through the gate: the STREAMED twin of dedup_online — the corpus
+    // arrives as a real micro-batched file-source stream in id order,
+    // verdicts come out of the claim-store foreachBatch (through a
+    // mid-stream compaction), and must reproduce the batch oracle
+    // verbatim, the way E20/E21 gated postings/manifest.
+    "dedup_online_stream" -> { (s, d) => onlineStreamVerdicts(s, d) },
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashGroups(nearCorpus(s, d)) },
 
@@ -364,6 +424,17 @@ object DedupQueries {
     }
   )
 
+  /** Shared by `dedup_online` and its streamed twin `dedup_online_stream`. */
+  private val onlineKeptSql =
+    s"""WITH ${sigOnlySql(nearCorpusSql)},
+      |s AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
+      |owners AS (
+      |  SELECT band, sig, min(doc_id) AS owner FROM s GROUP BY 1, 2)
+      |SELECT s.doc_id,
+      |  1 - max(CASE WHEN s.doc_id <> o.owner THEN 1 ELSE 0 END) AS kept
+      |FROM s JOIN owners o ON s.band = o.band AND s.sig = o.sig
+      |GROUP BY s.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -425,15 +496,11 @@ object DedupQueries {
     // owner = min doc_id per bucket; kept iff the doc owns every one of
     // its buckets (mirrors Dedup.firstWinsKept; no bucket cap by design —
     // there is no pair explode in this op)
-    "dedup_online" ->
-      s"""WITH ${sigOnlySql(nearCorpusSql)},
-        |s AS (SELECT doc_id, band, sig FROM sig WHERE sig IS NOT NULL),
-        |owners AS (
-        |  SELECT band, sig, min(doc_id) AS owner FROM s GROUP BY 1, 2)
-        |SELECT s.doc_id,
-        |  1 - max(CASE WHEN s.doc_id <> o.owner THEN 1 ELSE 0 END) AS kept
-        |FROM s JOIN owners o ON s.band = o.band AND s.sig = o.sig
-        |GROUP BY s.doc_id""".stripMargin,
+    "dedup_online" -> onlineKeptSql,
+
+    // E9: the id-ordered stream equals the whole-corpus batch form, so
+    // the streamed lifecycle is checked against the SAME oracle verbatim.
+    "dedup_online_stream" -> onlineKeptSql,
 
     // Mirror of dedup_graph_rank: the same candidate chain, then the
     // unrolled fixed-iteration PageRank replay (GraphRank.oracleSql).

@@ -208,6 +208,26 @@ object Ann {
         VectorFunctions.cosine(col("_q_emb"), col("_c_emb")).as("sim"))
   }
 
+  /** The nlist-with-corpus convention: the coarse quantizer's cell count
+    * should GROW with the corpus, or cells get linearly denser and probe
+    * work (O(|Q| · nProbe · n/nlist)) silently re-approaches a scan. The
+    * default 16 is sized for the sf0.1 fixtures; at sf1 (20k vectors) the
+    * r10 adjudication measured nlist=64 halving scored pairs for the same
+    * recall shape. 64 ≈ 2^round(log2(√20000 / 2)), so publish exactly that
+    * curve: the power of two nearest √n/2, clamped to [16, 65536] (the
+    * FAISS-style √n regime; the pow-2 snap keeps cell layouts stable under
+    * small corpus drift instead of re-quantizing on every ingest). A 1e9
+    * corpus gets 16384 cells of ~61k vectors — probe cost stays
+    * O(nProbe·√n) while the at-rest layout keeps directory pruning
+    * effective. Callers pass `nlist = Ann.nlistFor(corpusRows)` when the
+    * corpus is not fixture-sized. */
+  def nlistFor(n: Long): Int = {
+    require(n > 0, s"nlistFor: corpus must be non-empty, got $n")
+    val target = math.max(math.sqrt(n.toDouble) / 2.0, 16.0)
+    val exp = math.round(math.log(target) / math.log(2.0)).toInt
+    math.max(16, math.min(65536, 1 << exp))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query probes its
     * `nProbe` nearest cells and ranks only their members — the standard

@@ -603,4 +603,19 @@ class AnnSpec extends SparkSpec {
       lam = 0.5).select("round", "c_id").as[(Int, Long)].collect().toSet
     assert(a == r.toSet)
   }
+
+  test("nlistFor: the published √n/2 pow-2 convention, clamped") {
+    // the r10 sf1 measurement point: 20k vectors → 64 cells
+    assert(Ann.nlistFor(20000L) == 64)
+    // fixture scales stay at the floor
+    assert(Ann.nlistFor(500L) == 16 && Ann.nlistFor(2000L) == 16)
+    // lake scale: 1e9 vectors → 16384 cells; ceiling clamps past ~1.7e10
+    assert(Ann.nlistFor(1000000000L) == 16384)
+    assert(Ann.nlistFor(100000000000L) == 65536)
+    // always a power of two inside [16, 65536]
+    (1 to 12).map(e => math.pow(10, e).toLong).foreach { n =>
+      val v = Ann.nlistFor(n)
+      assert(v >= 16 && v <= 65536 && Integer.bitCount(v) == 1, s"n=$n v=$v")
+    }
+  }
 }
