@@ -57,6 +57,7 @@ object Bench {
       graft.queries.SimQueries.invLifecycleIndex(spark, sfDir)
       graft.queries.SimQueries.invStreamIndex(spark, sfDir)
       graft.queries.TextQueries.shardManifestStream(spark, sfDir)
+      graft.queries.DedupQueries.onlineStreamVerdicts(spark, sfDir)
       graft.queries.MlQueries.nbScored(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")

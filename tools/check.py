@@ -54,6 +54,9 @@ def canon(cols, rows):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 fails, passes, skips = [], [], []
+# GRAFT_CHECK_JSON=path dumps a driver-style CORRECTNESS artifact:
+# {query: {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}}
+record = {}
 import time
 for name in sorted(oracle):
     if ONLY and name not in ONLY: continue
@@ -61,23 +64,38 @@ for name in sorted(oracle):
     print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
-        fails.append((name, "spark result missing")); continue
+        fails.append((name, "spark result missing"))
+        record[name] = dict(rows_match=False, schema_match=False,
+                            hash_match=False, spark_rows=0, oracle_rows=None,
+                            err="spark result missing")
+        continue
     con.close(); con = fresh_con()
     s = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
     scols = [d[0] for d in s.description]; srows = s.fetchall()
+    rec = dict(rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=len(srows), oracle_rows=None, err=None)
+    record[name] = rec
     try:
         o = con.execute(oracle[name])
         ocols = [d[0] for d in o.description]; orows = o.fetchall()
     except Exception as e:
-        fails.append((name, f"oracle sql error: {e}")); continue
-    if sorted(scols) != sorted(ocols):
-        fails.append((name, f"schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")); continue
+        rec["err"] = f"oracle sql error: {e}"
+        fails.append((name, rec["err"])); continue
+    rec["oracle_rows"] = len(orows)
+    rec["schema_match"] = sorted(scols) == sorted(ocols)
+    if not rec["schema_match"]:
+        rec["err"] = f"schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+        fails.append((name, rec["err"])); continue
     a, b = canon(scols, srows), canon(ocols, orows)
-    if len(a) != len(b):
-        fails.append((name, f"row count spark={len(a)} oracle={len(b)}")); continue
+    rec["rows_match"] = len(a) == len(b)
+    if not rec["rows_match"]:
+        rec["err"] = f"row count spark={len(a)} oracle={len(b)}"
+        fails.append((name, rec["err"])); continue
     if a != b:
         diff = next((i for i,(x,y) in enumerate(zip(a,b)) if x != y), None)
-        fails.append((name, f"value mismatch at sorted row {diff}: spark={a[diff]} oracle={b[diff]}")); continue
+        rec["err"] = f"value mismatch at sorted row {diff}: spark={a[diff]} oracle={b[diff]}"
+        fails.append((name, rec["err"])); continue
+    rec["hash_match"] = True
     passes.append(name)
     print(f"[oracle] {name} ok ({time.time()-t0:.1f}s)", file=sys.stderr, flush=True)
 
@@ -86,7 +104,13 @@ for q in sorted(rows_only):
     n = os.path.basename(q.rstrip('/'))
     if ONLY and n not in ONLY: continue
     cnt = con.execute(f"SELECT count(*) FROM read_parquet('{q}/*.parquet')").fetchone()[0]
+    record[n] = dict(rows_match=None, schema_match=None, hash_match=None,
+                     spark_rows=cnt, oracle_rows=None, err="no_oracle")
     (passes if cnt > 0 else fails).append((n + " [rows-only]", "0 rows")[0:1][0] if cnt > 0 else (n, "rows-only: 0 rows"))
+
+if os.environ.get("GRAFT_CHECK_JSON"):
+    with open(os.environ["GRAFT_CHECK_JSON"], "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
 
 print(f"\nPASS ({len(passes)}):", *passes)
 if fails:
