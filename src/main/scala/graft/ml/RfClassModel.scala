@@ -170,13 +170,29 @@ final case class RfUntrained(numTrees: Int, maxVariables: String, seed: Long,
     */
   def fit(df: DataFrame, featuresCol: String = "embedding",
           labelCol: String = "label"): RfClassModel = {
+    // Partition-layout canonicalization BEFORE any seeded randomness:
+    // randomSplit's per-partition Bernoulli and MLlib's per-partition
+    // bagging/binning RNG make the fitted forest a function of the input
+    // PARTITIONING, and scan partitioning follows cluster size
+    // (bytesPerCore = totalBytes / defaultParallelism) — so the same fit
+    // on a resized cluster trains a different model. Hash-repartition on
+    // the feature vector to a FIXED count and sort within partitions:
+    // assignment and order become pure functions of the data, and the fit
+    // is bitwise reproducible across cluster resizes (the battery's
+    // partition-invariance contract). One bounded extra shuffle of the
+    // training set — training inputs are sampled subsets, not the lake.
+    val canon = df.select(
+        col(featuresCol).cast("array<double>").as("_f"),
+        (col(labelCol) + 1).cast("double").as("label"))
+      .repartition(32, col("_f"))
+      .sortWithinPartitions(col("_f"), col("label"))
     // cache: tree training makes one pass per depth level, and the class
     // list / feature width / holdout metrics add three more — without this
     // every pass re-reads the source and re-builds the vectors
-    val prepared = df.select(
-      array_to_vector(col(featuresCol).cast("array<double>")).as("features"),
-      (col(labelCol) + 1).cast("double").as("label"),
-      size(col(featuresCol)).as("_w")).cache()
+    val prepared = canon.select(
+      array_to_vector(col("_f")).as("features"),
+      col("label"),
+      size(col("_f")).as("_w")).cache()
     val Array(train, test) = prepared.randomSplit(Array(0.85, 0.15), seed)
     val rf = new RandomForestClassifier()
       .setNumTrees(numTrees)
