@@ -59,6 +59,16 @@ object Bench {
       graft.queries.TextQueries.shardManifestStream(spark, sfDir)
       graft.queries.DedupQueries.onlineStreamVerdicts(spark, sfDir)
       graft.queries.MlQueries.nbScored(spark, sfDir)
+      // r11 stream gate keys: the streamed lifecycles are fixtures like
+      // invStreamIndex — built once here, probed/read by the timed query
+      graft.queries.SimQueries.ivfPqStreamIndex(spark, sfDir)
+      graft.queries.SimQueries.momentsStream(spark, sfDir)
+      graft.queries.TextQueries.sketchStream(spark, sfDir)
+      graft.queries.TextQueries.qualityStreamScores(spark, sfDir)
+      graft.queries.TextQueries.gdStreamScores(spark, sfDir)
+      graft.queries.DedupQueries.noveltyStreamScores(spark, sfDir)
+      graft.queries.MlQueries.forestStreamScores(spark, sfDir)
+      graft.queries.MlQueries.nbStreamScores(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stac fixture failed: ${e.getMessage}")
     }

@@ -77,17 +77,25 @@ object LogisticProbe {
   def fitScore(feats: DataFrame, xs: Seq[String], yCol: String,
                lr: Double, iters: Int, threshold: Double): DataFrame = {
     feats.persist()
-    val w = fit(feats, xs, yCol, lr, iters)
+    val out = scoreWithWeights(feats, xs, yCol,
+      fit(feats, xs, yCol, lr, iters), threshold)
+    feats.unpersist(false)
+    out
+  }
+
+  /** Score with FITTED weights as plan literals — the scoring half of
+    * [[fitScore]], shared with the E16 stream trainer so the verdicts
+    * under stream-trained weights ride the identical DAG. */
+  def scoreWithWeights(feats: DataFrame, xs: Seq[String], yCol: String,
+                       w: Seq[Double], threshold: Double): DataFrame = {
     val scored = feats
       .withColumn("score", Exact.rnd4(sigmoid(zCol(xs, w))))
       .withColumn("kept", col("score") >= threshold)
-    val out = w.indices.foldLeft(scored) { (df, i) =>
+    w.indices.foldLeft(scored) { (df, i) =>
       df.withColumn(s"w$i", Exact.rnd4(lit(w(i))))
     }.select((Seq(col(feats.columns.head)) ++ xs.map(col) ++
       Seq(col(yCol)) ++ w.indices.map(i => col(s"w$i")) ++
       Seq(col("score"), col("kept"))): _*)
-    feats.unpersist(false)
-    out
   }
 
   /** A27: the TRAINING CURVE as a first-class result — per GD iteration
@@ -179,7 +187,8 @@ object LogisticProbe {
     * structurally identical to the Column DAG. `featsCte` must expose
     * idCol, x1..xk and 0/1 y. */
   def oracleSql(featsCte: String, idCol: String, k: Int,
-                lr: Double, iters: Int, threshold: Double): String = {
+                lr: Double, iters: Int, threshold: Double,
+                iterWhere: Int => String = _ => ""): String = {
     def z(wRef: String) =
       (1 to k).foldLeft(s"$wRef.w0")((acc, i) => s"($acc + $wRef.w$i * x$i)")
     val w0 = (0 to k).map(i => s"CAST(0.0 AS DOUBLE) AS w$i").mkString(", ")
@@ -196,7 +205,8 @@ object LogisticProbe {
          |    SELECT y, ${(1 to k).map(i => s"x$i").mkString(", ")},
          |      0.5 + z / (2.0 * (1.0 + abs(z))) AS sg
          |    FROM (SELECT f.*, ${z("w")} AS z
-         |          FROM $featsCte f CROSS JOIN lw${t - 1} w) zf)),
+         |          FROM $featsCte f CROSS JOIN lw${t - 1} w
+         |          ${iterWhere(t)}) zf)),
          |lw$t AS MATERIALIZED (
          |  SELECT $ws FROM lw${t - 1} w CROSS JOIN lg$t g)""".stripMargin
     }.mkString(",\n")

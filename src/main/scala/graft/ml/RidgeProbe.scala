@@ -70,8 +70,16 @@ object RidgeProbe {
     * 1e-4 grid in both engines). Weight columns ride along rnd4'd — the
     * hash gate then pins the TRAINING, not just the scoring. */
   def fitScore(feats: DataFrame, xs: Seq[String], yCol: String,
-               lambda: Double, threshold: Double): DataFrame = {
-    val w = fit(feats, xs, yCol, lambda)
+               lambda: Double, threshold: Double): DataFrame =
+    applyWeights(feats, fit(feats, xs, yCol, lambda), xs, yCol, threshold)
+
+  /** Apply an already-fitted 1-row weight table: the scoring half of
+    * [[fitScore]], factored out so the E13 ingest stream scores each
+    * micro-batch with the SAME broadcast-join DAG the batch fit used —
+    * train offline once, score every arriving batch, bit-equal verdicts.
+    * Stateless per batch; the weight table is metadata-sized. */
+  def applyWeights(feats: DataFrame, w: DataFrame, xs: Seq[String],
+                   yCol: String, threshold: Double): DataFrame = {
     val s = Exact.rnd4(score(xs))
     feats.crossJoin(broadcast(w))
       .withColumn("score", s)

@@ -211,15 +211,20 @@ object TreeProbe {
     out
   }
 
-  /** The A14 composed op: 4-tree md5-bootstrap forest with per-node
-    * 2-of-3 feature subsets and majority vote — shared by `ml_forest_fit`
-    * and the `fit_forest` graph node. */
-  def forestQuery(docs: DataFrame): DataFrame = {
-    val feats = RidgeProbe.qualityFeatures(docs).persist()
-    val trees = (1 to 4).map { b =>
+  /** The training half of [[forestQuery]]: 4-tree md5-bootstrap forest
+    * with per-node 2-of-3 feature subsets over the quality features —
+    * factored out so the E15 ingest stream trains ONCE offline and scores
+    * every arriving micro-batch with the fitted literals. */
+  def forestFit(feats: DataFrame): Seq[Tree] =
+    (1 to 4).map { b =>
       fit(feats, qualityXs, "y", depth = 3,
         bootstrapWeight(col("doc_id"), b), Some(s"t$b"))
     }
+
+  /** The scoring half of [[forestQuery]]: fitted trees are pure plan
+    * literals, so this applies to a batch OR a streaming micro-batch
+    * unchanged — per-row leaves, per-tree votes, 2-of-4 majority. */
+  def forestScore(feats: DataFrame, trees: Seq[Tree]): DataFrame = {
     val withLeaves = feats.select(
       col("doc_id") +: col("y") +:
         trees.zipWithIndex.map { case (t, i) =>
@@ -229,12 +234,25 @@ object TreeProbe {
       case (df, (t, i)) =>
         df.withColumn(s"p${i + 1}", predCol(t, col(s"leaf${i + 1}")))
     }
-    val out = withPreds
+    withPreds
       .withColumn("votes",
         trees.indices.map(i => col(s"p${i + 1}")).reduce(_ + _))
       .withColumn("pred", when(col("votes") >= 2, lit(1)).otherwise(lit(0)))
       .select("doc_id", "y", "leaf1", "leaf2", "leaf3", "leaf4",
         "votes", "pred")
+  }
+
+  /** Quality features for forest training/scoring — the shared feature
+    * map of [[forestQuery]] and the E15 stream. */
+  def forestFeatures(docs: DataFrame): DataFrame =
+    RidgeProbe.qualityFeatures(docs)
+
+  /** The A14 composed op: 4-tree md5-bootstrap forest with per-node
+    * 2-of-3 feature subsets and majority vote — shared by `ml_forest_fit`
+    * and the `fit_forest` graph node. */
+  def forestQuery(docs: DataFrame): DataFrame = {
+    val feats = forestFeatures(docs).persist()
+    val out = forestScore(feats, forestFit(feats))
     feats.unpersist(false)
     out
   }

@@ -213,22 +213,7 @@ object DedupQueries {
   def onlineStreamVerdicts(s: SparkSession, d: String): DataFrame = {
     val path = onlineStreamCache.getOrElseUpdate(d, {
       val corpus = nearCorpus(s, d).select(col("doc_id"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_online_stage_tmp_").toString
-      corpus.repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(tmp)
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_online_stream_").toString
-      val tmpP = new org.apache.hadoop.fs.Path(tmp)
-      val fs = tmpP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val base = System.currentTimeMillis() - 86400000L
-      fs.listStatus(tmpP).filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, k) =>
-          val dst = new org.apache.hadoop.fs.Path(stage,
-            f"arrival-$k%05d.parquet")
-          fs.rename(f.getPath, dst)
-          fs.setTimes(dst, base + k * 60000L, -1)
-        }
+      val stage = stageIdOrderedArrivals(s, corpus, parts = 4)
       val claimsDir = java.nio.file.Files
         .createTempDirectory("graft_online_claims_").toString
       val outDir = java.nio.file.Files
@@ -237,6 +222,65 @@ object DedupQueries {
         s.readStream.schema(corpus.schema)
           .option("maxFilesPerTrigger", 1).parquet(stage),
         claimsDir, outDir, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
+  /** Stage `df` as `parts` contiguous doc_id-range files whose
+    * modification times encode arrival order (repartitionByRange part
+    * files are already in range order; distinct mtimes make the file
+    * source's oldest-first pick deterministic) — the shared staging step
+    * of every id-ordered stream gate key (E9/E12). */
+  private def stageIdOrderedArrivals(s: SparkSession, df: DataFrame,
+                                     parts: Int,
+                                     byCol: String = "doc_id"): String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stage_tmp_").toString
+    df.repartitionByRange(parts, col(byCol))
+      .write.mode("overwrite").parquet(tmp)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stage_arrivals_").toString
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis() - 86400000L
+    fs.listStatus(tmpP).filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, k) =>
+        val dst = new org.apache.hadoop.fs.Path(stage,
+          f"arrival-$k%05d.parquet")
+        fs.rename(f.getPath, dst)
+        fs.setTimes(dst, base + k * 60000L, -1)
+      }
+    stage
+  }
+
+  /** The streamed novelty scores for `text_novelty_stream` (E12 through
+    * the gate), materialized once per (JVM, sf dir) like
+    * [[onlineStreamVerdicts]]: the near corpus arrives as a real
+    * id-ordered micro-batched file-source stream (one file per trigger)
+    * into [[graft.streaming.DedupStreams.noveltyStream]]'s gram-store
+    * foreachBatch — including a MID-STREAM [[graft.streaming.DedupStreams
+    * .compactGrams]] rewrite (compactEvery=2 over 4 batches). Under
+    * id-ordered arrival the incremental min-carrier scores equal batch
+    * [[graft.dedup.Dedup.noveltyScores]] exactly, so this key reuses
+    * `text_novelty`'s oracle VERBATIM — the whole streamed lifecycle
+    * (batch splits, gram-store appends, compaction swap) is hash-gated,
+    * not just spec-pinned. No driver-side corpus collect anywhere. */
+  private val noveltyStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def noveltyStreamScores(s: SparkSession, d: String): DataFrame = {
+    val path = noveltyStreamCache.getOrElseUpdate(d, {
+      val corpus = nearCorpus(s, d).select(col("doc_id"), col("text"))
+      val stage = stageIdOrderedArrivals(s, corpus, parts = 4)
+      val gramsDir = java.nio.file.Files
+        .createTempDirectory("graft_novelty_grams_").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_novelty_out_").toString
+      val q = graft.streaming.DedupStreams.noveltyStream(
+        s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        gramsDir, outDir, w = 8, compactEvery = 2)
       try q.processAllAvailable() finally q.stop()
       outDir
     })
@@ -349,6 +393,13 @@ object DedupQueries {
       Dedup.noveltyScores(nearCorpus(s, d), w = 8)
     },
 
+    // E12 through the gate: the STREAMED twin of text_novelty — the
+    // corpus arrives as a real micro-batched file-source stream in id
+    // order, per-document scores come out of the gram-store foreachBatch
+    // (through a mid-stream compaction), and must reproduce the batch
+    // oracle verbatim, the way E9/E20/E21 gated their lifecycles.
+    "text_novelty_stream" -> { (s, d) => noveltyStreamScores(s, d) },
+
     // D33: the remediation — duplicated spans cut out of the text itself.
     "dedup_span_removal" -> { (s, d) =>
       Dedup.removeDupSpans(nearCorpus(s, d), w = 8)
@@ -434,6 +485,30 @@ object DedupQueries {
       |  1 - max(CASE WHEN s.doc_id <> o.owner THEN 1 ELSE 0 END) AS kept
       |FROM s JOIN owners o ON s.band = o.band AND s.sig = o.sig
       |GROUP BY s.doc_id""".stripMargin
+
+  /** Shared by `text_novelty` and its streamed twin `text_novelty_stream`:
+    * distinct md5-prefix grams per doc, first carrier = min doc_id
+    * (order-free), novelty = 1 − seen/total. */
+  private val noveltySql =
+    s"""WITH $nearCorpusSql,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(t) - 7),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS g
+      |    FROM toks)),
+      |fs AS (SELECT gram, min(doc_id) AS first FROM grams GROUP BY 1)
+      |SELECT g.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_seen,
+      |  floor((CAST(1 AS DOUBLE)
+      |         - CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END)
+      |                AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |        * 10000 + 0.5) / 10000.0 AS novelty
+      |FROM grams g JOIN fs USING (gram)
+      |GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -692,26 +767,12 @@ object DedupQueries {
     // Mirrors Dedup.noveltyScores(w=8): distinct md5-prefix grams per doc,
     // first carrier = min doc_id (order-free), novelty = 1 − seen/total.
     // Integer counts hash exactly; one double division + rnd4 on both sides.
-    "text_novelty" ->
-      s"""WITH $nearCorpusSql,
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS gram FROM (
-        |    SELECT doc_id, unnest(list_transform(
-        |      generate_series(1, len(t) - 7),
-        |      i -> array_to_string(t[i:i+7], ' '))) AS g
-        |    FROM toks)),
-        |fs AS (SELECT gram, min(doc_id) AS first FROM grams GROUP BY 1)
-        |SELECT g.doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_seen,
-        |  floor((CAST(1 AS DOUBLE)
-        |         - CAST(sum(CASE WHEN fs.first < g.doc_id THEN 1 ELSE 0 END)
-        |                AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |        * 10000 + 0.5) / 10000.0 AS novelty
-        |FROM grams g JOIN fs USING (gram)
-        |GROUP BY 1""".stripMargin,
+    "text_novelty" -> noveltySql,
+
+    // E12: the id-ordered stream equals the whole-corpus batch form, so
+    // the streamed gram-store lifecycle is checked against the SAME
+    // oracle verbatim (the E9 dedup_online_stream convention).
+    "text_novelty_stream" -> noveltySql,
 
     // Mirror of Dedup.removeDupSpans(w=8): same gram hashing, distinct
     // carrier counts, and the coverage rebuild over kept token indices.

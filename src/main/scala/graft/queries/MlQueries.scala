@@ -35,6 +35,93 @@ object MlQueries {
     s.read.parquet(path)
   }
 
+  /** The streamed forest verdicts for `ml_forest_stream` (E15 through the
+    * gate), materialized once per (JVM, sf dir): the A14 forest is fitted
+    * ONCE in batch (the offline trainer), then the corpus arrives as a
+    * real micro-batched file-source stream whose foreachBatch scores each
+    * batch with [[graft.ml.TreeProbe.forestScore]] — fitted trees are
+    * pure plan literals, so the streamed votes reproduce `ml_forest_fit`'s
+    * oracle VERBATIM (the E13 train-offline / score-on-stream split for
+    * tree models, hash-gated). Stateless per batch; no driver-side corpus
+    * collect anywhere. */
+  private val forestStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def forestStreamScores(s: SparkSession, d: String): DataFrame = {
+    val path = forestStreamCache.getOrElseUpdate(d, {
+      import graft.ml.TreeProbe
+      val feats = TreeProbe.forestFeatures(Tables.documents(s, d)).persist()
+      val trees = TreeProbe.forestFit(feats)
+      feats.unpersist(false)
+      val arrivals = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_forest_stream_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_forest_out_").toString
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TreeProbe.forestScore(TreeProbe.forestFeatures(batch), trees)
+            .repartition(1).write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
+  /** The streamed NB routing verdicts for `ml_nb_stream` (E17 through the
+    * gate), materialized once per (JVM, sf dir): the A20 router's model
+    * tables are built ONCE in batch ([[graft.ml.NaiveBayesProbe.fit]],
+    * pinned across micro-batches), then the corpus arrives as a real
+    * micro-batched file-source stream whose foreachBatch runs the
+    * stateless score join — the per-doc argmax is a per-batch window and
+    * each doc arrives exactly once, so the streamed routing reproduces
+    * `ml_nb_fit`'s oracle VERBATIM. The multi-class routing twin of the
+    * E13/E15 gate keys. */
+  private val nbStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def nbStreamScores(s: SparkSession, d: String): DataFrame = {
+    val path = nbStreamCache.getOrElseUpdate(d, {
+      import graft.ml.NaiveBayesProbe
+      import org.apache.spark.storage.StorageLevel
+      val docsDf = Tables.documents(s, d)
+      val m0 = NaiveBayesProbe.fit(docsDf)
+      // pin the model tables once: every micro-batch joins the SAME
+      // static model (train offline, score on the stream)
+      val m = m0.copy(
+        grid = m0.grid.persist(StorageLevel.MEMORY_AND_DISK),
+        docC = m0.docC.persist(StorageLevel.MEMORY_AND_DISK),
+        nTot = m0.nTot.persist(StorageLevel.MEMORY_AND_DISK))
+      m.grid.count(); m.docC.count(); m.nTot.count()
+      val arrivals = docsDf.select(col("doc_id"), col("lang"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_nb_stream_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_nb_out_").toString
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          NaiveBayesProbe.score(batch, m)
+            .repartition(1).write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        m.grid.unpersist(); m.docC.unpersist(); m.nTot.unpersist()
+      }
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
   /** A STAC-MLM item fixture for the external-execution path: 64-band 1-D
     * input with per-band z-score scaling, 8-wide embedding output, batch
     * dim −1 + suggestion 32 (so the suggestion wins, data_model.py:493).
@@ -241,6 +328,12 @@ object MlQueries {
       graft.ml.TreeProbe.forestQuery(Tables.documents(s, d))
     },
 
+    // E15 through the gate: the STREAMED twin of ml_forest_fit — the
+    // forest trained once offline, every micro-batch scored with the
+    // fitted tree literals (the identical CASE-chain DAG), verdicts
+    // hash-checked against the batch oracle verbatim.
+    "ml_forest_stream" -> { (s, d) => forestStreamScores(s, d) },
+
     // A13 × A4/A5: the fitted CART through a save→load roundtrip — the
     // persisted sidecar (graft-tree JSON, toString-exact doubles) must
     // score IDENTICALLY, proven by sharing ml_tree_fit's hash oracle.
@@ -285,6 +378,13 @@ object MlQueries {
     "ml_nb_fit" -> { (s, d) =>
       graft.ml.NaiveBayesProbe.fitScore(Tables.documents(s, d))
     },
+
+    // E17 through the gate: the STREAMED twin of ml_nb_fit — the NB model
+    // tables built once offline, every micro-batch routed by the
+    // stateless score join (per-doc argmax is per-batch: each doc arrives
+    // exactly once), verdicts hash-checked against the batch oracle
+    // verbatim.
+    "ml_nb_stream" -> { (s, d) => nbStreamScores(s, d) },
 
     // A21: Cohen's kappa + accuracy over the NB router's predictions —
     // the multi-class metric report the reference emits at ml_fit time,
@@ -529,6 +629,35 @@ object MlQueries {
     }
   )
 
+  /** Shared by `ml_forest_fit` and its streamed twin `ml_forest_stream`:
+    * four full training replays (suffixes _1.._4), each with its own
+    * md5-Poisson bootstrap weights and md5-ranked 2-of-3 per-node feature
+    * subsets; the vote mirrors the Column-side integer sum. */
+  private val forestFitSql: String = {
+    import graft.ml.TreeProbe
+    val trees = (1 to 4).map { b =>
+      TreeProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3, depth = 3,
+        suffix = s"_$b", weightSql = TreeProbe.bootstrapWeightSql("doc_id", b),
+        featSalt = Some(s"t$b"))
+    }
+    val votes = (1 to 4).map(b => s"p$b.pred").mkString(" + ")
+    val joins = (1 to 4).map(b =>
+      s"JOIN pr_$b p$b ON f.doc_id = p$b.doc_id").mkString("\n")
+    s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+      |${trees.mkString(",\n")}
+      |SELECT f.doc_id, f.y,
+      |  p1.leaf AS leaf1, p2.leaf AS leaf2, p3.leaf AS leaf3,
+      |  p4.leaf AS leaf4,
+      |  $votes AS votes,
+      |  CASE WHEN $votes >= 2 THEN 1 ELSE 0 END AS pred
+      |FROM f
+      |$joins""".stripMargin
+  }
+
+  /** Shared by `ml_nb_fit` and its streamed twin `ml_nb_stream`. */
+  private val nbFitSql: String = graft.ml.NaiveBayesProbe.oracleSql()
+
   /** Training queries are not SQL-expressible (driver records rows-only);
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
@@ -554,7 +683,12 @@ object MlQueries {
     },
 
     // Mirror of ml_nb_fit: identical count CTEs and score DAG (generator).
-    "ml_nb_fit" -> graft.ml.NaiveBayesProbe.oracleSql(),
+    "ml_nb_fit" -> nbFitSql,
+
+    // E17: the static model tables + the stateless per-batch score join
+    // make the streamed routing bit-equal to fit-time scoring, so the
+    // streamed lifecycle is checked against the SAME oracle verbatim.
+    "ml_nb_stream" -> nbFitSql,
 
     // Mirror of ml_eval_kappa: the NB chain, prediction rows, then the
     // marginal-product kappa CTEs.
@@ -718,27 +852,12 @@ object MlQueries {
     // Four full training replays (suffixes _1.._4), each with its own
     // md5-Poisson bootstrap weights and md5-ranked 2-of-3 per-node
     // feature subsets; the vote mirrors the Column-side integer sum.
-    "ml_forest_fit" -> {
-      import graft.ml.TreeProbe
-      val trees = (1 to 4).map { b =>
-        TreeProbe.oracleSql(
-          featsCte = "f", idCol = "doc_id", k = 3, depth = 3,
-          suffix = s"_$b", weightSql = TreeProbe.bootstrapWeightSql("doc_id", b),
-          featSalt = Some(s"t$b"))
-      }
-      val votes = (1 to 4).map(b => s"p$b.pred").mkString(" + ")
-      val joins = (1 to 4).map(b =>
-        s"JOIN pr_$b p$b ON f.doc_id = p$b.doc_id").mkString("\n")
-      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
-        |${trees.mkString(",\n")}
-        |SELECT f.doc_id, f.y,
-        |  p1.leaf AS leaf1, p2.leaf AS leaf2, p3.leaf AS leaf3,
-        |  p4.leaf AS leaf4,
-        |  $votes AS votes,
-        |  CASE WHEN $votes >= 2 THEN 1 ELSE 0 END AS pred
-        |FROM f
-        |$joins""".stripMargin
-    },
+    "ml_forest_fit" -> forestFitSql,
+
+    // E15: fitted trees as plan literals + the identical scoring DAG make
+    // the streamed votes bit-equal to fit-time scoring, so the streamed
+    // lifecycle is checked against the SAME oracle verbatim.
+    "ml_forest_stream" -> forestFitSql,
 
     // Mirrors ExternalModel.predict + StubRuntime operation-for-operation
     // (the Cramer playbook: same expression DAG, two engines):

@@ -82,6 +82,98 @@ object SimQueries {
       path
     })
 
+  /** The stream-ingested IVF-PQ layout for `ann_ivfpq_stream` (E11
+    * through the gate), built once per (JVM, sf dir) like
+    * [[invStreamIndex]]: quantizers trained on the day-0 snapshot (the
+    * shared deterministic [[coarse16]]/[[books4x16]] — the FAISS train
+    * step), the base quarter indexed one-shot, the rest micro-batched
+    * through a file-source stream (one staged file per trigger — no
+    * driver-side corpus collect) whose foreachBatch appends via
+    * [[graft.sim.Ann.ivfPqAdd]] with the STORED quantizers (add never
+    * retrains). Cell assignment and codes are pure functions of the
+    * stored quantizers, so the final layout's logical content equals the
+    * one-shot [[ivfPqIndex]] exactly and the probe reuses
+    * `ann_ivfpq_probe`'s hash oracle VERBATIM — batch splits and append
+    * bookkeeping are hash-gated, not just spec-pinned. */
+  private val ivfPqStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfPqStreamIndex(s: SparkSession, d: String): String =
+    ivfPqStreamCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_stream_").toString
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfPqBuild(emb.filter(col("vec_id") % 4 === 0), path, nlist = 16,
+        m = 4, ksub = 16, dims = 64,
+        coarse = Some(coarse16(s, d)), books = Some(books4x16(s, d)))
+      val arrivals = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_stream_arrivals_").toString
+      arrivals.repartition(3, col("vec_id")).write
+        .mode("overwrite").parquet(stage)
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ann.ivfPqAdd(batch, path)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      path
+    })
+
+  /** Exact per-dim vector moments in ONE mergeable aggregate — count +
+    * 64 exact decimal element sums ([[graft.functions.VecESum]]), the
+    * state every standardization/PCA fit reads. Batch anchor of the E14
+    * stream: because the aggregate is mergeable and decimal adds commute,
+    * maintaining it per micro-batch lands bit-equal to one batch pass. */
+  private def momentsRow(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    val sums = toColumn(graft.functions.VecESum(
+      toExpression(transform(col("embedding"), x => x.cast("double"))), 64)
+      .toAggregateExpression())
+    emb.filter(col("embedding").isNotNull)
+      .agg(count(lit(1)).as("n"), sums.as("_s"))
+      .select(col("n") +: (0 until 64).map(j =>
+        element_at(col("_s"), j + 1).as(s"s$j")): _*)
+  }
+
+  /** The stream-maintained moments for `embed_moments_stream` (E14
+    * through the gate), materialized once per (JVM, sf dir): the
+    * embeddings staged as files and replayed through a real micro-batched
+    * file-source stream into a COMPLETE-mode global [[momentsRow]]
+    * aggregate — Spark partial-aggregates each micro-batch and MERGES
+    * into the state store with VecESum's own merge(), so the online
+    * moments reproduce `embed_moments`' hash oracle verbatim (exact
+    * decimal adds commute across arbitrary batch splits). The state an
+    * online standardizer or periodic PCA refresh reads between batches. */
+  private val momentsStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def momentsStream(s: SparkSession, d: String): DataFrame = {
+    val path = momentsStreamCache.getOrElseUpdate(d, {
+      val arrivals = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_moments_stream_").toString
+      arrivals.repartition(3, col("vec_id")).write
+        .mode("overwrite").parquet(stage)
+      val name = "graft_moments_stream_" +
+        java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val q = momentsRow(
+          s.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_moments_out_").toString
+      try {
+        q.processAllAvailable()
+        s.table(name).write.mode("overwrite").parquet(out)
+      } finally q.stop()
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** The on-disk RESIDUAL-encoded IVF-PQ layout for
     * `ann_ivfpq_residual_probe`, built once per (JVM, sf dir) with the
     * shared deterministic quantizers — the FAISS-default encoding as the
@@ -335,6 +427,25 @@ object SimQueries {
     "ann_ivfpq_probe" -> { (s, d) =>
       Ann.ivfPqProbe(s, ivfPqIndex(s, d), qset(s, d), k = 5, nProbe = 4)
     },
+
+    // E11 through the gate: the STREAM-INGESTED index — base quarter
+    // one-shot, the rest appended per micro-batch with the stored
+    // quantizers — must rank identically to the one-shot layout, so the
+    // probe reuses ann_ivfpq_probe's hash oracle verbatim.
+    "ann_ivfpq_stream" -> { (s, d) =>
+      Ann.ivfPqProbe(s, ivfPqStreamIndex(s, d), qset(s, d), k = 5,
+        nProbe = 4)
+    },
+
+    // E14 batch anchor: exact per-dim vector moments (count + 64 exact
+    // decimal element sums in one mergeable aggregate) — the state every
+    // standardization/PCA fit reads, hash-gated on its own.
+    "embed_moments" -> { (s, d) => momentsRow(Tables.embeddings(s, d)) },
+
+    // E14 through the gate: the moments MAINTAINED as streaming state —
+    // complete-mode merge over micro-batches must reproduce the batch
+    // anchor's oracle verbatim (exact decimal adds commute).
+    "embed_moments_stream" -> { (s, d) => momentsStream(s, d) },
 
     // D39c: residual-encoded IVF-PQ (the FAISS IndexIVFPQ default) —
     // codes quantize e − cent, reconstruction = cent + r̂ with every
@@ -1082,6 +1193,18 @@ object SimQueries {
       |  FROM sims),
       |top AS (SELECT q_id, rank, rel FROM rk WHERE rank <= 10)""".stripMargin
 
+  /** Shared by `embed_moments` and its streamed twin: count + 64 exact
+    * decimal element sums (the VecESum mirror the PCA oracles prove). */
+  private val momentsSql: String = {
+    val sums = (0 until 64).map { j =>
+      s"CAST(sum(CAST(CAST(embedding[${j + 1}] AS DOUBLE) " +
+        s"AS DECIMAL(38,10))) AS DOUBLE) AS s$j"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  $sums
+      |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "ann_mmr" -> annMmrSql,
@@ -1244,6 +1367,18 @@ object SimQueries {
     // precedent).
     "ann_ivfpq_probe" -> pqOracleSql(m = 4, ksub = 16, dims = 64,
       sampleN = 256, iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
+
+    // E11: add-with-stored-quantizers makes the stream-ingested layout's
+    // logical content equal the one-shot build, so the streamed lifecycle
+    // is checked against the same oracle verbatim.
+    "ann_ivfpq_stream" -> pqOracleSql(m = 4, ksub = 16, dims = 64,
+      sampleN = 256, iters = 5, k = 5, rerank = 64, ivf = Some((16, 4))),
+
+    // E14: the exact decimal element-sum mirror the PCA oracles already
+    // prove (VecESum ≡ CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) per
+    // element); the streamed twin shares it verbatim.
+    "embed_moments" -> momentsSql,
+    "embed_moments_stream" -> momentsSql,
 
     // Mirrors Ann.ivfPqResidualTopK(k=5, nlist=16, nProbe=4, m=4,
     // ksub=16, rerank=64) — see pqResidualOracleSql.

@@ -149,6 +149,160 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** The stream-merged KMV sketches for `text_sketch_stream` (E10 through
+    * the gate), materialized once per (JVM, sf dir) like
+    * [[shardManifestStream]]: the corpus staged as files and replayed as a
+    * real micro-batched file-source stream into a COMPLETE-mode
+    * groupBy(source) over the mergeable bottom-k aggregate — Spark
+    * partial-aggregates each micro-batch map-side and MERGES into the
+    * state store, the same merge() the batch plan runs, so the final
+    * sketches are bit-identical to one batch pass. Only the
+    * mergeable-state columns ride (kth_hash + estimate): the exact
+    * distinct-count companion of the batch anchor is not streaming state
+    * (multiple/distinct aggregates are a rescan, not a merge), which is
+    * precisely the sketch's reason to exist at 100 TB ingest. Arrival
+    * order is immaterial — bottom-k of a union is order-free. */
+  private val sketchStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def sketchStream(s: SparkSession, d: String): DataFrame = {
+    val path = sketchStreamCache.getOrElseUpdate(d, {
+      val k = 64
+      val arrivals = docs(s, d).select(col("doc_id"), col("source"),
+        col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_sketch_stream_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val name = "graft_sketch_stream_" +
+        java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingles(
+            tokens(col("text")), 4)).as("g"))
+        .groupBy("source")
+        .agg(graft.functions.Sketch.bottomK(md5(col("g")), k).as("_sk"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sketch_out_").toString
+      try {
+        q.processAllAvailable()
+        s.table(name)
+          .select(col("source"),
+            when(size(col("_sk")) >= k, element_at(col("_sk"), k))
+              .as("kth_hash"),
+            Exact.rnd4(graft.functions.Sketch.kmvEstimate(col("_sk"), k))
+              .as("est_distinct"))
+          .write.mode("overwrite").parquet(out)
+      } finally q.stop()
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** The stream-scored quality verdicts for `text_quality_stream` (E13
+    * through the gate), materialized once per (JVM, sf dir): the D58
+    * ridge probe's weights are fitted ONCE in batch (the offline trainer),
+    * then the corpus arrives as a real micro-batched file-source stream
+    * whose foreachBatch scores each batch with [[graft.ml.RidgeProbe
+    * .applyWeights]] — the identical broadcast-join DAG the batch
+    * `fitScore` runs, so the streamed verdicts reproduce `text_quality_
+    * fit`'s oracle VERBATIM. The train-offline / score-on-stream split
+    * every production quality filter runs, now hash-gated end to end.
+    * Stateless per batch: the weight table is 1 row, pinned before the
+    * stream starts; no driver-side corpus collect anywhere. */
+  private val qualityStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def qualityStreamScores(s: SparkSession, d: String): DataFrame = {
+    val path = qualityStreamCache.getOrElseUpdate(d, {
+      val xs = Seq("x1", "x2", "x3")
+      val w = graft.ml.RidgeProbe.fit(
+        graft.ml.RidgeProbe.qualityFeatures(docs(s, d)), xs, "y",
+        lambda = 0.001)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      val arrivals = docs(s, d).select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_quality_stream_").toString
+      arrivals.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(stage)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_quality_out_").toString
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ml.RidgeProbe.applyWeights(
+              graft.ml.RidgeProbe.qualityFeatures(batch), w, xs, "y",
+              threshold = 0.5)
+            .repartition(1).write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally { q.stop(); w.unpersist() }
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
+  /** The stream-TRAINED logistic verdicts for `text_gd_stream` (E16
+    * through the gate), materialized once per (JVM, sf dir): model
+    * TRAINING on a stream — the corpus staged as 3 deterministic chunks
+    * (doc_id % 3, arrival order by mtime), each micro-batch folding ONE
+    * decimal-exact [[graft.ml.LogisticProbe.step]] into the driver-held
+    * weights (foreachBatch is the documented home of batch-shaped
+    * training state, the E9/E16 convention), then the whole corpus scored
+    * once under the stream-trained literals. Because each step's gradient
+    * is an exact decimal aggregate over a deterministic chunk, the DuckDB
+    * oracle REPLAYS the entire online training as 3 unrolled chunk-step
+    * CTEs — online learning itself is hash-gated, not just spec-pinned.
+    * The weights held on the driver are k+1 doubles (metadata-sized). */
+  private val gdStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def gdStreamScores(s: SparkSession, d: String): DataFrame = {
+    val path = gdStreamCache.getOrElseUpdate(d, {
+      val xs = Seq("x1", "x2", "x3")
+      val arrivals = docs(s, d).select(col("doc_id"), col("text"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_gd_stream_").toString
+      val stageP = new org.apache.hadoop.fs.Path(stage)
+      val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis() - 86400000L
+      (0 until 3).foreach { c =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_gd_chunk${c}_").toString
+        arrivals.filter(col("doc_id") % 3 === c).repartition(1)
+          .write.mode("overwrite").parquet(tmp)
+        val tmpP = new org.apache.hadoop.fs.Path(tmp)
+        val part = fs.listStatus(tmpP)
+          .filter(_.getPath.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(stageP,
+          f"arrival-$c%05d.parquet")
+        fs.rename(part.getPath, dst)
+        fs.setTimes(dst, base + c * 60000L, -1)
+      }
+      @volatile var w: Seq[Double] = Vector.fill(xs.size + 1)(0.0)
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          w = graft.ml.LogisticProbe.step(
+            graft.ml.RidgeProbe.qualityFeatures(batch), xs, "y",
+            lr = 4.0, w)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_gd_out_").toString
+      graft.ml.LogisticProbe.scoreWithWeights(
+          graft.ml.RidgeProbe.qualityFeatures(docs(s, d)), xs, "y", w,
+          threshold = 0.5)
+        .write.mode("overwrite").parquet(outDir)
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D10: whitespace + BPE-ish token counting, chars/4 estimator.
@@ -330,6 +484,12 @@ object TextQueries {
           Exact.rnd4(graft.functions.Sketch.kmvEstimate(col("_sk"), k))
             .as("est_distinct"))
     },
+
+    // E10 through the gate: the STREAMED twin of text_distinct_sketch —
+    // micro-batched arrival, complete-mode merge of the bottom-k state,
+    // final sketches hash-checked against the batch oracle (minus the
+    // exact-count companion, which is a rescan, not mergeable state).
+    "text_sketch_stream" -> { (s, d) => sketchStream(s, d) },
 
     // D53: HyperLogLog registers — per-source distinct 4-gram cardinality
     // in 256 BYTES per sketch (vs KMV's k strings), merge = elementwise
@@ -531,6 +691,12 @@ object TextQueries {
       graft.ml.RidgeProbe.qualityProbe(docs(s, d))
     },
 
+    // E13 through the gate: the STREAMED twin of text_quality_fit —
+    // weights trained offline once, every micro-batch scored with the
+    // identical broadcast-join DAG, verdicts hash-checked against the
+    // batch oracle verbatim (the train-offline / score-on-stream split).
+    "text_quality_stream" -> { (s, d) => qualityStreamScores(s, d) },
+
     // D65: logistic quality probe — 8 full-batch GD steps with an
     // ALGEBRAIC sigmoid (no libm exp), decimal-exact gradients, weights
     // as plan literals (LogisticProbe). The classic hashed-LR curation
@@ -539,6 +705,13 @@ object TextQueries {
     "text_logistic_fit" -> { (s, d) =>
       graft.ml.LogisticProbe.qualityLogistic(docs(s, d))
     },
+
+    // E16 through the gate: ONLINE TRAINING — one decimal-exact GD step
+    // per arriving micro-batch (3 deterministic chunks), whole corpus
+    // scored under the stream-trained weights; the oracle replays the
+    // chunked training as unrolled SQL, so the online-learning seam is
+    // hash-gated end to end.
+    "text_gd_stream" -> { (s, d) => gdStreamScores(s, d) },
 
     // D59: BPE vocabulary training — K=8 merges learned from the corpus
     // word-frequency table (one corpus pass, then K compact-vocab
@@ -955,6 +1128,22 @@ object TextQueries {
       |  arg_min(doc_id, k) AS first_doc
       |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Shared by `text_quality_fit` and its streamed twin
+    * `text_quality_stream`: feature + Gopher-label CTE, then the
+    * RidgeProbe-generated moment/Cramer/score SQL — the double DAG is the
+    * SAME Cramer expansion the Column side evaluates, so the trained
+    * weights hash-match bit for bit. */
+  private val qualityFitSql: String = {
+    val probe = graft.ml.RidgeProbe.oracleSql(
+      featsCte = "f", idCol = "doc_id", k = 3,
+      lambda = 0.001, threshold = 0.5)
+    s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+      |$probe
+      |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
+      |  score >= 0.5 AS kept
+      |FROM scored""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "text_bpe_train" -> bpeTrainSql(8),
@@ -1270,6 +1459,36 @@ object TextQueries {
         |    END) * 10000 + 0.5) / 10000.0 AS est_distinct
         |FROM agg""".stripMargin,
 
+    // E10: the merged streaming sketch equals the one-pass batch sketch,
+    // so the streamed lifecycle is checked against the same KMV math —
+    // minus the exact-count companion, which is not mergeable state.
+    "text_sketch_stream" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(tk) - 3),
+        |    i -> array_to_string(tk[i:i+3], ' '))) AS g
+        |  FROM t WHERE len(tk) >= 4),
+        |d AS (SELECT DISTINCT source, md5(g) AS h FROM g),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |  FROM d),
+        |agg AS (
+        |  SELECT source, count(*) AS cnt,
+        |    max(CASE WHEN rk = 64 THEN h END) AS kth_hash
+        |  FROM r GROUP BY 1)
+        |SELECT source, kth_hash,
+        |  floor((CASE WHEN cnt < 64
+        |    THEN CAST(cnt AS DOUBLE)
+        |    ELSE (63.0 * 4294967296.0) / list_sum(list_transform(
+        |      generate_series(1, 8), i ->
+        |        (strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1)
+        |        * power(16.0, 8 - i)))
+        |    END) * 10000 + 0.5) / 10000.0 AS est_distinct
+        |FROM agg""".stripMargin,
+
     // Mirror of TextFunctions.hashedLinearScore: same feature order
     // (tokens then bigrams), same integer hex folds for bucket and
     // weight, same strict left-fold sum (DuckDB list_sum ≡ Spark
@@ -1483,16 +1702,12 @@ object TextQueries {
     // RidgeProbe-generated moment/Cramer/score SQL — the double DAG is the
     // SAME Cramer expansion the Column side evaluates, so the trained
     // weights hash-match bit for bit.
-    "text_quality_fit" -> {
-      val probe = graft.ml.RidgeProbe.oracleSql(
-        featsCte = "f", idCol = "doc_id", k = 3,
-        lambda = 0.001, threshold = 0.5)
-      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
-        |$probe
-        |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
-        |  score >= 0.5 AS kept
-        |FROM scored""".stripMargin
-    },
+    "text_quality_fit" -> qualityFitSql,
+
+    // E13: weights as plan literals + the identical scoring DAG make the
+    // streamed verdicts bit-equal to fit-time scoring, so the streamed
+    // lifecycle is checked against the SAME oracle verbatim.
+    "text_quality_stream" -> qualityFitSql,
 
     // Mirror of text_logistic_fit: the same feature CTE, then the
     // LogisticProbe-generated unrolled-GD replay — iteration t's gradient
@@ -1501,6 +1716,21 @@ object TextQueries {
       val gd = graft.ml.LogisticProbe.oracleSql(
         featsCte = "f", idCol = "doc_id", k = 3,
         lr = 4.0, iters = 12, threshold = 0.5)
+      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+        |$gd
+        |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,
+        |  score >= 0.5 AS kept
+        |FROM lscored""".stripMargin
+    },
+
+    // E16: the same generator, but iteration t's gradient aggregates over
+    // CHUNK t−1 only (doc_id % 3) — the unrolled SQL replay of the
+    // stream's per-micro-batch training steps.
+    "text_gd_stream" -> {
+      val gd = graft.ml.LogisticProbe.oracleSql(
+        featsCte = "f", idCol = "doc_id", k = 3,
+        lr = 4.0, iters = 3, threshold = 0.5,
+        iterWhere = t => s"WHERE (f.doc_id % 3) = ${t - 1}")
       s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
         |$gd
         |SELECT doc_id, x1, x2, x3, y, w0, w1, w2, w3, score,

@@ -837,4 +837,61 @@ class StreamingSpec extends SparkSpec {
         "streamed forest votes diverge from the fit-time scoring")
     } finally q.stop()
   }
+
+  test("E10/E11/E12/E13 gate twins: the file-source stream fixtures behind " +
+    "the r11 gate keys reproduce their batch anchors verbatim") {
+    // the same fixtures the correctness gate hashes — a real staged
+    // file-source stream per key (one file per trigger), compared row-set
+    // exact against the batch anchor at the spec SF
+    val qs = graft.SparkEntry.queries
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // E12: gram-store stream through a mid-stream compaction
+    assert(same(qs("text_novelty_stream")(spark, sfDir),
+      qs("text_novelty")(spark, sfDir)),
+      "text_novelty_stream diverges from its batch anchor")
+    // E10: complete-mode KMV merge (minus the non-mergeable exact count)
+    val anchor = qs("text_distinct_sketch")(spark, sfDir)
+      .drop("true_distinct")
+    assert(same(qs("text_sketch_stream")(spark, sfDir)
+      .select(anchor.columns.map(col).toSeq: _*), anchor),
+      "text_sketch_stream diverges from its batch anchor")
+    // E13: train-offline / score-on-stream with the identical scoring DAG
+    assert(same(qs("text_quality_stream")(spark, sfDir),
+      qs("text_quality_fit")(spark, sfDir)),
+      "text_quality_stream diverges from its batch anchor")
+    // E11: stream-ingested IVF-PQ layout ranks like the one-shot build
+    assert(same(qs("ann_ivfpq_stream")(spark, sfDir),
+      qs("ann_ivfpq_probe")(spark, sfDir)),
+      "ann_ivfpq_stream diverges from the one-shot index probe")
+    // E15: forest fitted offline, micro-batches scored with tree literals
+    assert(same(qs("ml_forest_stream")(spark, sfDir),
+      qs("ml_forest_fit")(spark, sfDir)),
+      "ml_forest_stream diverges from its batch anchor")
+    // E17: NB model tables pinned offline, stateless per-batch routing
+    assert(same(qs("ml_nb_stream")(spark, sfDir),
+      qs("ml_nb_fit")(spark, sfDir)),
+      "ml_nb_stream diverges from its batch anchor")
+    // E14: complete-mode VecESum merge equals the one-pass exact moments
+    assert(same(qs("embed_moments_stream")(spark, sfDir),
+      qs("embed_moments")(spark, sfDir)),
+      "embed_moments_stream diverges from its batch anchor")
+    // E16: the stream-trained weights land exactly where a driver loop
+    // over the same deterministic chunks lands (the oracle replays this
+    // same chunked training as unrolled SQL)
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val xs = Seq("x1", "x2", "x3")
+    var w: Seq[Double] = Vector.fill(4)(0.0)
+    (0 until 3).foreach { c =>
+      w = graft.ml.LogisticProbe.step(
+        graft.ml.RidgeProbe.qualityFeatures(
+          corpus.filter(col("doc_id") % 3 === c)), xs, "y", 4.0, w)
+    }
+    val loop = graft.ml.LogisticProbe.scoreWithWeights(
+      graft.ml.RidgeProbe.qualityFeatures(corpus), xs, "y", w, 0.5)
+    assert(same(qs("text_gd_stream")(spark, sfDir), loop),
+      "text_gd_stream diverges from the driver-loop replay")
+  }
 }
