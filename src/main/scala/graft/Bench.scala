@@ -67,6 +67,7 @@ object Bench {
       graft.queries.TextQueries.qualityStreamScores(spark, sfDir)
       graft.queries.TextQueries.gdStreamScores(spark, sfDir)
       graft.queries.DedupQueries.noveltyStreamScores(spark, sfDir)
+      graft.queries.DedupQueries.simhashStreamVerdicts(spark, sfDir)
       graft.queries.MlQueries.forestStreamScores(spark, sfDir)
       graft.queries.MlQueries.nbStreamScores(spark, sfDir)
     } catch { case e: Throwable =>
@@ -89,14 +90,31 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Contention self-evidence (r11 adjudication took three independent
+    // re-measures): next to each wall time record the JVM's own process-CPU
+    // delta, and sample the machine 1-min loadavg per query. A contended
+    // battery shows loadavg far above this process's own average
+    // parallelism (cpu/wall); a real regression doesn't.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       sweep()
+      val la = osBean.getSystemLoadAverage
+      if (la >= 0) loadSamples += la
+      val c0 = cpuNanos
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+      val cpu = if (c0 >= 0) (cpuNanos - c0) / 1e9 else -1.0
+      cpuSecs(name) = cpu
+      System.err.println(f"[bench] $name%-24s $sec%8.3f s  (cpu $cpu%8.3f s, $n rows)")
       name -> sec
     }
     // Drift-band adjudication, in the artifact itself: the 5 slowest
@@ -142,9 +160,30 @@ object Bench {
     val total = r3(results.map(_._2).sum)
     val slowest = slowest5
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":"$sfDir"}""")
+    // Wall-vs-cpu sanity verdict: this JVM's average parallelism
+    // (cpu_total / wall_total) vs the machine loadavg. loadavg well above
+    // what this process itself consumed means OTHER work held the cores —
+    // the artifact now distinguishes a contended run from a regression
+    // without anyone re-running solos.
+    val cpuTotal = r3(cpuSecs.values.filter(_ >= 0).sum)
+    val loadMean =
+      if (loadSamples.isEmpty) -1.0
+      else r3(loadSamples.sum / loadSamples.size)
+    val loadMax = if (loadSamples.isEmpty) -1.0 else r3(loadSamples.max)
+    val ownUtil = if (total > 0) cpuTotal / total else 0.0
+    val externalLoad = math.max(0.0, loadMean - ownUtil)
+    val loadVerdict =
+      if (loadMean < 0) "unknown (no loadavg on this platform)"
+      else if (externalLoad > 0.5 * cpus.toDouble)
+        f"CONTENDED: ~$externalLoad%.1f cores of external load (loadavg mean $loadMean%.1f vs own cpu/wall $ownUtil%.1f on $cpus threads)"
+      else
+        f"clean: ~$externalLoad%.1f cores of external load (loadavg mean $loadMean%.1f, own cpu/wall $ownUtil%.1f on $cpus threads)"
+    System.err.println(s"[bench] load verdict: $loadVerdict")
+    val cpuJson = cpuSecs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpu_total":$cpuTotal,"loadavg_mean":$loadMean,"load_verdict":"$loadVerdict","slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":"$sfDir"}""")
     val fullBody =
-      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"solo":$solo,"sf":"$sfDir"}"""
+      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"cpu_total":$cpuTotal,"loadavg_mean":$loadMean,"loadavg_max":$loadMax,"load_verdict":"$loadVerdict","solo":$solo,"sf":"$sfDir"}"""
     val full = "{" + fullBody
     try {
       // a filtered run must not clobber the full-battery artifact

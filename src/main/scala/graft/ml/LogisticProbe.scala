@@ -197,8 +197,12 @@ object LogisticProbe {
         val x = if (i == 0) "1.0" else s"x$i"
         s"CAST(sum(CAST((sg - y) * $x AS DECIMAL(38,10))) AS DOUBLE) AS g$i"
       }.mkString(",\n    ")
+      // mirror step()'s empty-batch guard: n = 0 leaves the weights
+      // unchanged (an unguarded w - lr*(g/n) would turn one empty chunk
+      // into NULL weights that poison every later iteration)
       val ws = (0 to k).map(i =>
-        s"w.w$i - $lr * (g.g$i / g.n) AS w$i").mkString(", ")
+        s"CASE WHEN g.n = 0 THEN w.w$i ELSE w.w$i - $lr * (g.g$i / g.n) END AS w$i")
+        .mkString(", ")
       s"""lg$t AS MATERIALIZED (
          |  SELECT $gs, count(*) AS n
          |  FROM (

@@ -147,6 +147,18 @@ object DedupQueries {
 
   private val simhashBandChainSql: String = simhashBandChain("", true)
 
+  /** The [[nearCorpusSlice]] mirror — every 20th document + its truncated
+    * twin, the cap-free corpus the E18 stream gate key replays on. */
+  private val slicedNearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
   private val simhashHamSql = (0 until 4)
     .map(i => s"bit_count(xor(CAST(a$i AS BIGINT), CAST(v$i AS BIGINT)))")
     .mkString(" + ")
@@ -287,6 +299,63 @@ object DedupQueries {
     s.read.parquet(path)
   }
 
+  /** E18 slice corpus: every 20th document plus its tail-truncated twin —
+    * [[nearCorpus]] restricted so no (blk, key) SimHash bucket can approach
+    * the batch anchor's `maxBucket` = 1024 guard (the full corpus measured
+    * 771/1024 at sf0.1 and BINDS at sf1). The cap is a GLOBAL bucket-size
+    * statistic a causal stream cannot consult, so stream ≡ batch parity is
+    * only a theorem on cap-free corpora — this slice is such a corpus at
+    * every tested scale, and [[simhashStreamVerdicts]] `require`s it
+    * loudly rather than letting a bind surface as a hash mismatch. */
+  private def nearCorpusSlice(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text"))
+    val t = split(col("text"), " ")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+  }
+
+  /** The streamed first-wins SimHash verdicts for `dedup_simhash_stream`
+    * (E18 through the gate), materialized once per (JVM, sf dir) like
+    * [[onlineStreamVerdicts]]: the cap-free slice corpus arrives as a real
+    * id-ordered micro-batched file-source stream (one file per trigger)
+    * into [[graft.streaming.DedupStreams.simhashDedupStream]]'s
+    * signature-store foreachBatch — including a MID-STREAM
+    * [[graft.streaming.DedupStreams.compactShStore]] rewrite
+    * (compactEvery=2 over 4 batches). On a corpus where the batch anchor's
+    * `maxBucket` guard never binds (required loudly below), the causal
+    * store consultation IS the banded-Hamming pair set, so this key reuses
+    * `dedup_simhash_online`'s oracle RESTRICTED to the slice — the whole
+    * streamed lifecycle (batch splits, store appends, compaction swap) is
+    * hash-gated. No driver-side corpus collect anywhere. */
+  private val simhashStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def simhashStreamVerdicts(s: SparkSession, d: String): DataFrame = {
+    val path = simhashStreamCache.getOrElseUpdate(d, {
+      val corpus = nearCorpusSlice(s, d)
+      val mb = Dedup.simhashBlocks(corpus).groupBy("blk", "key")
+        .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+      val maxBucket = if (mb.isNullAt(0)) 0L else mb.getLong(0)
+      require(maxBucket <= 1024,
+        s"simhash stream slice: largest (blk, key) bucket $maxBucket " +
+          "exceeds the batch anchor's maxBucket=1024 — stream/batch parity " +
+          "does not hold on capped corpora; widen the slice modulus")
+      val stage = stageIdOrderedArrivals(s, corpus, parts = 4)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_simhash_store_").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_simhash_out_").toString
+      val q = graft.streaming.DedupStreams.simhashDedupStream(
+        s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        storeDir, outDir, maxDist = 3, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact" -> { (s, d) => Dedup.exactGroups(exactCorpus(s, d)) },
@@ -373,6 +442,12 @@ object DedupQueries {
     "dedup_simhash_online" -> { (s, d) =>
       Dedup.simhashFirstWins(nearCorpus(s, d))
     },
+
+    // E18: the causal signature-store STREAM on the cap-free slice corpus —
+    // verdicts come out of [[simhashStreamVerdicts]]' foreachBatch
+    // (including a mid-stream store compaction) and hash-match the batch
+    // anchor's first-wins oracle restricted to the slice.
+    "dedup_simhash_stream" -> { (s, d) => simhashStreamVerdicts(s, d) },
 
     // D87: the three detectors side by side per pair + the ≥2-signal
     // conservative verdict — the evidence table consulted before
@@ -887,6 +962,19 @@ object DedupQueries {
     // exactly "appears as doc_b in a surviving pair".
     "dedup_simhash_online" ->
       s"""WITH $simhashBandChainSql,
+        |dupd AS (
+        |  SELECT DISTINCT doc_b FROM pairs WHERE $simhashHamSql <= 3)
+        |SELECT c.doc_id,
+        |  (dupd.doc_b IS NULL) AS kept
+        |FROM corpus c LEFT JOIN dupd ON c.doc_id = dupd.doc_b""".stripMargin,
+
+    // E18: the batch anchor's replay restricted to the cap-free slice
+    // corpus (every 20th document + its truncated twin) — the corpus the
+    // causal stream provably equals the batch on, because no (blk, key)
+    // bucket reaches the anchor's maxBucket guard there.
+    "dedup_simhash_stream" ->
+      s"""WITH $slicedNearCorpusSql,
+        |${simhashBandChain("", false)},
         |dupd AS (
         |  SELECT DISTINCT doc_b FROM pairs WHERE $simhashHamSql <= 3)
         |SELECT c.doc_id,

@@ -62,9 +62,13 @@ object MlQueries {
       val q = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          TreeProbe.forestScore(TreeProbe.forestFeatures(batch), trees)
-            .repartition(1).write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-named file (tmp+rename): idempotent under at-least-once
+          // foreachBatch retries — a retry overwrites, never duplicates
+          graft.streaming.DedupStreams.writeBatchFile(
+            TreeProbe.forestScore(TreeProbe.forestFeatures(batch), trees),
+            new org.apache.hadoop.fs.Path(outDir,
+              f"batch-$batchId%05d.parquet"))
           ()
         }.start()
       try q.processAllAvailable() finally q.stop()
@@ -107,9 +111,13 @@ object MlQueries {
       val q = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          NaiveBayesProbe.score(batch, m)
-            .repartition(1).write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-named file (tmp+rename): idempotent under at-least-once
+          // foreachBatch retries — a retry overwrites, never duplicates
+          graft.streaming.DedupStreams.writeBatchFile(
+            NaiveBayesProbe.score(batch, m),
+            new org.apache.hadoop.fs.Path(outDir,
+              f"batch-$batchId%05d.parquet"))
           ()
         }.start()
       try q.processAllAvailable()

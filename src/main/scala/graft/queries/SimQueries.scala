@@ -156,8 +156,11 @@ object SimQueries {
         .createTempDirectory("graft_moments_stream_").toString
       arrivals.repartition(3, col("vec_id")).write
         .mode("overwrite").parquet(stage)
+      // per-invocation unique suffix (the sketchStream convention): avoids
+      // queryName collisions from dir-hash collisions or a double-evaluated
+      // getOrElseUpdate builder
       val name = "graft_moments_stream_" +
-        java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+        java.util.UUID.randomUUID().toString.replace("-", "")
       val q = momentsRow(
           s.readStream.schema(arrivals.schema)
             .option("maxFilesPerTrigger", 1).parquet(stage))

@@ -173,8 +173,11 @@ object TextQueries {
         .createTempDirectory("graft_sketch_stream_").toString
       arrivals.repartition(3, col("doc_id")).write
         .mode("overwrite").parquet(stage)
+      // per-invocation unique suffix: two sf dirs can hash-collide, and
+      // getOrElseUpdate may evaluate this builder twice under concurrent
+      // first access — a reused queryName would throw on the second start
       val name = "graft_sketch_stream_" +
-        java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+        java.util.UUID.randomUUID().toString.replace("-", "")
       val q = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .select(col("source"),
@@ -232,11 +235,16 @@ object TextQueries {
       val q = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.ml.RidgeProbe.applyWeights(
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId-named file via tmp+rename: a retried batch (foreachBatch
+          // is at-least-once) overwrites its own output instead of appending
+          // a duplicate that would break the hash gate
+          graft.streaming.DedupStreams.writeBatchFile(
+            graft.ml.RidgeProbe.applyWeights(
               graft.ml.RidgeProbe.qualityFeatures(batch), w, xs, "y",
-              threshold = 0.5)
-            .repartition(1).write.mode("append").parquet(outDir)
+              threshold = 0.5),
+            new org.apache.hadoop.fs.Path(outDir,
+              f"batch-$batchId%05d.parquet"))
           ()
         }.start()
       try q.processAllAvailable() finally { q.stop(); w.unpersist() }
@@ -275,7 +283,9 @@ object TextQueries {
           .write.mode("overwrite").parquet(tmp)
         val tmpP = new org.apache.hadoop.fs.Path(tmp)
         val part = fs.listStatus(tmpP)
-          .filter(_.getPath.getName.endsWith(".parquet")).head
+          .filter(_.getPath.getName.endsWith(".parquet")).headOption
+          .getOrElse(sys.error(
+            s"gd stream stage: chunk $c wrote no parquet part under $tmp"))
         val dst = new org.apache.hadoop.fs.Path(stageP,
           f"arrival-$c%05d.parquet")
         fs.rename(part.getPath, dst)

@@ -36,6 +36,64 @@ import graft.dedup.Dedup
   */
 object DedupStreams {
 
+  /** Write `df` as the SINGLE file `dst` (tmp dir + rename): the unit of
+    * idempotent micro-batch output. foreachBatch is at-least-once — a
+    * plain `mode("append")` sink duplicates rows when a batch retries,
+    * silently breaking any downstream hash/count. Deterministic per-batch
+    * file names + delete-before-rename make a retry overwrite its own
+    * output instead. */
+  private[graft] def writeBatchFile(df: DataFrame,
+                                    dst: org.apache.hadoop.fs.Path): Unit = {
+    val spark = df.sparkSession
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft_batch_sink_").toString)
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).headOption
+      .getOrElse(sys.error(s"batch sink wrote no parquet part under $tmp"))
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(part.getPath, dst)
+    fs.delete(tmp, true)
+  }
+
+  /** One idempotent stateful micro-batch: compute (out, newStoreRows) from
+    * the CURRENT store, then land both as deterministically-named per-batch
+    * files, then a done-marker. At-least-once foreachBatch retry semantics:
+    *  - a marker means the batch fully applied → skip (including its
+    *    compaction round — maintenance defers to the next multiple);
+    *  - no marker but stale partial files (a failed earlier attempt) →
+    *    delete them BEFORE `compute` reads the store, else the batch's own
+    *    half-appended rows would poison its claim lookup;
+    *  - `compute` is forced (newRows pinned + counted) before either write,
+    *    so the store append never races its own plan-time file listing.
+    * Markers are `_`-prefixed, so parquet readers of either dir skip them. */
+  private def idempotentStatefulBatch(spark: SparkSession, batchId: Long,
+      outDir: String, storeDir: String)
+      (compute: => (DataFrame, DataFrame)): Boolean = {
+    val outFile = new org.apache.hadoop.fs.Path(outDir,
+      f"batch-$batchId%05d.parquet")
+    val storeFile = new org.apache.hadoop.fs.Path(storeDir,
+      f"batch-$batchId%05d.parquet")
+    val marker = new org.apache.hadoop.fs.Path(outDir,
+      f"_batch-$batchId%05d.done")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    // stale-file cleanup MUST precede `compute`: file listing for the
+    // store read can happen eagerly at DataFrame creation
+    Seq(outFile, storeFile).foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    val (out, newRows) = compute
+    val pinned = newRows.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    writeBatchFile(out, outFile)
+    writeBatchFile(pinned, storeFile)
+    pinned.unpersist()
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    true
+  }
+
   private val claimsSchema = StructType(Seq(
     StructField("band", org.apache.spark.sql.types.IntegerType),
     StructField("sig", StringType),
@@ -199,15 +257,12 @@ object DedupStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val grams = Dedup.distinctGrams(batch, w, idCol, textCol)
-        val (scores, newGrams) =
+        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+            gramsDir) {
+          val grams = Dedup.distinctGrams(batch, w, idCol, textCol)
           noveltyStep(grams, readGrams(spark, gramsDir), idCol)
-        val pinned = newGrams.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
-        scores.repartition(1).write.mode("append").parquet(outDir)
-        pinned.repartition(1).write.mode("append").parquet(gramsDir)
-        pinned.unpersist()
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        }
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactGrams(spark, gramsDir)
         ()
       }
@@ -230,16 +285,13 @@ object DedupStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sigs = Dedup.minhashSignatures(batch, idCol = idCol,
-          textCol = textCol)
-        val (verdicts, newClaims) =
+        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+            claimsDir) {
+          val sigs = Dedup.minhashSignatures(batch, idCol = idCol,
+            textCol = textCol)
           dedupStep(sigs, readClaims(spark, claimsDir), idCol)
-        val pinned = newClaims.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
-        verdicts.repartition(1).write.mode("append").parquet(outDir)
-        pinned.repartition(1).write.mode("append").parquet(claimsDir)
-        pinned.unpersist()
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        }
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactClaims(spark, claimsDir)
         ()
       }
@@ -348,20 +400,19 @@ object DedupStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val blocks = Dedup.simhashBlocks(batch, idCol, textCol)
-        val (verdicts, newRows) =
-          simhashStep(blocks, readShStore(spark, storeDir), maxDist, idCol)
-        // token-less docs carry no signature → no dup evidence → kept
-        // (the simhashFirstWins contract)
-        val verdictsFull = batch.select(col(idCol))
-          .join(verdicts, Seq(idCol), "left")
-          .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
-        val pinned = newRows.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
-        verdictsFull.repartition(1).write.mode("append").parquet(outDir)
-        pinned.repartition(1).write.mode("append").parquet(storeDir)
-        pinned.unpersist()
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+            storeDir) {
+          val blocks = Dedup.simhashBlocks(batch, idCol, textCol)
+          val (verdicts, newRows) =
+            simhashStep(blocks, readShStore(spark, storeDir), maxDist, idCol)
+          // token-less docs carry no signature → no dup evidence → kept
+          // (the simhashFirstWins contract)
+          val verdictsFull = batch.select(col(idCol))
+            .join(verdicts, Seq(idCol), "left")
+            .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
+          (verdictsFull, newRows)
+        }
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactShStore(spark, storeDir)
         ()
       }
