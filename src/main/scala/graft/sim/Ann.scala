@@ -322,6 +322,107 @@ object Ann {
     cents
   }
 
+  /** Quantizer-trainer dispatch: the driver Lloyd's for small cell counts
+    * (bit-compat with every existing oracle), the distributed Lloyd's
+    * beyond it. The driver loop is O(iters · sampleN · nlist · dims)
+    * single-threaded — fine at nlist ≤ ~1024, but [[nlistFor]] publishes a
+    * 65536 ceiling where that loop is ~2.7e12 multiplies (hours); past the
+    * cutover each iteration's argmin runs as the same codegen
+    * [[graft.functions.NearestCentroid]] the probe path uses. */
+  def trainCentroids(corpus: DataFrame, nlist: Int, sampleN: Int = 256,
+                     iters: Int = 5, idCol: String = "vec_id",
+                     embCol: String = "embedding"): Array[Array[Double]] = {
+    // the sample must cover the cell count; 8 points per centroid is the
+    // FAISS-ish training floor (its warns start under ~39·nlist)
+    val sampleEff = math.max(sampleN, 8 * nlist)
+    if (nlist <= 1024)
+      seededCentroids(corpus, nlist, sampleEff, iters, idCol, embCol)
+    else
+      seededCentroidsDistributed(corpus, nlist, sampleEff, iters,
+        idCol, embCol)
+  }
+
+  /** The distributed twin of [[seededCentroids]] — BITWISE the same
+    * centroids, because every arithmetic step is replayed exactly:
+    *
+    *  - the training set is the same md5-rank sample (top-`sampleN` by
+    *    (md5(id), id) — a distributed TakeOrdered whose single merged
+    *    partition is O(sampleN), the trainer's own working-set size);
+    *  - per iteration, cell ASSIGNMENT (the O(sampleN · nlist · dims)
+    *    cost that serializes the driver loop) runs distributed through
+    *    the codegen [[graft.functions.NearestCentroid]], whose
+    *    |c|² − 2·e·c argmin and lower-cell tie-break replicate the driver
+    *    loop's comparisons operation-for-operation;
+    *  - per cell, members fold into double sums in ascending-id order
+    *    (mapGroups sorts each cell's sample members — bounded by the
+    *    SAMPLE's cell membership, not the corpus), the driver loop's
+    *    exact accumulation order, so the means match bit-for-bit;
+    *  - only O(nlist · dims) fold results return per iteration.
+    *
+    * AnnSpec pins distributed ≡ driver on the fixture corpus; the
+    * dispatcher [[trainCentroids]] picks this path when
+    * iters·sampleN·nlist·dims outgrows a single thread. */
+  def seededCentroidsDistributed(corpus: DataFrame, nlist: Int,
+      sampleN: Int = 256, iters: Int = 5, idCol: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampleDf = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<float>").as("e"),
+        md5(col(idCol).cast("string")).as("_r"))
+      .orderBy(col("_r"), col("id"))
+      .limit(sampleN)
+      // TakeOrdered lands the sample in ONE partition — spread it back
+      // out or every iteration's argmin runs single-task (the exact
+      // serialization this trainer exists to remove)
+      .repartition(math.max(spark.sparkContext.defaultParallelism, 2),
+        col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSample = sampleDf.count()
+    require(nSample > 0, "seededCentroidsDistributed: empty corpus")
+    val k = math.min(nlist.toLong, nSample).toInt
+    // init = the first k sample rows in (md5, id) order — the driver
+    // trainer's `sample.take(k)`; O(k · dims) driver metadata
+    var cents: Array[Array[Double]] = sampleDf
+      .orderBy(col("_r"), col("id")).limit(k)
+      .select("e").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val dims = cents(0).length
+    val members = sampleDf.select("id", "e").as[(Long, Array[Float])]
+    var it = 0
+    while (it < iters) {
+      val cs = cents // stable reference for the closure/expression
+      val folded = members
+        .select(col("id"),
+          graft.functions.VectorFunctions
+            .nearestCentroid(col("e"), cs).as("cell"),
+          col("e"))
+        .as[(Long, Int, Array[Float])]
+        .groupByKey(_._2)
+        .mapGroups { (cell, rows) =>
+          val ms = rows.map(r => (r._1, r._3)).toArray.sortBy(_._1)
+          val sums = new Array[Double](dims)
+          ms.foreach { case (_, e) =>
+            var i = 0
+            while (i < dims) { sums(i) += e(i).toDouble; i += 1 }
+          }
+          (cell, sums, ms.length.toLong)
+        }
+        .collect()
+      val sums = Array.fill(k)(null: Array[Double])
+      val counts = new Array[Long](k)
+      folded.foreach { case (j, s, n) => sums(j) = s; counts(j) = n }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0) cents(j) // empty cell keeps its centroid
+        else Array.tabulate(dims)(i => sums(j)(i) / counts(j))
+      }
+      it += 1
+    }
+    sampleDf.unpersist(false)
+    cents
+  }
+
   /** D56: cluster-balanced coordinated sampling — the diversity-preserving
     * subset selection step of embedding-based data curation: uniform random
     * sampling over-draws the dense regions of embedding space, so the

@@ -18,6 +18,28 @@ class AnnSpec extends SparkSpec {
   private lazy val lsh = Ann.lshTopK(qs, emb, k = 5, planes = 4, tables = 8)
     .cache()
 
+  test("distributed Lloyd's ≡ driver Lloyd's, bitwise (same sample/init/folds)") {
+    // the large-nlist trainer must be indistinguishable from the driver
+    // loop: same md5-rank sample, same first-k init, same argmin
+    // comparisons, same ascending-id per-cell double folds — so the
+    // centroids (hence any cell layout built from them) match bit-for-bit
+    for (nlist <- Seq(16, 64)) {
+      val a = Ann.seededCentroids(emb, nlist, sampleN = 256)
+      val b = Ann.seededCentroidsDistributed(emb, nlist, sampleN = 256)
+      assert(a.length == b.length, s"nlist=$nlist: centroid count differs")
+      a.zip(b).zipWithIndex.foreach { case ((ca, cb), j) =>
+        assert(java.util.Arrays.equals(ca, cb),
+          s"nlist=$nlist: centroid $j diverges between driver and distributed")
+      }
+    }
+    // dispatcher routes small nlist to the driver trainer unchanged
+    val d = Ann.trainCentroids(emb, nlist = 16)
+    val s = Ann.seededCentroids(emb, nlist = 16)
+    d.zip(s).foreach { case (ca, cb) =>
+      assert(java.util.Arrays.equals(ca, cb), "dispatcher diverges at small nlist")
+    }
+  }
+
   test("native NearestCentroid equals the unrolled array_min form (128 cells)") {
     // the codegen-splittable assignment (reference-object matrix, fixed
     // nested loop) must land on EXACTLY the cell the round-9 literal-
