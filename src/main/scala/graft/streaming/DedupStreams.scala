@@ -68,16 +68,20 @@ object DedupStreams {
     *    half-appended rows would poison its claim lookup;
     *  - `compute` is forced (newRows pinned + counted) before either write,
     *    so the store append never races its own plan-time file listing.
-    * Markers are `_`-prefixed, so parquet readers of either dir skip them. */
-  private def idempotentStatefulBatch(spark: SparkSession, batchId: Long,
-      outDir: String, storeDir: String)
+    * File names carry `runId` because batchIds alone are NOT a pipeline
+    * identity: a restarted or backfill query numbers its batches from 0
+    * again, and (runId-less) cleanup would clobber the claims an earlier
+    * run appended to the shared store. Markers are `_`-prefixed, so
+    * parquet readers of either dir skip them. */
+  private def idempotentStatefulBatch(spark: SparkSession, runId: String,
+      batchId: Long, outDir: String, storeDir: String)
       (compute: => (DataFrame, DataFrame)): Boolean = {
     val outFile = new org.apache.hadoop.fs.Path(outDir,
-      f"batch-$batchId%05d.parquet")
+      f"batch-$runId%s-$batchId%05d.parquet")
     val storeFile = new org.apache.hadoop.fs.Path(storeDir,
-      f"batch-$batchId%05d.parquet")
+      f"batch-$runId%s-$batchId%05d.parquet")
     val marker = new org.apache.hadoop.fs.Path(outDir,
-      f"_batch-$batchId%05d.done")
+      f"_batch-$runId%s-$batchId%05d.done")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
     // stale-file cleanup MUST precede `compute`: file listing for the
@@ -252,12 +256,14 @@ object DedupStreams {
   def noveltyStream(docs: DataFrame, gramsDir: String, outDir: String,
                     w: Int = 8, idCol: String = "doc_id",
                     textCol: String = "text",
-                    compactEvery: Int = 0): StreamingQuery =
+                    compactEvery: Int = 0,
+                    runId: String = ""): StreamingQuery = {
+    val rid = resolveRunId(runId)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+        val applied = idempotentStatefulBatch(spark, rid, batchId, outDir,
             gramsDir) {
           val grams = Dedup.distinctGrams(batch, w, idCol, textCol)
           noveltyStep(grams, readGrams(spark, gramsDir), idCol)
@@ -267,6 +273,17 @@ object DedupStreams {
         ()
       }
       .start()
+  }
+
+  /** The per-run identity the idempotent batch files are keyed on. Pass a
+    * STABLE id (with a checkpointLocation) to make a restarted query's
+    * replayed batch overwrite its own files — Structured Streaming's
+    * batchId-dedup contract; the default fresh id keeps a restart or a
+    * second backfill writer from ever clobbering claims an earlier run
+    * appended to the shared store (their batchIds also start at 0). */
+  private def resolveRunId(runId: String): String =
+    if (runId.nonEmpty) runId
+    else java.util.UUID.randomUUID().toString.take(8)
 
   /** Run the stream: per micro-batch, signature the arriving documents,
     * decide against the claim store, append verdicts to `outDir` and new
@@ -280,12 +297,14 @@ object DedupStreams {
   def nearDupStream(docs: DataFrame, claimsDir: String, outDir: String,
                     idCol: String = "doc_id",
                     textCol: String = "text",
-                    compactEvery: Int = 0): StreamingQuery =
+                    compactEvery: Int = 0,
+                    runId: String = ""): StreamingQuery = {
+    val rid = resolveRunId(runId)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+        val applied = idempotentStatefulBatch(spark, rid, batchId, outDir,
             claimsDir) {
           val sigs = Dedup.minhashSignatures(batch, idCol = idCol,
             textCol = textCol)
@@ -296,6 +315,7 @@ object DedupStreams {
         ()
       }
       .start()
+  }
 
   // ---- E18: streaming banded-Hamming SimHash dedup -------------------------
 
@@ -395,12 +415,14 @@ object DedupStreams {
   def simhashDedupStream(docs: DataFrame, storeDir: String, outDir: String,
                          maxDist: Int = 3, idCol: String = "doc_id",
                          textCol: String = "text",
-                         compactEvery: Int = 0): StreamingQuery =
+                         compactEvery: Int = 0,
+                         runId: String = ""): StreamingQuery = {
+    val rid = resolveRunId(runId)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val applied = idempotentStatefulBatch(spark, batchId, outDir,
+        val applied = idempotentStatefulBatch(spark, rid, batchId, outDir,
             storeDir) {
           val blocks = Dedup.simhashBlocks(batch, idCol, textCol)
           val (verdicts, newRows) =
@@ -417,4 +439,5 @@ object DedupStreams {
         ()
       }
       .start()
+  }
 }

@@ -610,6 +610,34 @@ class StreamingSpec extends SparkSpec {
       "a restarted query failed to drop docs claimed before the restart")
   }
 
+  test("E9 replay with a stable runId is idempotent: no duplicate verdicts/claims") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val claimsDir = java.nio.file.Files
+      .createTempDirectory("graft_claims_replay_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_replay_").toString
+    def runOnce(): Unit = {
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = graft.streaming.DedupStreams.nearDupStream(
+        ms.toDF().toDF("doc_id", "text"), claimsDir, outDir,
+        runId = "pipeline-a")
+      try { ms.addData(docs); q.processAllAvailable() } finally q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(outDir).orderBy("doc_id").collect().toSeq
+    val claimCount = spark.read.parquet(claimsDir).count()
+    // the at-least-once replay: same pipeline identity, same batch ids —
+    // the done-marker protocol must skip, leaving outputs byte-identical
+    runOnce()
+    assert(spark.read.parquet(outDir).orderBy("doc_id").collect().toSeq
+      == first, "replayed batch duplicated or altered verdicts")
+    assert(spark.read.parquet(claimsDir).count() == claimCount,
+      "replayed batch duplicated claim rows")
+  }
+
   test("E9 dedupStep: an already-claimed bucket drops later batches' docs") {
     import spark.implicits._
     val b1 = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
