@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Headline benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of steady-state timings.
@@ -9,8 +10,54 @@ import org.apache.spark.sql.SparkSession
   * class loading — the timings then reflect plan quality, which is what
   * the baseline comparison is about. Per-query progress goes to stderr in
   * execution order; stdout carries only the JSON line.
+  *
+  * Self-adjudication (the r12 artifact lesson — 1619 s battery vs 426 s
+  * same-HEAD clean runs, with the amplification INTERNAL to the JVM so a
+  * loadavg check called it clean):
+  *  - the battery runs `GRAFT_BENCH_PASSES` full passes (default 2) and
+  *    the committed number is the BEST pass — a one-off GC/cache storm in
+  *    one pass can't become the official artifact;
+  *  - every query records its process-CPU delta AND its GC-time delta, so
+  *    "the JVM re-did work" vs "the JVM sat in GC" is readable from the
+  *    artifact;
+  *  - the slowest queries (plus any whose best-pass cpu exceeds ~3× its
+  *    cpu in another pass) are re-measured SOLO with cpu; any query whose
+  *    in-battery cpu exceeds ~3× its solo cpu (above a 5 cpu-s floor) is
+  *    a SUSPECT — a non-empty suspect set triggers ONE extra full pass,
+  *    and the final artifact carries a machine-readable `battery_state`
+  *    ("clean" or "suspect: k1,k2") either way.
   */
 object Bench {
+
+  /** Fixed cross-round canary set (SCALE.md "Canary series"): 8 keys, one
+    * per major family, moderate stable cost at sf0.1 (~50 s clean total).
+    * `GRAFT_CANARY=1` runs exactly these and appends a `"canary":true`
+    * line to bench_history.jsonl, so level drift between rounds
+    * adjudicates from committed same-key data instead of one-off A/Bs.
+    * The set is append-only across rounds — never re-pick it. */
+  val CanaryKeys: Seq[String] = Seq(
+    "dedup_jaccard", "dedup_graph_rank", "ann_mmr", "text_tfidf",
+    "ml_boost_fit", "pipeline_curate", "process_graph_mmr",
+    "cube_fit_quartic")
+
+  /** Escape a string for embedding inside a JSON string literal — the
+    * verdict/state strings are interpolated into the committed artifact,
+    * and a future wording change (quotes, backslashes, a hostname) must
+    * not emit invalid JSON. */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private case class QRes(name: String, wall: Double, cpu: Double,
+                          gc: Double, rows: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,8 +77,11 @@ object Bench {
       if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
     // GRAFT_ONLY=q1,q2 — local-iteration filter (same contract as Verify);
     // the driver never sets it, so its bench always times the full battery.
+    // GRAFT_CANARY=1 — the fixed 8-key cross-round series (see CanaryKeys).
+    val canary = sys.env.get("GRAFT_CANARY").contains("1")
     val only = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(if (canary) Some(CanaryKeys.toSet) else None)
     val picked = only.fold(SparkEntry.queries)(o =>
       SparkEntry.queries.filter { case (k, _) => o(k) })
     picked.foreach { case (name, fn) =>
@@ -78,94 +128,144 @@ object Bench {
     // Sweep persisted state BETWEEN queries: operators that pin data
     // (jaccardAuto's candidate set, the BPE vocab iterates, semantic-dedup
     // stages) document that the surrounding pipeline owns the unpersist —
-    // in a 140-query serial battery the leftovers accumulate into
-    // executor-memory pressure that inflates every late-alphabet query
-    // (observed: process_graph_pca 61 s dirty vs ~7 s clean at sf1, and
-    // the round-5 driver artifact's dedup_jaccard 31.7 s). Sweeping makes
-    // each timing the operator's own cost, which is what the baseline
-    // comparison reads.
+    // in a 200-query serial battery the leftovers accumulate into
+    // executor-memory pressure that inflates every late-alphabet query.
+    // Sweeping makes each timing the operator's own cost, which is what
+    // the baseline comparison reads.
     def sweep(): Unit = {
       graft.core.CacheScope.releaseAll() // drain the pin registry too
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // Contention self-evidence (r11 adjudication took three independent
-    // re-measures): next to each wall time record the JVM's own process-CPU
-    // delta, and sample the machine 1-min loadavg per query. A contended
-    // battery shows loadavg far above this process's own average
-    // parallelism (cpu/wall); a real regression doesn't.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def cpuNanos: Long = osBean match {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Total stop-the-world GC time across all collectors — the delta per
+    // query distinguishes "re-did work" (cpu up, gc flat) from "GC churn"
+    // (gc tracks the cpu inflation), the half the r12 load_verdict was
+    // blind to.
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeOne(name: String, sampleLoad: Boolean): QRes = {
       sweep()
-      val la = osBean.getSystemLoadAverage
-      if (la >= 0) loadSamples += la
+      if (sampleLoad) {
+        val la = osBean.getSystemLoadAverage
+        if (la >= 0) loadSamples += la
+      }
+      val g0 = gcMillis
       val c0 = cpuNanos
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count()
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val n = try picked(name)(spark, sfDir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (c0 >= 0) (cpuNanos - c0) / 1e9 else -1.0
-      cpuSecs(name) = cpu
-      System.err.println(f"[bench] $name%-24s $sec%8.3f s  (cpu $cpu%8.3f s, $n rows)")
-      name -> sec
+      val gc = (gcMillis - g0) / 1e3
+      QRes(name, wall, cpu, gc, n)
     }
-    // Drift-band adjudication, in the artifact itself: the 5 slowest
-    // in-battery queries are re-measured SOLO (fresh sweep, same warm JVM)
-    // so a round-over-round regression adjudicates from one committed
-    // bench.json — an in-battery number that doesn't reproduce solo is
-    // battery drift (cache/GC neighborhood effects), not an operator
-    // change. GRAFT_NO_SOLO=1 skips it for quick local loops.
-    val slowest5 = results.sortBy(-_._2).take(5)
-    // ann_ivf_probe rides along: its sf ratio is the one under
-    // adjudication (r9 verdict item 4 — 12.3× at sf0.1→sf1), so every
-    // round's artifact carries its solo number whether or not it lands
-    // in the slowest-5.
-    val soloNames = (slowest5.map(_._1) :+ "ann_ivf_probe")
-      .distinct.filter(picked.contains)
-    val soloPairs =
-      if (sys.env.contains("GRAFT_NO_SOLO")) Seq.empty
-      else soloNames.flatMap { name =>
-        sweep()
-        val t0 = System.nanoTime()
+
+    def runPass(passIdx: Int): Seq[QRes] =
+      picked.keys.toSeq.sorted.map { name =>
+        val r = timeOne(name, sampleLoad = true)
+        System.err.println(
+          f"[bench p$passIdx] ${r.name}%-24s ${r.wall}%8.3f s  (cpu ${r.cpu}%8.3f s, gc ${r.gc}%6.2f s, ${r.rows} rows)")
+        r
+      }
+
+    // ---- full passes: official number = best of >=2 (r12 verdict #1c) --
+    val defaultPasses = if (only.isDefined) 1 else 2
+    val passes0 = sys.env.get("GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(defaultPasses).max(1)
+    val maxPasses = passes0 + 1 // one extra pass allowed if suspects found
+    var allPasses = (1 to passes0).map(runPass).toVector
+    def bestPass: Seq[QRes] = allPasses.minBy(_.map(_.wall).sum)
+
+    // ---- internal-amplification adjudication (r12 verdict #1b) ---------
+    // Solo cpu is ground truth for "what this query costs in a healthy
+    // JVM"; a battery cpu >SuspectRatio× solo cpu (above a 5 cpu-s floor,
+    // so sub-second keys can't flag on noise) means the battery JVM
+    // re-did work — exactly the process_graph_mmr 3607-vs-26 cpu-s
+    // signature the r12 artifact shipped without noticing.
+    val SuspectRatio = 3.0
+    val CpuFloor = 5.0
+    def crossPassFlags(best: Seq[QRes]): Seq[String] =
+      if (allPasses.size < 2) Seq.empty
+      else best.filter { r =>
+        val minOther = allPasses.filter(_ ne best)
+          .flatMap(_.find(_.name == r.name)).map(_.cpu).filter(_ >= 0)
+        r.cpu > CpuFloor && minOther.nonEmpty &&
+          r.cpu > SuspectRatio * minOther.min
+      }.map(_.name)
+
+    val noSolo = sys.env.contains("GRAFT_NO_SOLO")
+    val soloWall = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val soloCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def soloRun(names: Seq[String]): Unit = names.foreach { name =>
+      if (!soloWall.contains(name)) {
+        val r = timeOne(name, sampleLoad = false)
         // a failed solo run must NOT masquerade as a (typically fast)
         // valid timing and adjudicate a regression as battery drift —
-        // omit the pair entirely on exception
-        val ok = try { picked(name)(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
-                   false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) {
-          System.err.println(f"[bench] solo $name%-24s $sec%8.3f s")
-          Some(name -> sec)
-        } else None
+        // omit the pair entirely on failure
+        if (r.rows >= 0) {
+          System.err.println(
+            f"[bench solo] ${r.name}%-24s ${r.wall}%8.3f s  (cpu ${r.cpu}%8.3f s)")
+          soloWall(name) = r.wall; soloCpu(name) = r.cpu
+        }
       }
-    val solo = soloPairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    }
+    def adjudicate(): Seq[String] = {
+      val best = bestPass
+      // ann_ivf_probe rides along: its sf ratio is the one under
+      // adjudication (r9 verdict item 4), so every round's artifact
+      // carries its solo number whether or not it lands in the slowest-5.
+      val slowest5 = best.sortBy(-_.wall).take(5).map(_.name)
+      val candidates = (slowest5 ++ crossPassFlags(best) :+ "ann_ivf_probe")
+        .distinct.filter(picked.contains)
+      if (!noSolo) soloRun(candidates)
+      best.filter { r =>
+        r.cpu > CpuFloor && soloCpu.get(r.name).exists(s =>
+          s >= 0 && r.cpu > SuspectRatio * math.max(s, 0.001))
+      }.map(_.name)
+    }
+    var suspects = adjudicate()
+    if (suspects.nonEmpty && allPasses.size < maxPasses && !noSolo) {
+      System.err.println(s"[bench] suspects ${suspects.mkString(",")} -> extra pass")
+      allPasses :+= runPass(allPasses.size + 1)
+      suspects = adjudicate()
+    }
+    val best = bestPass
+    val results = best.map(r => r.name -> r.wall)
+    val batteryState =
+      if (suspects.isEmpty) "clean"
+      else s"suspect: ${suspects.mkString(",")}"
+
+    val solo = soloWall.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
-    // The driver's line capture truncates anything near the 91-query full
-    // object (r02 AND r03 both came back "parsed": null), so stdout gets a
-    // SHORT totals-only line — guaranteed to fit — and the complete
-    // per-query object goes to bench.json next to the build, where the
-    // judge (and tools/check.py users) can read every timing.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val soloCpuJson = soloCpu.map { case (k, v) => jstr(k) + ":" + r3(v) }
+      .mkString("{", ",", "}")
+    // The driver's line capture truncates anything near the full per-query
+    // object, so stdout gets a SHORT totals-only line — guaranteed to fit —
+    // and the complete per-query object goes to bench.json next to the
+    // build, where the judge (and tools/check.py users) can read every
+    // timing.
+    val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val slowest = slowest5
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val passTotals = allPasses.map(p => r3(p.map(_.wall).sum))
+      .mkString("[", ",", "]")
+    val slowest = best.sortBy(-_.wall).take(5)
+      .map(r => jstr(r.name) + ":" + r3(r.wall)).mkString("{", ",", "}")
     // Wall-vs-cpu sanity verdict: this JVM's average parallelism
-    // (cpu_total / wall_total) vs the machine loadavg. loadavg well above
-    // what this process itself consumed means OTHER work held the cores —
-    // the artifact now distinguishes a contended run from a regression
-    // without anyone re-running solos.
-    val cpuTotal = r3(cpuSecs.values.filter(_ >= 0).sum)
+    // (cpu_total / wall_total) vs the machine loadavg — the EXTERNAL-load
+    // half; battery_state above carries the INTERNAL half.
+    val cpuTotal = r3(best.map(_.cpu).filter(_ >= 0).sum)
+    val gcTotal = r3(best.map(_.gc).sum)
     val loadMean =
       if (loadSamples.isEmpty) -1.0
       else r3(loadSamples.sum / loadSamples.size)
@@ -179,24 +279,31 @@ object Bench {
       else
         f"clean: ~$externalLoad%.1f cores of external load (loadavg mean $loadMean%.1f, own cpu/wall $ownUtil%.1f on $cpus threads)"
     System.err.println(s"[bench] load verdict: $loadVerdict")
-    val cpuJson = cpuSecs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    System.err.println(s"[bench] battery state: $batteryState; pass totals $passTotals")
+    val cpuJson = best.map(r => jstr(r.name) + ":" + r3(r.cpu))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpu_total":$cpuTotal,"loadavg_mean":$loadMean,"load_verdict":"$loadVerdict","slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":"$sfDir"}""")
+    val gcJson = best.map(r => jstr(r.name) + ":" + r3(r.gc))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpu_total":$cpuTotal,"gc_total":$gcTotal,"loadavg_mean":$loadMean,"load_verdict":${jstr(loadVerdict)},"battery_state":${jstr(batteryState)},"pass_totals":$passTotals,"slowest":$slowest,"solo":$solo,"detail":"bench.json","sf":${jstr(sfDir)}}""")
     val fullBody =
-      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"cpu_total":$cpuTotal,"loadavg_mean":$loadMean,"loadavg_max":$loadMax,"load_verdict":"$loadVerdict","solo":$solo,"sf":"$sfDir"}"""
+      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"gc":$gcJson,"cpu_total":$cpuTotal,"gc_total":$gcTotal,"loadavg_mean":$loadMean,"loadavg_max":$loadMax,"load_verdict":${jstr(loadVerdict)},"battery_state":${jstr(batteryState)},"pass_totals":$passTotals,"solo":$solo,"solo_cpu":$soloCpuJson,"sf":${jstr(sfDir)}}"""
     val full = "{" + fullBody
     try {
-      // a filtered run must not clobber the full-battery artifact
+      // a filtered run must not clobber the full-battery artifact; the
+      // canary series gets its own file AND a history line (see below)
       val out = java.nio.file.Paths.get(
-        if (only.isDefined) "bench_only.json" else "bench.json")
+        if (canary) "bench_canary.json"
+        else if (only.isDefined) "bench_only.json" else "bench.json")
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query timings -> ${out.toAbsolutePath}")
       // bench.json is overwritten each run, which made round-over-round
       // per-query diffs impossible beyond the slowest-5 (r9 verdict item
       // 3) — full-battery runs ALSO append to a committed history log so
-      // regression diffs are mechanical across rounds
-      if (only.isEmpty) {
-        val stamped = s"""{"ts":${System.currentTimeMillis()},$fullBody"""
+      // regression diffs are mechanical across rounds. Canary runs append
+      // too, marked, so the fixed-key series accumulates round over round.
+      if (only.isEmpty || canary) {
+        val mark = if (canary) "\"canary\":true," else ""
+        val stamped = s"""{"ts":${System.currentTimeMillis()},$mark$fullBody"""
         java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
           (stamped + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,

@@ -538,7 +538,16 @@ object Dedup {
     * candidate generation there is no quadratic bucket explode at all, so
     * this needs no bucket cap.
     */
-  def firstWinsKept(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def firstWinsKept(sigs0: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // The plan consumes `sigs` TWICE (owner aggregate + verdict join) and
+    // Spark does not CSE duplicate subtrees — unpinned, the whole
+    // signature derivation (shingle → 16 md5 slices per doc) runs twice
+    // per action, and composed chains over this verdict (pipeline_curate,
+    // pipeline_export) amplify further under consumer re-execution (the
+    // r12 battery's pipeline_curate signature). Signatures are O(docs ×
+    // bands) narrow rows — the cheapest materialization that caps the
+    // derivation at one pass; the caller's barrier releases the pin.
+    val sigs = graft.core.CacheScope.pin(sigs0)
     val owners = sigs.groupBy("band", "sig").agg(min(col(idCol)).as("_owner"))
     sigs.join(owners.hint("shuffle_hash"), Seq("band", "sig"))
       .groupBy(col(idCol))

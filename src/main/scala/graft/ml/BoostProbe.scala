@@ -139,9 +139,15 @@ object BoostProbe {
   def boostQuery(docs: DataFrame): DataFrame = {
     val k = 3
     val feats = RidgeProbe.qualityFeatures(docs)
-    val base = (1 to k).foldLeft(feats) { (df, i) =>
+    // CacheScope-pinned (not persist/unpersist): fit() runs ~9 actions
+    // over `base`, and the returned lazy plan scans it once more AFTER
+    // this function returns — an eager unpersist here would force that
+    // final scan (and any battery-pressure re-execution) to re-derive the
+    // features, the r12 process_graph_boost amplification pattern. The
+    // caller's materialization barrier releases the pin.
+    val base = graft.core.CacheScope.pin((1 to k).foldLeft(feats) { (df, i) =>
       df.withColumn(s"_b$i", bin(col(s"x$i")))
-    }.persist()
+    })
     val (f0, trees) = fit(base, k, "y", depth = 2, rounds = 3, nu = 0.5)
     var r: Column = col("y") - lit(f0)
     val withLeaves = trees.zipWithIndex.foldLeft(base) {
@@ -150,13 +156,11 @@ object BoostProbe {
         r = r - lit(0.5) * valueCol(t, col(s"leaf${i + 1}"))
         withL
     }
-    val out = withLeaves
+    withLeaves
       .withColumn("score", graft.core.Exact.rnd4(col("y") - r))
       .withColumn("pred", col("score") >= 0.5)
       .select("doc_id", "x1", "x2", "x3", "y",
         "leaf1", "leaf2", "leaf3", "score", "pred")
-    base.unpersist(false)
-    out
   }
 
   // ------------------------------------------------------------------

@@ -20,15 +20,40 @@ object DedupQueries {
     * normalization. */
   private def exactCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertTwinHeadroom(docs, d, "doc_id")
     docs.unionByName(docs.select(
       (col("doc_id") + 100000).as("doc_id"),
       concat(upper(col("text")), lit("  ")).as("text")))
+  }
+
+  /** The +100000 twin-id convention has ZERO headroom past
+    * max(doc_id)=99999: on a larger corpus (e.g. an sf2-style replica
+    * factor beyond 20×) doc 0's twin (id 100000) collides with a REAL
+    * document, silently corrupting the near-dup corpora on BOTH engines
+    * at once — the hash gates would stay green on wrong semantics. So
+    * every twin-id builder asserts the ceiling, once per (dir, id column)
+    * per JVM: one single-column max scan, cached thereafter. The same
+    * ceiling is documented in tools/make_sf2_docs.py. */
+  private val twinHeadroomOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertTwinHeadroom(df: DataFrame, d: String, idCol: String,
+                                 shift: Long = 100000L): Unit = {
+    val key = s"$d#$idCol#$shift"
+    if (!twinHeadroomOk.contains(key)) {
+      val mx = Option(df.agg(max(col(idCol))).head().get(0))
+        .map(_.toString.toLong).getOrElse(-1L)
+      require(mx < shift,
+        s"twin-id shift $shift collides with real ids: max($idCol)=$mx in $d")
+      twinHeadroomOk.add(key)
+      ()
+    }
   }
 
   /** documents ∪ tail-truncated copy (drop last 5 words, keep ≥ 3) —
     * near-dups for MinHash/SimHash/Jaccard. */
   private def nearCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
     docs.unionByName(docs.select(
       (col("doc_id") + 100000).as("doc_id"),
@@ -49,6 +74,7 @@ object DedupQueries {
     * near-dup clusters for the component-resolution op. */
   private def clusterCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assertTwinHeadroom(docs, d, "doc_id") // two shifts, spaced 100000 apart
     val t = split(col("text"), " ")
     docs
       .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -171,6 +197,7 @@ object DedupQueries {
     * engines, so the variant vectors are bit-identical. */
   private[queries] def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    assertTwinHeadroom(e, d, "vec_id")
     e.unionByName(e.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
@@ -310,6 +337,7 @@ object DedupQueries {
   private def nearCorpusSlice(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text"))
+    assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
     docs.unionByName(docs.select(
       (col("doc_id") + 100000).as("doc_id"),

@@ -87,7 +87,14 @@ object Ann {
       val mraw = lit(lam) * col("sim") - lit(1.0 - lam) * col("pen")
       val w = Window.partitionBy("q_id")
         .orderBy(mraw.desc, col("c_id").asc)
-      val pick = remaining
+      // Each round's pick is PINNED: without it `selected`/`remaining`
+      // nest every previous round's plan, and any consumer re-execution
+      // (a cache eviction, a retried stage) re-runs the whole pyramid —
+      // the r12 battery measured exactly that (process_graph_mmr at 3607
+      // cpu-s in-battery vs 26.6 solo). The pick is O(|Q|) rows (one per
+      // query), so kOut−1 pins cost nothing and cap every round's plan at
+      // one join over the two already-pinned leaves. Values unchanged.
+      val pick = graft.core.CacheScope.pin(remaining
         .join(pairSims, Seq("q_id", "c_id"))
         .join(selected.select(col("q_id"), col("c_id").as("o_id")),
           Seq("q_id", "o_id"))
@@ -96,7 +103,7 @@ object Ann {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("q_id"), col("c_id"), lit(r).as("round"), col("sim"),
-          Exact.rnd4(mraw).as("mmr"))
+          Exact.rnd4(mraw).as("mmr")))
       selected = selected.unionByName(pick)
       remaining = remaining.join(pick.select("q_id", "c_id"),
         Seq("q_id", "c_id"), "left_anti")
@@ -164,10 +171,17 @@ object Ann {
         VectorFunctions.cosine(col("_e"), col("_eb")).as("_sim"))
     val w = Window.partitionBy("src").orderBy(col("_sim").desc,
       col("dst").asc)
-    val edges = sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src"), col("dst"), col("rank"),
-        Exact.rnd4(col("_sim")).as("sim"))
+    // Pinned: the final plan consumes `edges` TWICE (forward + reversed
+    // for the mutual flag), and Spark does not CSE duplicate subtrees —
+    // unpinned, the O(Σ cell²) self-join and the ranking window run twice
+    // per action (and N× under consumer re-execution, the r12 battery's
+    // process_graph_knn amplification). Edges are O(n·k) rows — the
+    // smallest materialization that caps the self-join at one run.
+    val edges = graft.core.CacheScope.pin(
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("src"), col("dst"), col("rank"),
+          Exact.rnd4(col("_sim")).as("sim")))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("_m"))
     edges.join(rev.hint("shuffle_hash"), Seq("src", "dst"), "left")
@@ -332,14 +346,20 @@ object Ann {
   def trainCentroids(corpus: DataFrame, nlist: Int, sampleN: Int = 256,
                      iters: Int = 5, idCol: String = "vec_id",
                      embCol: String = "embedding"): Array[Array[Double]] = {
-    // the sample must cover the cell count; 8 points per centroid is the
-    // FAISS-ish training floor (its warns start under ~39·nlist)
-    val sampleEff = math.max(sampleN, 8 * nlist)
     if (nlist <= 1024)
-      seededCentroids(corpus, nlist, sampleEff, iters, idCol, embCol)
+      // sampleN passes through UNCHANGED on the driver branch — the
+      // existing oracles all train at the caller's sampleN (256 default),
+      // and inflating it here (e.g. nlist=64 -> 512) would silently move
+      // every centroid and break their hash gates while this docstring
+      // claimed bit-compat.
+      seededCentroids(corpus, nlist, sampleN, iters, idCol, embCol)
     else
-      seededCentroidsDistributed(corpus, nlist, sampleEff, iters,
-        idCol, embCol)
+      // past the cutover there is no oracle to stay bit-compatible with
+      // (no hash-gated caller trains above 1024 cells), so the sample may
+      // grow to cover the cell count: 8 points per centroid is the
+      // FAISS-ish training floor (its warns start under ~39·nlist)
+      seededCentroidsDistributed(corpus, nlist,
+        math.max(sampleN, 8 * nlist), iters, idCol, embCol)
   }
 
   /** The distributed twin of [[seededCentroids]] — BITWISE the same

@@ -46,15 +46,22 @@ object DedupStreams {
                                     dst: org.apache.hadoop.fs.Path): Unit = {
     val spark = df.sparkSession
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      java.nio.file.Files.createTempDirectory("graft_batch_sink_").toString)
+    // The temp dir is a SIBLING on dst's own FileSystem (underscore-
+    // prefixed so parquet readers skip a crashed leftover): a local-FS
+    // temp dir only works when the store is local — on HDFS/S3A the
+    // listing/rename below would silently produce no file. Deterministic
+    // name → a retry overwrites its own leftover.
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s"_tmp-${dst.getName}")
     df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp)
       .filter(_.getPath.getName.endsWith(".parquet")).headOption
       .getOrElse(sys.error(s"batch sink wrote no parquet part under $tmp"))
-    fs.mkdirs(dst.getParent)
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(part.getPath, dst)
+    // an unchecked failed rename surfaces only later as a downstream
+    // hash/count mismatch — fail loudly at the write instead
+    require(fs.rename(part.getPath, dst),
+      s"batch sink rename failed: ${part.getPath} -> $dst")
     fs.delete(tmp, true)
   }
 
@@ -158,20 +165,40 @@ object DedupStreams {
     * rewrite expressed directly on the parquet directory.
     */
   def compactClaims(spark: SparkSession, claimsDir: String,
-                    parts: Int = 8): Unit = {
-    val p = new org.apache.hadoop.fs.Path(claimsDir)
+                    parts: Int = 8): Unit =
+    compactStore(spark, claimsDir, claimsSchema, parts, Seq("band", "sig"))
+
+  /** Shared compaction rewrite: snapshot the store's *.parquet listing
+    * ONCE, rewrite EXACTLY that file set into `parts` hash-partitioned
+    * compact files, then delete exactly the snapshot. Folding and deleting
+    * a frozen snapshot — instead of re-listing before the delete — means a
+    * batch file renamed in by a concurrent backfill writer (the runId
+    * protocol explicitly allows one) between the compaction read and the
+    * delete loop is neither folded nor deleted: it survives untouched for
+    * the next compaction rather than being silently lost. Renames are
+    * checked — a failed rename aborts loudly here instead of surfacing
+    * later as a downstream hash mismatch. */
+  private def compactStore(spark: SparkSession, dir: String,
+                           schema: StructType, parts: Int,
+                           keys: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(claimsDir + "_compacting")
-    readClaims(spark, claimsDir)
-      .repartition(parts, col("band"), col("sig"))
+    val snapshot = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (snapshot.isEmpty) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
+    spark.read.schema(schema)
+      .parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+      .repartition(parts, keys.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f => fs.delete(f.getPath, false))
+    snapshot.foreach(f => fs.delete(f, false))
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
+        val dst = new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet")
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(f.getPath, dst),
+          s"compaction rename failed: ${f.getPath} -> $dst")
       }
     fs.delete(tmp, true)
   }
@@ -228,23 +255,8 @@ object DedupStreams {
 
   /** Compact the gram store ([[compactClaims]]'s rewrite keyed on gram). */
   def compactGrams(spark: SparkSession, gramsDir: String,
-                   parts: Int = 8): Unit = {
-    val p = new org.apache.hadoop.fs.Path(gramsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(gramsDir + "_compacting")
-    readGrams(spark, gramsDir)
-      .repartition(parts, col("gram"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
-      }
-    fs.delete(tmp, true)
-  }
+                   parts: Int = 8): Unit =
+    compactStore(spark, gramsDir, gramSchema, parts, Seq("gram"))
 
   /** E12: novelty scoring as an ingest stream — the incremental twin of
     * [[graft.dedup.Dedup.noveltyScores]]. The gram store (one row per
@@ -386,23 +398,8 @@ object DedupStreams {
   /** Compact the signature store ([[compactClaims]]'s rewrite keyed on
     * (blk, key)). */
   def compactShStore(spark: SparkSession, storeDir: String,
-                     parts: Int = 8): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + "_compacting")
-    readShStore(spark, storeDir)
-      .repartition(parts, col("blk"), col("key"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(p, f"compact-$i%05d.parquet"))
-      }
-    fs.delete(tmp, true)
-  }
+                     parts: Int = 8): Unit =
+    compactStore(spark, storeDir, shStoreSchema, parts, Seq("blk", "key"))
 
   /** E18: banded-Hamming SimHash dedup as an ingest stream — the
     * incremental twin of [[graft.dedup.Dedup.simhashFirstWins]]. Note the

@@ -38,6 +38,16 @@ class AnnSpec extends SparkSpec {
     d.zip(s).foreach { case (ca, cb) =>
       assert(java.util.Arrays.equals(ca, cb), "dispatcher diverges at small nlist")
     }
+    // ...and at an nlist where an 8·nlist sample floor WOULD diverge from
+    // the caller's sampleN (64 → 512 ≠ 256): the driver branch must pass
+    // sampleN through unchanged, or wiring the dispatcher into the IVF
+    // paths would silently move every centroid behind the hash gates
+    val d64 = Ann.trainCentroids(emb, nlist = 64)
+    val s64 = Ann.seededCentroids(emb, nlist = 64, sampleN = 256)
+    d64.zip(s64).foreach { case (ca, cb) =>
+      assert(java.util.Arrays.equals(ca, cb),
+        "dispatcher must not inflate the driver-branch sample (nlist=64)")
+    }
   }
 
   test("native NearestCentroid equals the unrolled array_min form (128 cells)") {
