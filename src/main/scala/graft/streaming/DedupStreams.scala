@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -395,6 +396,62 @@ object DedupStreams {
     (verdicts, newRows)
   }
 
+  /** The CAPPED-corpus variant of [[simhashStep]]: arrivals landing in a
+    * SATURATED bucket are QUARANTINED — no keep/drop verdict, signature
+    * not stored — instead of silently diverging from the batch anchor.
+    *
+    * Why: the batch anchor's `maxBucket` guard is a GLOBAL bucket-size
+    * statistic a causal stream cannot consult (the full corpus's bucket
+    * sizes aren't known at arrival time), so stream ≡ anchor parity is
+    * only a theorem on corpora where the cap never binds (the E18 gate's
+    * slice corpus). On corpora where it DOES bind, this mode makes the
+    * divergence surface explicit and bounded:
+    *
+    *  - a doc is quarantined iff ANY of its 4 block buckets is saturated
+    *    at its arrival — store occupancy plus earlier same-batch arrivals
+    *    in that bucket ≥ `maxBucket`. (Occupancy is judged pessimistically:
+    *    an earlier same-batch arrival counts even if it is itself
+    *    quarantined via another bucket — saturation quarantines slightly
+    *    eagerly, never lazily, keeping the decision one-pass instead of
+    *    sequentially dependent across buckets.)
+    *  - quarantined docs contribute NOTHING: not stored, not dup evidence
+    *    for later arrivals. They are the deferred set a production
+    *    pipeline adjudicates offline (through the batch path, or with a
+    *    wider cap) — exactly what a boilerplate-flooded bucket needs,
+    *    since past the cap its occupants are overwhelmingly template
+    *    copies whose individual verdicts no longer carry signal.
+    *
+    * The contract this buys (pinned by StreamingSpec): verdicts over the
+    * DECIDED set D equal the cap-FREE batch anchor run on D alone —
+    * the stream degrades by narrowing its decided corpus, never by
+    * answering differently on it. Output schema gains `quarantined`
+    * (kept is NULL on quarantined rows).
+    */
+  def simhashStepCapped(blocks: DataFrame, store: DataFrame,
+                        maxDist: Int, maxBucket: Int,
+                        idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    require(maxBucket > 0, "simhashStepCapped: maxBucket must be positive")
+    val sizes = store.groupBy("blk", "key").agg(count(lit(1)).as("_sn"))
+    // occupancy at arrival = stored rows + earlier batch arrivals in the
+    // same bucket (rank by id within (blk, key) — the causal order)
+    val w = Window.partitionBy("blk", "key").orderBy(col("id").asc)
+    val occ = blocks
+      .withColumn("_r", row_number().over(w))
+      .join(sizes.hint("shuffle_hash"), Seq("blk", "key"), "left")
+      .withColumn("_occ", coalesce(col("_sn"), lit(0L)) + col("_r") - 1)
+    val quarantined = occ.groupBy(col("id"))
+      .agg(max((col("_occ") >= maxBucket).cast("int")).as("_q"))
+      .filter(col("_q") === 1)
+      .select(col("id"))
+    val decided = blocks.join(quarantined, Seq("id"), "left_anti")
+    val (verdicts, newRows) = simhashStep(decided, store, maxDist, idCol)
+    val vOut = verdicts
+      .select(col(idCol), col("kept"), lit(false).as("quarantined"))
+      .unionByName(quarantined.select(col("id").as(idCol),
+        lit(null).cast("boolean").as("kept"), lit(true).as("quarantined")))
+    (vOut, newRows)
+  }
+
   /** Compact the signature store ([[compactClaims]]'s rewrite keyed on
     * (blk, key)). */
   def compactShStore(spark: SparkSession, storeDir: String,
@@ -408,12 +465,20 @@ object DedupStreams {
     * holds whenever the cap does not bind (StreamingSpec pins it on such
     * a corpus; a production deployment sizes the cap so it never binds on
     * genuine near-dups).
+    *
+    * `maxBucket` > 0 switches to the CAPPED-corpus mode
+    * ([[simhashStepCapped]]): saturated-bucket arrivals are quarantined
+    * (kept NULL, `quarantined` column added) instead of silently
+    * diverging from the anchor; decided verdicts equal the cap-free
+    * anchor on the decided subset. 0 (default) is the cap-free mode the
+    * gate key runs.
     */
   def simhashDedupStream(docs: DataFrame, storeDir: String, outDir: String,
                          maxDist: Int = 3, idCol: String = "doc_id",
                          textCol: String = "text",
                          compactEvery: Int = 0,
-                         runId: String = ""): StreamingQuery = {
+                         runId: String = "",
+                         maxBucket: Int = 0): StreamingQuery = {
     val rid = resolveRunId(runId)
     docs.writeStream
       .outputMode("append")
@@ -422,14 +487,28 @@ object DedupStreams {
         val applied = idempotentStatefulBatch(spark, rid, batchId, outDir,
             storeDir) {
           val blocks = Dedup.simhashBlocks(batch, idCol, textCol)
-          val (verdicts, newRows) =
-            simhashStep(blocks, readShStore(spark, storeDir), maxDist, idCol)
-          // token-less docs carry no signature → no dup evidence → kept
-          // (the simhashFirstWins contract)
-          val verdictsFull = batch.select(col(idCol))
-            .join(verdicts, Seq(idCol), "left")
-            .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
-          (verdictsFull, newRows)
+          val store = readShStore(spark, storeDir)
+          if (maxBucket > 0) {
+            val (verdicts, newRows) =
+              simhashStepCapped(blocks, store, maxDist, maxBucket, idCol)
+            // token-less docs: no signature → no dup evidence → kept
+            val verdictsFull = batch.select(col(idCol))
+              .join(verdicts, Seq(idCol), "left")
+              .select(col(idCol),
+                when(coalesce(col("quarantined"), lit(false)), col("kept"))
+                  .otherwise(coalesce(col("kept"), lit(true))).as("kept"),
+                coalesce(col("quarantined"), lit(false)).as("quarantined"))
+            (verdictsFull, newRows)
+          } else {
+            val (verdicts, newRows) =
+              simhashStep(blocks, store, maxDist, idCol)
+            // token-less docs carry no signature → no dup evidence → kept
+            // (the simhashFirstWins contract)
+            val verdictsFull = batch.select(col(idCol))
+              .join(verdicts, Seq(idCol), "left")
+              .select(col(idCol), coalesce(col("kept"), lit(true)).as("kept"))
+            (verdictsFull, newRows)
+          }
         }
         if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactShStore(spark, storeDir)

@@ -526,6 +526,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E18 capped mode: saturated-bucket arrivals quarantine; decided " +
+      "verdicts equal the cap-free anchor on the decided subset") {
+    import spark.implicits._
+    // boilerplate flood: 8 ids carrying the SAME text (one signature →
+    // one bucket per block, occupancy grows 0..7) + 6 genuinely distinct
+    // docs. With maxBucket = 4 the flood saturates mid-stream.
+    val boiler = (0L until 8L).map(i =>
+      (i * 10, "the quick brown fox jumps over the lazy dog again and again"))
+    val distinctDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(6)
+      .collect().map(r => (r.getLong(0) + 1000L, r.getString(1))).toSeq
+    val all = (boiler ++ distinctDocs).sortBy(_._1)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_shcap_store_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_shcap_out_").toString
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DedupStreams.simhashDedupStream(
+      ms.toDF().toDF("doc_id", "text"), storeDir, outDir, maxBucket = 4)
+    try {
+      ms.addData(all.take(7)); q.processAllAvailable()
+      ms.addData(all.drop(7)); q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select("doc_id", "kept", "quarantined").cache()
+      // the divergence surface is EXACTLY the post-saturation flood tail:
+      // occupancy at arrival ≥ 4 → boiler docs ranked 5+ quarantine;
+      // nothing else does (distinct docs never share a bucket here)
+      val quarantinedIds = out.filter(col("quarantined"))
+        .select("doc_id").as[Long].collect().toSet
+      val floodIds = boiler.map(_._1).sorted
+      assert(quarantinedIds == floodIds.drop(4).toSet,
+        s"quarantine surface wrong: $quarantinedIds vs expected " +
+          s"${floodIds.drop(4).toSet}")
+      // quarantined rows carry NO verdict
+      assert(out.filter(col("quarantined") && col("kept").isNotNull)
+        .count() == 0, "a quarantined doc carried a keep/drop verdict")
+      // the contract: decided verdicts == cap-FREE batch anchor run on
+      // the decided subset alone (quarantined docs contribute nothing)
+      val decided = all.filterNot { case (id, _) => quarantinedIds(id) }
+      val anchor = graft.dedup.Dedup.simhashFirstWins(
+        decided.toDF("doc_id", "text"), maxBucket = Int.MaxValue)
+      val decidedOut = out.filter(!col("quarantined"))
+        .select(col("doc_id"), col("kept"))
+      assert(decidedOut.exceptAll(anchor).isEmpty &&
+        anchor.exceptAll(decidedOut).isEmpty,
+        "decided verdicts diverge from the cap-free anchor on the " +
+          "decided subset")
+      // signature store never saturates past the cap: the flood bucket
+      // holds exactly maxBucket owners
+      val perBucket = graft.streaming.DedupStreams
+        .readShStore(spark, storeDir)
+        .groupBy("blk", "key").count().agg(max("count")).head().getLong(0)
+      assert(perBucket <= 4, s"store bucket exceeded the cap: $perBucket")
+      out.unpersist()
+    } finally q.stop()
+  }
+
   test("E9 compaction: verdicts unchanged, file count bounded, restart ok") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
