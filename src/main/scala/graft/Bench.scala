@@ -135,8 +135,15 @@ object Bench {
     def sweep(): Unit = {
       graft.core.CacheScope.releaseAll() // drain the pin registry too
       spark.catalog.clearCache()
+      // BLOCKING unpersist + an explicit collection: the residual cleanup
+      // and heap debt of the previous query must be paid HERE, in the
+      // untimed gap — non-blocking sweeps let the async unpersist/cleaner
+      // backlog land inside whichever multi-job query runs next, which
+      // showed up as wall-not-cpu inflation concentrated on the ml_*
+      // keys (2.3-2.5x battery-vs-solo walls at clean cpu).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def cpuNanos: Long = osBean match {
