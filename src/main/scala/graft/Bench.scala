@@ -78,9 +78,19 @@ object Bench {
     // GRAFT_ONLY=q1,q2 — local-iteration filter (same contract as Verify);
     // the driver never sets it, so its bench always times the full battery.
     // GRAFT_CANARY=1 — the fixed 8-key cross-round series (see CanaryKeys).
-    val canary = sys.env.get("GRAFT_CANARY").contains("1")
-    val only = sys.env.get("GRAFT_ONLY")
+    // GRAFT_ONLY beats GRAFT_CANARY: a combined run times the GRAFT_ONLY
+    // keys, so letting it keep the canary marking would append arbitrary
+    // non-canary keys to the fixed-key cross-round series bench_canary/
+    // bench_history were built to keep clean. Demote to a plain only-run.
+    val onlyEnv = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val canary = sys.env.get("GRAFT_CANARY").contains("1") && {
+      if (onlyEnv.isDefined)
+        System.err.println("[bench] GRAFT_ONLY set — ignoring GRAFT_CANARY " +
+          "(canary series only accepts the fixed key set)")
+      onlyEnv.isEmpty
+    }
+    val only = onlyEnv
       .orElse(if (canary) Some(CanaryKeys.toSet) else None)
     val picked = only.fold(SparkEntry.queries)(o =>
       SparkEntry.queries.filter { case (k, _) => o(k) })
@@ -118,6 +128,7 @@ object Bench {
       graft.queries.TextQueries.gdStreamScores(spark, sfDir)
       graft.queries.DedupQueries.noveltyStreamScores(spark, sfDir)
       graft.queries.DedupQueries.simhashStreamVerdicts(spark, sfDir)
+      graft.queries.DedupQueries.simhashStreamCappedVerdicts(spark, sfDir)
       graft.queries.MlQueries.forestStreamScores(spark, sfDir)
       graft.queries.MlQueries.nbStreamScores(spark, sfDir)
     } catch { case e: Throwable =>
@@ -187,7 +198,15 @@ object Bench {
 
     // ---- full passes: official number = best of >=2 (r12 verdict #1c) --
     val defaultPasses = if (only.isDefined) 1 else 2
-    val passes0 = sys.env.get("GRAFT_BENCH_PASSES").map(_.toInt)
+    // Malformed values fall back loudly instead of crashing the battery
+    // after the JVM/warmup cost has already been paid.
+    val passes0 = sys.env.get("GRAFT_BENCH_PASSES")
+      .flatMap { v =>
+        val p = scala.util.Try(v.trim.toInt).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed GRAFT_BENCH_PASSES='$v' (using $defaultPasses)")
+        p
+      }
       .getOrElse(defaultPasses).max(1)
     val maxPasses = passes0 + 1 // one extra pass allowed if suspects found
     var allPasses = (1 to passes0).map(runPass).toVector
@@ -298,9 +317,14 @@ object Bench {
     try {
       // a filtered run must not clobber the full-battery artifact; the
       // canary series gets its own file AND a history line (see below)
+      // GRAFT_BENCH_OUT reroutes the artifact file — the sf1 battery leg
+      // writes bench_sf1.json (with the same battery_state/pass_totals
+      // self-adjudication as the sf0.1 leg) without clobbering bench.json,
+      // and the sf1 canary gets its own file the same way.
       val out = java.nio.file.Paths.get(
-        if (canary) "bench_canary.json"
-        else if (only.isDefined) "bench_only.json" else "bench.json")
+        sys.env.getOrElse("GRAFT_BENCH_OUT",
+          if (canary) "bench_canary.json"
+          else if (only.isDefined) "bench_only.json" else "bench.json"))
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query timings -> ${out.toAbsolutePath}")
       // bench.json is overwritten each run, which made round-over-round

@@ -51,4 +51,18 @@ object CacheScope {
 
   /** Number of currently registered (unreleased) pins — spec hook. */
   def size: Int = pinned.size()
+
+  /** Run `body`, MATERIALIZE its result (any action), and release every pin
+    * registered during the call — the local-release path for callers that
+    * are not a battery driver with its own [[releaseAll]] barrier (tests,
+    * ad-hoc use, a service handling one request). The body must consume the
+    * pinned data before returning (e.g. `scoped { q.count() }`), because
+    * the release happens immediately after; returning a LAZY DataFrame out
+    * of `scoped` and acting on it later defeats the pin.
+    *
+    * Note: releases the WHOLE scope, including pins registered by other
+    * threads during the call — single-threaded callers only, same
+    * restriction as [[releaseAll]]. */
+  def scoped[A](body: => A): A =
+    try body finally releaseAll()
 }

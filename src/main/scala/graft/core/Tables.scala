@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * assumes single-file inputs.
   */
 object Tables {
+
+  /** Id offset for synthetic twin corpora (dedup fixtures union a mutated
+    * copy of every document/vector under `id + TwinShift`; the cluster
+    * fixture adds a second copy at `id + TwinShift2`). 10⁹ leaves ~7
+    * orders of magnitude of headroom over any replica corpus this harness
+    * will see (the r13 ceiling was 10⁵, which a 20× docs replica already
+    * touched); ids are int64 everywhere, and DuckDB's BIGINT addition
+    * takes the same literal, so both engines shift identically.
+    * Every twin builder still asserts max(id) < TwinShift — growth past
+    * the ceiling must fail loudly, never silently corrupt the corpora. */
+  val TwinShift: Long = 1000000000L
+  val TwinShift2: Long = 2 * TwinShift
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -537,6 +537,11 @@ object Dedup {
     * O(docs × bands). No bucket is ever collected into memory — unlike
     * candidate generation there is no quadratic bucket explode at all, so
     * this needs no bucket cap.
+    *
+    * The signature derivation is CacheScope-pinned (two lazy consumers in
+    * the returned plan) — CALLER CONTRACT: release via
+    * [[graft.core.CacheScope.releaseAll]] after materializing the result,
+    * or wrap the action in [[graft.core.CacheScope.scoped]].
     */
   def firstWinsKept(sigs0: DataFrame, idCol: String = "doc_id"): DataFrame = {
     // The plan consumes `sigs` TWICE (owner aggregate + verdict join) and

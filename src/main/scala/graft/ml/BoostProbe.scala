@@ -135,7 +135,12 @@ object BoostProbe {
 
   /** The A15 composed op: quality features → 3 rounds of depth-2 boosted
     * regression trees (ν=0.5) → literal scoring. Output pins each
-    * round's leaf assignment and the final score F = y − r. */
+    * round's leaf assignment and the final score F = y − r.
+    *
+    * The feature base is CacheScope-pinned (fit's ~9 actions + the
+    * returned lazy plan all scan it) — CALLER CONTRACT: release via
+    * [[graft.core.CacheScope.releaseAll]] after materializing the result,
+    * or wrap the action in [[graft.core.CacheScope.scoped]]. */
   def boostQuery(docs: DataFrame): DataFrame = {
     val k = 3
     val feats = RidgeProbe.qualityFeatures(docs)

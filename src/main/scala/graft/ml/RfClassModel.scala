@@ -128,6 +128,16 @@ final class RfClassModel(
       throw new IllegalStateException("save_ml_model: model is not trained"))
     m.write.overwrite().save(s"$path/model")
     spec.save(path)
+    // MLlib FITTING is not oracle-replayable (SURVEY §6), but SCORING is:
+    // every save also exports the fitted trees as a graft-sk-forest
+    // sidecar (the A29 interop format — engine-portable literal CASE
+    // chains), which is how the pinned-forest gate fixture
+    // (ml_rf_score_pinned) is produced. classes(i) = i - 1 undoes
+    // ml_fit's +1 R-compat label shift.
+    val spark = org.apache.spark.sql.SparkSession.active
+    ProbeModels.write(spark, s"$path/skforest.json",
+      MllibExport.toSkForestJson(spark, m,
+        (0 until m.numClasses).map(_ - 1.0)))
   }
 }
 

@@ -73,6 +73,20 @@ object SkForest {
     * converter and pins byte-parity. */
   def loadFixture(): Forest = fromJson(fixtureJson())
 
+  /** The committed MLLIB-fitted pinned forest ([[MllibExport]] over the
+    * sf0.001 quality features — regenerate with
+    * `tools/run_local.sh graft.ml.MllibExport`) as raw JSON. */
+  def mllibFixtureJson(): String = {
+    val in = getClass.getResourceAsStream("/graft/mllib_rf.json")
+    require(in != null, "missing /graft/mllib_rf.json resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The committed MLlib pinned forest, parsed; MllibExportSpec re-fits
+    * and pins byte-parity plus transform-prediction parity. */
+  def loadMllibFixture(): Forest = fromJson(mllibFixtureJson())
+
   /** The mlm:framework value a STAC-MLM item uses to declare a converted
     * sklearn forest asset (see [[StacMlm.loadSkForest]]). */
   val Framework = "graft-sk-forest"

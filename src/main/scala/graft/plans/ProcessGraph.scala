@@ -828,7 +828,9 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
     case "with_truncated_variants" =>
       val d = docsArg(args, evalNode)
       val k = args.path("drop_words").asInt(5)
-      val off = args.path("id_offset").asLong(100000L)
+      // default = the fixture twin shift, so graph chains land on the same
+      // rows as the direct dedup queries (shared oracles)
+      val off = args.path("id_offset").asLong(graft.core.Tables.TwinShift)
       val t = split(col("text"), " ")
       val base = d.select(col("doc_id"), col("text"))
       base.unionByName(base.select((col("doc_id") + off).as("doc_id"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Tables.{TwinShift, TwinShift2}
 import graft.dedup.{Dedup, GraphRank}
 
 /** Deduplication operators exercised on the `documents` / `embeddings`
@@ -22,22 +23,22 @@ object DedupQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     assertTwinHeadroom(docs, d, "doc_id")
     docs.unionByName(docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+      (col("doc_id") + TwinShift).as("doc_id"),
       concat(upper(col("text")), lit("  ")).as("text")))
   }
 
-  /** The +100000 twin-id convention has ZERO headroom past
-    * max(doc_id)=99999: on a larger corpus (e.g. an sf2-style replica
-    * factor beyond 20×) doc 0's twin (id 100000) collides with a REAL
-    * document, silently corrupting the near-dup corpora on BOTH engines
-    * at once — the hash gates would stay green on wrong semantics. So
-    * every twin-id builder asserts the ceiling, once per (dir, id column)
-    * per JVM: one single-column max scan, cached thereafter. The same
-    * ceiling is documented in tools/make_sf2_docs.py. */
+  /** Past max(id) = TwinShift−1 a base document's twin collides with a
+    * REAL document, silently corrupting the near-dup corpora on BOTH
+    * engines at once — the hash gates would stay green on wrong
+    * semantics. So every twin-id builder asserts the ceiling, once per
+    * (dir, id column) per JVM: one single-column max scan, cached
+    * thereafter. The shift lives in [[graft.core.Tables.TwinShift]]
+    * (10⁹ since r14 — the r13 10⁵ ceiling sat exactly at a 20× docs
+    * replica); the same ceiling is documented in tools/make_sf2_docs.py. */
   private val twinHeadroomOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def assertTwinHeadroom(df: DataFrame, d: String, idCol: String,
-                                 shift: Long = 100000L): Unit = {
+                                 shift: Long = TwinShift): Unit = {
     val key = s"$d#$idCol#$shift"
     if (!twinHeadroomOk.contains(key)) {
       val mx = Option(df.agg(max(col(idCol))).head().get(0))
@@ -56,15 +57,15 @@ object DedupQueries {
     assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
     docs.unionByName(docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+      (col("doc_id") + TwinShift).as("doc_id"),
       concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
   }
 
   private val nearCorpusSql =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + $TwinShift AS doc_id,
       |    array_to_string(
       |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
       |      ' ') AS text
@@ -74,26 +75,26 @@ object DedupQueries {
     * near-dup clusters for the component-resolution op. */
   private def clusterCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    assertTwinHeadroom(docs, d, "doc_id") // two shifts, spaced 100000 apart
+    assertTwinHeadroom(docs, d, "doc_id") // two shifts, spaced TwinShift apart
     val t = split(col("text"), " ")
     docs
-      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+      .unionByName(docs.select((col("doc_id") + TwinShift).as("doc_id"),
         concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
-      .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
+      .unionByName(docs.select((col("doc_id") + TwinShift2).as("doc_id"),
         concat_ws(" ", slice(t, lit(1), greatest(size(t) - 10, lit(3)))).as("text")))
   }
 
   private val clusterCorpusSql =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + $TwinShift AS doc_id,
       |    array_to_string(
       |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
       |      ' ') AS text
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 200000 AS doc_id,
+      |  SELECT doc_id + $TwinShift2 AS doc_id,
       |    array_to_string(
       |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 10, 3)],
       |      ' ') AS text
@@ -176,10 +177,10 @@ object DedupQueries {
   /** The [[nearCorpusSlice]] mirror — every 20th document + its truncated
     * twin, the cap-free corpus the E18 stream gate key replays on. */
   private val slicedNearCorpusSql =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + $TwinShift AS doc_id,
       |    array_to_string(
       |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
       |      ' ') AS text
@@ -199,15 +200,15 @@ object DedupQueries {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     assertTwinHeadroom(e, d, "vec_id")
     e.unionByName(e.select(
-      (col("vec_id") + 100000).as("vec_id"),
+      (col("vec_id") + TwinShift).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
   }
 
   private[queries] val embCorpusSql =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000 AS vec_id,
+      |  SELECT vec_id + $TwinShift AS vec_id,
       |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
       |  FROM embeddings)""".stripMargin
 
@@ -340,7 +341,7 @@ object DedupQueries {
     assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
     docs.unionByName(docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+      (col("doc_id") + TwinShift).as("doc_id"),
       concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
   }
 
@@ -379,6 +380,92 @@ object DedupQueries {
           .option("maxFilesPerTrigger", 1).parquet(stage),
         storeDir, outDir, maxDist = 3, compactEvery = 2)
       try q.processAllAvailable() finally q.stop()
+      outDir
+    })
+    s.read.parquet(path)
+  }
+
+  /** E18 capped-mode flood fixture: `SimhashFloodK` copies of one fixed
+    * template sentence at ids ≥ TwinShift2 (after every slice doc), so all
+    * four of the template signature's (blk, key) buckets saturate the
+    * `SimhashStreamCap` guard mid-flood — the boilerplate-flooded-bucket
+    * regime [[graft.streaming.DedupStreams.simhashStepCapped]] exists for. */
+  private val SimhashStreamCap = 1024
+  private val SimhashFloodK = 1152
+  private val SimhashFloodTemplate =
+    "standard boilerplate navigation header copyright terms privacy " +
+      "contact subscribe login search menu footer sitemap"
+
+  private def cappedStreamCorpus(s: SparkSession, d: String): DataFrame =
+    nearCorpusSlice(s, d).unionByName(
+      s.range(SimhashFloodK).select((col("id") + TwinShift2).as("doc_id"),
+        lit(SimhashFloodTemplate).as("text")))
+
+  private val cappedStreamCorpusSql =
+    s"""corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + $TwinShift AS doc_id,
+      |    array_to_string(
+      |      (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT $TwinShift2 + i AS doc_id,
+      |    '$SimhashFloodTemplate' AS text
+      |  FROM generate_series(0, ${SimhashFloodK - 1}) AS gs(i))""".stripMargin
+
+  /** The streamed CAPPED-mode SimHash verdicts for
+    * `dedup_simhash_stream_capped` (the `maxBucket > 0` path of
+    * [[graft.streaming.DedupStreams.simhashDedupStream]] through the gate —
+    * the one r13 semantics the driver gate did not key). Same staging and
+    * mid-stream compaction as [[simhashStreamVerdicts]], but on the flood
+    * corpus with `maxBucket = SimhashStreamCap`, so saturation BINDS and
+    * the quarantine bookkeeping is exercised for real.
+    *
+    * Why the oracle is exact and batch-boundary-free on THIS corpus (it is
+    * not in general — same-batch arrivals count pessimistically, earlier-
+    * batch quarantined arrivals not at all):
+    *  - every slice doc precedes every flood doc (ids), and slice bucket
+    *    sizes stay ≤ cap (required loudly below), so no slice doc ever
+    *    quarantines and every early bucket occupant is DECIDED;
+    *  - flood docs share all four signature buckets, so with b_i slice
+    *    members in flood bucket i, arrival f quarantines iff
+    *    f ≥ cap − max_i(b_i) — counting decided occupants alone reaches
+    *    the cap, and pessimism can only re-flag already-flagged docs.
+    * Both cases collapse to: quarantined iff arrival rank in SOME bucket
+    * exceeds the cap, over ALL corpus members of that bucket in id order —
+    * one window + HAVING in the oracle. Decided verdicts then equal the
+    * cap-free first-wins anchor restricted to the decided subset (the
+    * simhashStepCapped contract, spec-pinned in StreamingSpec). */
+  private val simhashStreamCappedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def simhashStreamCappedVerdicts(s: SparkSession, d: String): DataFrame = {
+    val path = simhashStreamCappedCache.getOrElseUpdate(d, {
+      val slice = nearCorpusSlice(s, d)
+      val mb = Dedup.simhashBlocks(slice).groupBy("blk", "key")
+        .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+      val sliceMax = if (mb.isNullAt(0)) 0L else mb.getLong(0)
+      require(sliceMax <= SimhashStreamCap,
+        s"simhash capped stream: largest slice (blk, key) bucket $sliceMax " +
+          s"exceeds cap $SimhashStreamCap — slice docs would quarantine and " +
+          "the boundary-free oracle derivation no longer holds; widen the " +
+          "slice modulus or the cap")
+      val corpus = cappedStreamCorpus(s, d)
+      val stage = stageIdOrderedArrivals(s, corpus, parts = 4)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_simhash_capstore_").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_simhash_capout_").toString
+      val q = graft.streaming.DedupStreams.simhashDedupStream(
+        s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        storeDir, outDir, maxDist = 3, compactEvery = 2,
+        maxBucket = SimhashStreamCap)
+      try q.processAllAvailable() finally q.stop()
+      val nq = s.read.parquet(outDir).filter(col("quarantined")).count()
+      require(nq > 0, "simhash capped stream: cap never bound — the " +
+        "fixture must exercise the quarantine path (flood too small?)")
       outDir
     })
     s.read.parquet(path)
@@ -477,6 +564,14 @@ object DedupQueries {
     // anchor's first-wins oracle restricted to the slice.
     "dedup_simhash_stream" -> { (s, d) => simhashStreamVerdicts(s, d) },
 
+    // E18 capped mode: the same causal stream on the FLOODED corpus with
+    // maxBucket binding — saturated-bucket arrivals come back quarantined
+    // (kept NULL), decided verdicts hash-match the cap-free anchor
+    // restricted to the decided subset.
+    "dedup_simhash_stream_capped" -> { (s, d) =>
+      simhashStreamCappedVerdicts(s, d)
+    },
+
     // D87: the three detectors side by side per pair + the ≥2-signal
     // conservative verdict — the evidence table consulted before
     // destructive dedup.
@@ -489,7 +584,7 @@ object DedupQueries {
     // are flagged nearly wall-to-wall.
     "dedup_spans" -> { (s, d) => Dedup.dupSpans(nearCorpus(s, d), w = 8) },
 
-    // D55: corpus-order novelty — the truncated mirrors (id+100000) carry
+    // D55: corpus-order novelty — the truncated mirrors (id+TwinShift) carry
     // almost no first-seen content, so their novelty collapses toward 0
     // while the base documents stay near 1.
     "text_novelty" -> { (s, d) =>
@@ -571,9 +666,9 @@ object DedupQueries {
     // "benchmark" and its variant must be flagged by 8-gram overlap.
     "text_decontaminate" -> { (s, d) =>
       val corpus = nearCorpus(s, d)
-      val bench = corpus.filter(col("doc_id") < 100000 &&
+      val bench = corpus.filter(col("doc_id") < TwinShift &&
         col("doc_id") % 50 === 0)
-      val train = corpus.filter(col("doc_id") >= 100000)
+      val train = corpus.filter(col("doc_id") >= TwinShift)
       Dedup.decontaminate(train, bench, w = 8)
     }
   )
@@ -616,10 +711,10 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+        |  SELECT doc_id + $TwinShift AS doc_id, upper(text) || '  ' AS text
         |  FROM documents)
         |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
@@ -1009,6 +1104,44 @@ object DedupQueries {
         |  (dupd.doc_b IS NULL) AS kept
         |FROM corpus c LEFT JOIN dupd ON c.doc_id = dupd.doc_b""".stripMargin,
 
+    // E18 capped mode: quarantine = arrival rank in SOME (blk, key) bucket
+    // exceeds the cap (exact on this fixture — see
+    // simhashStreamCappedVerdicts' derivation); decided verdicts = the
+    // cap-free banded-Hamming first-wins anchor over the decided subset.
+    // The chain's own full-corpus `pairs`/`bsz` CTEs are unused — decided
+    // pairs are rebuilt from `blk` restricted to non-quarantined docs.
+    "dedup_simhash_stream_capped" ->
+      s"""WITH $cappedStreamCorpusSql,
+        |${simhashBandChain("", false)},
+        |rnk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY blk, key ORDER BY doc_id) AS r
+        |  FROM blk),
+        |quar AS (
+        |  SELECT doc_id FROM rnk GROUP BY doc_id
+        |  HAVING max(r) > $SimhashStreamCap),
+        |dblk AS (
+        |  SELECT b.* FROM blk b LEFT JOIN quar q ON b.doc_id = q.doc_id
+        |  WHERE q.doc_id IS NULL),
+        |dbsz AS (SELECT blk, key, count(*) AS n FROM dblk GROUP BY 1, 2),
+        |dpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |    b.b0 AS v0, b.b1 AS v1, b.b2 AS v2, b.b3 AS v3
+        |  FROM dblk a JOIN dblk b ON a.blk = b.blk AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  JOIN dbsz ON dbsz.blk = a.blk AND dbsz.key = a.key
+        |    AND dbsz.n > 1),
+        |dupd AS (
+        |  SELECT DISTINCT doc_b FROM dpairs WHERE $simhashHamSql <= 3)
+        |SELECT c.doc_id,
+        |  CASE WHEN q.doc_id IS NOT NULL THEN NULL
+        |       ELSE (dupd.doc_b IS NULL) END AS kept,
+        |  (q.doc_id IS NOT NULL) AS quarantined
+        |FROM corpus c
+        |LEFT JOIN dupd ON c.doc_id = dupd.doc_b
+        |LEFT JOIN quar q ON c.doc_id = q.doc_id""".stripMargin,
+
     // Mirror of dedup_graph_triangles: the same candidate chain, then the
     // a<b<c id-ordered three-way join — counts the identical triangle set
     // the degree-oriented Spark plan finds (set equality is
@@ -1044,10 +1177,10 @@ object DedupQueries {
         |  FROM tok WHERE len(t) >= 8),
         |bench AS (
         |  SELECT DISTINCT shingle FROM sh
-        |  WHERE doc_id < 100000 AND doc_id % 50 = 0)
+        |  WHERE doc_id < $TwinShift AND doc_id % 50 = 0)
         |SELECT s.doc_id, count(*) AS n_hits
         |FROM sh s JOIN bench USING (shingle)
-        |WHERE s.doc_id >= 100000
+        |WHERE s.doc_id >= $TwinShift
         |GROUP BY 1""".stripMargin,
 
     "dedup_embedding" ->

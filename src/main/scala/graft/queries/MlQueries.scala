@@ -634,6 +634,19 @@ object MlQueries {
     "ml_sklearn_predict" -> { (s, d) =>
       graft.ml.SkForest.scoreDocuments(Tables.documents(s, d),
         skFixtureForest(s), Seq("x1", "x2", "x3"))
+    },
+
+    // A1-A3's gate-verifiable scoring half: the MLlib RandomForest trio is
+    // rows-only because MLlib FITTING (histogram/RNG internals) is not
+    // SQL-replayable — but scoring a PINNED model is. The committed
+    // artifact (src/main/resources/graft/mllib_rf.json) is an MLlib forest
+    // fit ONCE through ml_fit's deterministic path and exported at save
+    // time to graft-sk-forest JSON (MllibExport — the reference's predict
+    // seam, scikit_learn_model.py:53), so every MLlib-scoring deployment
+    // path is hash-gated end-to-end even though the fit stays rows-only.
+    "ml_rf_score_pinned" -> { (s, d) =>
+      graft.ml.SkForest.scoreDocuments(Tables.documents(s, d),
+        graft.ml.SkForest.loadMllibFixture(), Seq("x1", "x2", "x3"))
     }
   )
 
@@ -666,6 +679,25 @@ object MlQueries {
   /** Shared by `ml_nb_fit` and its streamed twin `ml_nb_stream`. */
   private val nbFitSql: String = graft.ml.NaiveBayesProbe.oracleSql()
 
+  /** Oracle generator shared by `ml_sklearn_predict` and
+    * `ml_rf_score_pinned`: the given committed forest's node tables as
+    * nested CASE chains over the quality-feature CTEs — same doubles,
+    * same tree order, same first-maximal argmax as the Column DAG. */
+  private def skForestOracle(forest: graft.ml.SkForest.Forest): String = {
+    val xs = IndexedSeq("x1", "x2", "x3")
+    val ps = forest.classes.indices.map(c => s"p$c")
+    val probSel = forest.classes.indices
+      .map(c => s"${graft.ml.SkForest.probSql(forest, c, xs)} AS p$c")
+      .mkString(",\n    ")
+    s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
+      |skp AS (SELECT doc_id, x1, x2, x3, y,
+      |    $probSel
+      |  FROM f)
+      |SELECT doc_id, x1, x2, x3, y, ${ps.mkString(", ")},
+      |  ${graft.ml.SkForest.predictSql(forest, ps)} AS pred
+      |FROM skp""".stripMargin
+  }
+
   /** Training queries are not SQL-expressible (driver records rows-only);
     * the ViT bridge is pure relational algebra and the external-model stub
     * chain is deterministic float math — both get full oracles. */
@@ -674,21 +706,13 @@ object MlQueries {
     // Mirror of ml_sklearn_predict: the converted forest's node tables
     // replayed as nested CASE chains from the SAME committed JSON (same
     // doubles), mean-over-trees in tree order, strictly-greater argmax.
-    "ml_sklearn_predict" -> {
-      val forest = graft.ml.SkForest.loadFixture()
-      val xs = IndexedSeq("x1", "x2", "x3")
-      val ps = forest.classes.indices.map(c => s"p$c")
-      val probSel = forest.classes.indices
-        .map(c => s"${graft.ml.SkForest.probSql(forest, c, xs)} AS p$c")
-        .mkString(",\n    ")
-      s"""WITH ${graft.ml.RidgeProbe.qualityFeatsSqlCtes},
-        |skp AS (SELECT doc_id, x1, x2, x3, y,
-        |    $probSel
-        |  FROM f)
-        |SELECT doc_id, x1, x2, x3, y, ${ps.mkString(", ")},
-        |  ${graft.ml.SkForest.predictSql(forest, ps)} AS pred
-        |FROM skp""".stripMargin
-    },
+    "ml_sklearn_predict" -> skForestOracle(graft.ml.SkForest.loadFixture()),
+
+    // Mirror of ml_rf_score_pinned: identical generator over the committed
+    // MLLIB-exported forest — the pinned-model scoring gate the rows-only
+    // fit trio cannot provide.
+    "ml_rf_score_pinned" ->
+      skForestOracle(graft.ml.SkForest.loadMllibFixture()),
 
     // Mirror of ml_nb_fit: identical count CTEs and score DAG (generator).
     "ml_nb_fit" -> nbFitSql,

@@ -54,8 +54,12 @@ object Ann {
     * similarities land on the rnd4 grid BEFORE the MMR arithmetic and
     * λ = 0.75 keeps (1−λ) IEEE-exact, so selection replays bit-for-bit
     * cross-engine. The shortlist and pair-sim tables are CacheScope-pinned
-    * (released at the caller's materialization barrier) so the greedy
-    * rounds don't rescan the corpus.
+    * so the greedy rounds don't rescan the corpus — CALLER CONTRACT: after
+    * materializing the returned plan, release the pins via
+    * [[graft.core.CacheScope.releaseAll]] (Bench/Verify do this between
+    * queries) or wrap the materializing action in
+    * [[graft.core.CacheScope.scoped]]; otherwise each invocation strands
+    * persisted blocks in the session.
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, kCand: Int = 8,
                 kOut: Int = 4, lam: Double = 0.75,
@@ -155,6 +159,10 @@ object Ann {
     * corpus shuffles ONCE on the cell key; ranking ties break on
     * (sim DESC, dst ASC); sims land on the rnd4 grid in the output only,
     * after ranking on the raw fold (the bruteForceTopK convention).
+    * The edge table is CacheScope-pinned (the plan consumes it twice) —
+    * CALLER CONTRACT: release via [[graft.core.CacheScope.releaseAll]]
+    * after materializing, or wrap the action in
+    * [[graft.core.CacheScope.scoped]].
     */
   def knnGraph(corpus: DataFrame, k: Int = 4, nlist: Int = 16,
                idCol: String = "vec_id", embCol: String = "embedding",

@@ -116,7 +116,8 @@ object DedupStreams {
   def readClaims(spark: SparkSession, claimsDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(claimsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName; n.endsWith(".parquet") && !n.startsWith("_") })
       spark.read.schema(claimsSchema).parquet(claimsDir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -185,8 +186,17 @@ object DedupStreams {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    // Exclude `_`-prefixed children: writeBatchFile's sibling temp dirs are
+    // named `_tmp-<batch>.parquet` and live INSIDE this dir, so a plain
+    // endsWith(".parquet") would fold a crashed writer's leftover tmp dir
+    // into the compaction — duplicating rows when the markerless batch
+    // replays — and the non-recursive delete below would fail on it.
+    // Parquet readers already skip `_` names; this manual listing must too.
     val snapshot = fs.listStatus(p)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      .filter { f =>
+        val n = f.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_")
+      }.map(_.getPath)
     if (snapshot.isEmpty) return
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
     spark.read.schema(schema)
@@ -214,7 +224,8 @@ object DedupStreams {
   def readGrams(spark: SparkSession, gramsDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(gramsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName; n.endsWith(".parquet") && !n.startsWith("_") })
       spark.read.schema(gramSchema).parquet(gramsDir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -345,7 +356,8 @@ object DedupStreams {
   def readShStore(spark: SparkSession, storeDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName; n.endsWith(".parquet") && !n.startsWith("_") })
       spark.read.schema(shStoreSchema).parquet(storeDir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

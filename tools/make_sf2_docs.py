@@ -8,9 +8,11 @@ Same scheme as make_sf1.py (doc_id shifts by replica * (max+1), text
 verbatim — heavy duplication IS the dedup stress case), restricted to the
 one table the shingle family reads.
 
-CEILING: the gate queries' twin-id corpora shift ids by +100000, so any
-replica output must keep max(doc_id) < 100000 — at sf0.1 (max id 4999,
-stride 5000) that caps R at 20. Beyond it, twin ids collide with real
+CEILING: the gate queries' twin-id corpora shift ids by +TwinShift
+(graft.core.Tables.TwinShift = 10**9 since r14; it was 10**5 through r13,
+which capped this replica at exactly R=20), so any replica output must
+keep max(doc_id) < 10**9 — at sf0.1 (max id 4999, stride 5000) that
+allows R up to 200000. Beyond the ceiling, twin ids collide with real
 doc_ids and the near-dup corpora silently corrupt on BOTH engines; the
 builders in DedupQueries assert the same ceiling at runtime
 (assertTwinHeadroom).
