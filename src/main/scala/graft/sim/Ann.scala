@@ -578,6 +578,15 @@ object Ann {
     val cents = seededCentroids(corpus, nlist, idCol = idCol, embCol = embCol)
     corpus.select(col(idCol).as("c_id"), col(embCol).as("_c_emb"),
         cellOf(cents, col(embCol)).as("cell"))
+      // cluster rows by cell BEFORE the partitioned write: without the
+      // shuffle every input task writes a file into every cell dir
+      // (tasks x nlist small files — 8128 measured at nlist=256 on the
+      // sf2 replica); clustered, the layout is ~1 file per cell and the
+      // probe IN-filter opens nProbe-proportional files. File SIZE is
+      // capped by spark.sql.files.maxRecordsPerFile when a cell outgrows
+      // one file at lake scale. Logical content is unchanged (hash gates
+      // sort rows; ranking ties are pinned), so oracles are unaffected.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -604,6 +613,8 @@ object Ann {
         col(embCol).cast("array<float>").as("_c_emb") +:
         (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
       .withColumn("_rn2", pqReconNorm2(cbs))
+      // clustered write — see ivfBuild
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -645,6 +656,8 @@ object Ann {
         col(embCol).cast("array<float>").as("_c_emb") +:
         (cellOf(cents, col(embCol)).as("cell") +: pqCodeCols(cbs, embCol)): _*)
       .withColumn("_rn2", pqReconNorm2(cbs))
+      // clustered write — see ivfBuild
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
   }
 
@@ -768,6 +781,8 @@ object Ann {
     val fs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read.parquet(dataP.toString)
       .join(broadcast(ts), Seq("c_id"), "left_anti")
+      // clustered write — see ivfBuild
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmpP.toString)
     if (fs.exists(oldP)) fs.delete(oldP, true)
     fs.rename(dataP, oldP)
@@ -1097,6 +1112,8 @@ object Ann {
     val cbs = books.getOrElse(
       pqResidualCodebooks(corpus, cents, m, ksub, dims, idCol, embCol))
     residualCoded(corpus, cents, cbs, idCol, embCol, keepEmb = true)
+      // clustered write — see ivfBuild
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -1123,6 +1140,8 @@ object Ann {
     val cents = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
     residualCoded(newVecs, cents, cbs, idCol, embCol, keepEmb = true)
+      // clustered write — see ivfBuild
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
   }
 

@@ -61,3 +61,23 @@ if bad:
     sys.exit(f"PARTITION-DEPENDENT ({len(bad)}/{n}): " + " ".join(bad))
 print(f"ALL {n} queries bitwise identical at local[{CPUS[0]}] vs "
       f"local[{CPUS[1]}] on {SFDIR}")
+
+# The two legs already executed the full battery — keep their per-query
+# wall timings (graft.Verify writes verify_times.json per leg) as a free
+# paired measurement. These are VERIFY-leg numbers (include the
+# repartition(1) parquet write, no warmup/best-of-N), so they support
+# cross-leg ranking and drift diffs, not headline claims — Bench with
+# GRAFT_BENCH_PASSES/battery_state stays the official wall-clock.
+import json
+legs = []
+for cpus, out in zip(CPUS, outs):
+    p = f"{out}/verify_times.json"
+    if os.path.isfile(p):
+        legs.append(json.load(open(p)))
+if legs:
+    with open("invariance_times.json", "w") as f:
+        json.dump({"sf": SFDIR, "legs": legs}, f)
+    for leg in legs:
+        print(f"[inv-times] local[{leg['cpus']}]: total {leg['total']}s, "
+              f"loadavg_mean {leg['loadavg_mean']}")
+    print("[inv-times] per-query pair -> invariance_times.json")
