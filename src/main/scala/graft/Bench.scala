@@ -64,6 +64,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor: the default 1 MB minPartitionSize serializes
+      // CPU-dense post-shuffle stages whenever a stage's whole shuffle is
+      // only a few MB (bytes are a poor work proxy for md5/tokenize-heavy
+      // operators); 64k lets the coalescer keep up to ~cores partitions on
+      // MB-scale stages and is inert at lake scale, where partitions are
+      // orders of magnitude above either floor. Parameterised, never a
+      // tuned constant: GRAFT_AQE_MIN_PART overrides.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

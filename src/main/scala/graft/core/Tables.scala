@@ -93,4 +93,29 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Scan-parallelism floor for CPU-dense per-row pipelines (tokenize →
+    * shingle → md5 chains cost orders of magnitude more CPU per byte than
+    * the scan itself). A parquet scan parallelizes at row-group
+    * granularity, so a source written as one file with one row group —
+    * this harness's testdata lake, or any small dimension snapshot — runs
+    * its entire downstream map work in ONE task no matter how many cores
+    * the cluster has; no split-size config can recover parallelism that
+    * the file layout does not carry (guide §6: minPartitionNum floors the
+    * SPLIT count, not the row-group count).
+    *
+    * When (and only when) the scan's partition count is below the
+    * session's default parallelism, redistribute round-robin to the core
+    * count before the expensive map work. The repartition shuffles the
+    * raw rows once — O(input) bytes, the cheapest possible exchange — and
+    * is a provable no-op at lake scale, where any real table already
+    * carries ≥ cores row groups and this returns `df` unchanged; it is
+    * therefore a floor, not a local-mode tuning constant. Row order
+    * within partitions changes, which every operator in this repo is
+    * already pinned to tolerate (partition-count invariance is bitwise-
+    * verified per round at two core counts and two scale factors). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -1013,25 +1013,31 @@ object Dedup {
     // higher-order form (64 filter-counts, or one 64-slot aggregate fold)
     // generates a single >64 KB codegen method here, and Spark's
     // interpreted fallback made the projection ~20× slower. The explode +
-    // 64-conditional-sum form compiles into splittable HashAggregate
-    // code, and partial aggregation collapses the exploded rows map-side
-    // — the SHUFFLE stays O(docs × 4 ints), never O(tokens).
+    // 64-conditional-sum HashAggregate fixed that but paid ~4 s of
+    // Catalyst planning + janino compile per consumer for its
+    // 64-expression stage; r14 collapses the 64 sums into ONE imperative
+    // aggregate (graft_simhash_sums — a single 64-byte pass per digest,
+    // numerically the identical long sums, see SimHashSums) so the plan
+    // stays a single expression. Partial aggregation still collapses the
+    // exploded rows map-side — the SHUFFLE stays O(docs), never O(tokens).
     val tok = tokd
       .filter(size(col("_toks")) > 0)
       .select(col(idCol), explode(col("_toks")).as("_t"))
       .select(col(idCol),
         concat(md5(col("_t")), md5(concat(lit("x:"), col("_t")))).as("_h"))
-    val sums = (1 to 64).map { i =>
-      sum(when(substring(col("_h"), i, 1) >= "8", 1).otherwise(-1))
-        .as(s"_s$i")
+    def simhashSums(h: Column): Column = {
+      import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+      toColumn(graft.functions.SimHashSums(toExpression(h))
+        .toAggregateExpression())
     }
     def block(b: Int): Column =
       (0 until 16).map { j =>
         val i = b * 16 + j + 1 // 1-based hex-digit position
-        when(col(s"_s$i") > 0, lit(1 << (15 - j))).otherwise(lit(0))
+        when(element_at(col("_s"), i) > 0, lit(1 << (15 - j)))
+          .otherwise(lit(0))
       }.reduce(_ + _)
     tok.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
+      .agg(simhashSums(col("_h")).as("_s"))
       .select(col(idCol), block(0).as("b0"), block(1).as("b1"),
         block(2).as("b2"), block(3).as("b3"))
   }

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Exact
@@ -38,14 +38,31 @@ object GraphRank {
   /** PageRank over undirected candidate `pairs` (doc_a, doc_b) among
     * `nodes` (single id column). Returns (id, deg, rank_score).
     *
-    * N and each round's dangling mass Dₜ are DRIVER literals (one count
-    * job up front, one decimal-exact 1-row aggregate per round — the
-    * probe-fit convention); the update expression keeps the exact IEEE
-    * DAG the oracle mirrors, only with the two scalars inlined. The edge
-    * set and degree table are force-materialized once and stay cached
-    * for the returned plan (caller-owned, the jaccardAuto convention) —
-    * without that the terminal consumer would recompute the whole
-    * candidate chain for the final degree join. */
+    * N and each round's dangling mass Dₜ are DRIVER literals; the update
+    * expression keeps the exact IEEE DAG the oracle mirrors, only with
+    * the two scalars inlined. The edge set and degree table are
+    * force-materialized once and stay cached for the returned plan
+    * (caller-owned, the jaccardAuto convention) — without that the
+    * terminal consumer would recompute the whole candidate chain for the
+    * final degree join.
+    *
+    * r14: Dₜ no longer costs a per-round aggregation job. A node carries
+    * dangling mass iff it has NO edges at all (deg counts both
+    * directions, so degree-0 means it neither sends nor receives), and
+    * every such node's iterate is the SAME closed-form double — it gets
+    * no contribution, so rₜ₊₁(iso) = (1−α)/N + α·Dₜ/N, evaluated in the
+    * identical operation order as the distributed update expression. Dₜ
+    * is then the decimal-exact sum of n_iso copies of that one double,
+    * which [[esumOfConst]] replays bit-for-bit off the executed plan
+    * (cast-to-DECIMAL(38,10) per row, exact decimal add, cast back).
+    * What was `iters + 1` blocking anti-join aggregation jobs is now one
+    * isolated-node count, and with the per-round materialization gone
+    * the whole `iters`-round recurrence collapses into ONE lazy plan the
+    * final action executes end-to-end (the round DAG is linear — each
+    * iterate is referenced exactly once by the next — so nothing is
+    * re-executed; ids/edges/deg are cached and read k times from cache).
+    * Iterate values are bit-identical to the per-round-materialized
+    * form; the oracle is unchanged. */
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
                damping: Double = 0.85): DataFrame = {
     val idCol = nodes.columns.head
@@ -53,8 +70,8 @@ object GraphRank {
     // cached partitioning is what each round's joins reuse — without it
     // every iteration re-exchanges the O(nodes) id set and the O(edges)
     // edge set (4 rounds × 2 avoidable shuffles at lake scale).
-    val ids = nodes.select(col(idCol).as("id"))
-      .repartition(col("id")).persist()
+    val ids = graft.core.CacheScope.pin(nodes.select(col(idCol).as("id"))
+      .repartition(col("id")))
     val nD = ids.count().toDouble
     val edges = graft.core.CacheScope.pin(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -63,43 +80,63 @@ object GraphRank {
         .repartition(col("src")))
     val deg = graft.core.CacheScope.pin(
       edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
-    deg.count() // materialize edges + deg once, before the rounds
-    var ranks = ids.select(col("id"), lit(1.0 / nD).as("r")).persist()
-    // the dangling aggregate doubles as the round's materializing action:
-    // one job per iteration computes Dₜ for the NEXT round and pins the
-    // current iterate in the cache
-    def danglingOf(r: DataFrame): Double = r
-      .join(deg, Seq("id"), "left_anti")
-      .agg(coalesce(Exact.esum(col("r")), lit(0.0)).as("d"))
-      .head().getDouble(0)
-    var dVal = danglingOf(ranks)
+    // one job materializes edges + deg AND counts the dangling nodes
+    val nIso = ids.join(deg, Seq("id"), "left_anti").count()
+    var rIso = 1.0 / nD
+    var dVal = esumOfConst(rIso, nIso)
+    var ranks = ids.select(col("id"), lit(1.0 / nD).as("r"))
     for (_ <- 0 until iters) {
       val contrib = ranks.join(deg, "id")
         .select(col("id"), (col("r") / col("deg").cast("double")).as("m"))
         .join(edges, col("id") === col("src"))
         .groupBy(col("dst").as("id"))
-        .agg(Exact.esum(col("m")).as("c"))
-      val next = ids
+        .agg(esum10(col("m")).as("c"))
+      ranks = ids
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) / lit(nD) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               lit(dVal) / lit(nD))).as("r"))
-        .persist()
-      dVal = danglingOf(next) // materializes `next`, feeds the next round
-      ranks.unpersist(false)
-      ranks = next
+      // the same IEEE DAG the expression above evaluates for a
+      // contribution-less node, in the same operation order
+      rIso = (1.0 - damping) / nD + damping * (0.0 + dVal / nD)
+      dVal = esumOfConst(rIso, nIso)
     }
-    ids.unpersist(false)
-    // the surviving iterate stays cached for the caller's consumption of
-    // the returned plan; register it for the scope's release barrier
-    graft.core.CacheScope.adopt(ranks)
     ranks
       .join(deg, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("deg"), lit(0L)).as("deg"),
         Exact.rnd4(col("r") * lit(nD)).as("rank_score"))
   }
+
+  /** Exact order-free sum on the 1e-10 grid with a PURE-IEEE per-row
+    * image: Σ floor(x·10¹⁰ + 0.5) as BIGINT, divided back by 10¹⁰ as one
+    * double op — the [[Exact.rnd4]] construction lifted to an aggregate.
+    *
+    * Why not [[Exact.esum]] here: the CAST(double AS DECIMAL(38,10))
+    * per-row image is engine-internal — Spark rounds HALF_UP on the
+    * double's SHORTEST-STRING decimal form, DuckDB on its exact binary
+    * expansion — and PageRank iterates are sums of scale-10 decimals and
+    * short literals, so r/deg routinely TERMINATES exactly at decimal
+    * digit 11 with a '5': Spark's string image sits exactly on the half
+    * boundary (always rounds up) while the binary value falls on whichever
+    * side the nearest double landed (r14 found dedup_graph_rank's round-2
+    * hub contribution 2 grid-ulps apart between the engines at sf0.1,
+    * flipping one rnd4'd output). floor(x·10¹⁰ + 0.5) is the same double
+    * DAG in both engines, so the per-row image — and therefore the sum —
+    * is identical by construction, not by cast-internals luck. */
+  private[graft] def esum10(x: Column): Column =
+    sum(floor(x * lit(1.0e10) + lit(0.5))).cast("double") / lit(1.0e10)
+
+  /** `coalesce(esum10(r), 0.0)` over `n` rows that all carry the same
+    * double `r`, replayed on the driver: per-row image
+    * k = floor(r·10¹⁰ + 0.5) (exact — PageRank iterates keep r ≤ 1, so
+    * r·10¹⁰ + 0.5 < 2⁵³), long sum = n·k (≤ ~10¹⁰ because Σr ≤ 1 + ε),
+    * one double division back. Empty input (n = 0) coalesces to 0.0.
+    * Pinned bit-for-bit by GraphRankSpec against the executed aggregate. */
+  private[graft] def esumOfConst(r: Double, n: Long): Double =
+    if (n == 0L) 0.0
+    else (n * math.floor(r * 1.0e10 + 0.5).toLong).toDouble / 1.0e10
 
   /** Oracle CTE suffix over `cand` (doc_a, doc_b) and `corpus` (doc_id)
     * CTEs: unrolled fixed-iteration replay. Terminal CTE: `pr_out`. */
@@ -108,14 +145,15 @@ object GraphRank {
     val oneMinus = (1.0 - damping).toString
     val iterCtes = (1 to iters).map { t =>
       s"""prd$t AS MATERIALIZED (
-         |  SELECT coalesce(CAST(sum(CAST(r.r AS DECIMAL(38,10))) AS DOUBLE),
-         |    0.0) AS d
+         |  SELECT coalesce(CAST(sum(CAST(floor(r.r * 10000000000.0 + 0.5)
+         |    AS BIGINT)) AS DOUBLE), 0.0) / 10000000000.0 AS d
          |  FROM prr${t - 1} r LEFT JOIN prdeg dg ON dg.id = r.id
          |  WHERE dg.id IS NULL),
          |prc$t AS MATERIALIZED (
          |  SELECT e.dst AS id,
-         |    CAST(sum(CAST(r.r / CAST(dg.deg AS DOUBLE) AS DECIMAL(38,10)))
-         |      AS DOUBLE) AS c
+         |    CAST(sum(CAST(floor(r.r / CAST(dg.deg AS DOUBLE)
+         |      * 10000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 10000000000.0 AS c
          |  FROM prr${t - 1} r
          |  JOIN prdeg dg ON dg.id = r.id
          |  JOIN predges e ON e.src = r.id

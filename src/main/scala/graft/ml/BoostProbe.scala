@@ -43,10 +43,21 @@ object BoostProbe {
 
   /** Fit one regression tree to residual column `rCol` (an expression
     * over the base columns — literals only, so each histogram pass is
-    * one scan). */
+    * one scan).
+    *
+    * r14: the separate leaf-value pass is gone — final-leaf (n, Σr)
+    * derive from the LAST level's histogram the same way TreeProbe's
+    * batched fit derives its votes: a split node's children are partial
+    * sums over the SPLIT feature's bins (exact decimal adds of the same
+    * cells the extra aggregation used to recompute, so v = Σr/n is the
+    * identical double), an unsplit node's total is its f=1 bins summed.
+    * One job per level instead of depth + 1 per round; BoostProbeSpec
+    * pins derived ≡ direct aggregate on the real corpus. */
   def fitTree(base: DataFrame, k: Int, depth: Int, rCol: Column): RTree = {
     var nodeCol: Column = lit(1)
     val splits = Vector.newBuilder[Split]
+    var lastRows: Seq[(Int, Map[String, AnyRef])] = Seq.empty
+    var lastSplits: Seq[Split] = Seq.empty
     for (level <- 0 until depth) {
       val aggs = for { f <- 1 to k; b <- 0 until Bins; p <- Seq(false, true) }
         yield {
@@ -81,16 +92,42 @@ object BoostProbe {
           when(col(s"_b${sp.f}") <= sp.t, lit(2 * sp.node))
             .otherwise(lit(2 * sp.node + 1))).otherwise(acc)
       }
+      if (level == depth - 1) {
+        lastRows = hist.toSeq.map { row =>
+          val m = scala.collection.mutable.Map.empty[String, AnyRef]
+          for (f <- 1 to k; b <- 0 until Bins) {
+            m(s"_n_${f}_$b") = java.lang.Long.valueOf(
+              row.getAs[Long](s"_n_${f}_$b"))
+            m(s"_s_${f}_$b") = Option(
+              row.getAs[java.math.BigDecimal](s"_s_${f}_$b"))
+              .getOrElse(java.math.BigDecimal.ZERO)
+          }
+          (row.getInt(0), m.toMap)
+        }
+        lastSplits = lvl
+      }
     }
-    val leaves = base.withColumn("_node", nodeCol)
-      .groupBy("_node")
-      .agg(count(lit(1)).as("n"), sum(rCol.cast(Dec)).as("s"))
-      .collect()
-    val leafVal = leaves.map { r =>
-      r.getInt(0) ->
-        r.getAs[java.math.BigDecimal]("s").doubleValue / r.getLong(1).toDouble
-    }.toMap
-    RTree(splits.result(), leafVal)
+    val splitByNode = lastSplits.map(s => s.node -> s).toMap
+    val leafVal = scala.collection.mutable.Map.empty[Int, Double]
+    lastRows.foreach { case (node, m) =>
+      def n(f: Int, b: Int) = m(s"_n_${f}_$b").asInstanceOf[java.lang.Long].longValue
+      def s(f: Int, b: Int) = m(s"_s_${f}_$b").asInstanceOf[java.math.BigDecimal]
+      splitByNode.get(node) match {
+        case Some(sp) =>
+          val nn = (0 until Bins).map(n(sp.f, _)).sum
+          val ss = (0 until Bins).map(s(sp.f, _)).reduce(_ add _)
+          val nl = (0 to sp.t).map(n(sp.f, _)).sum
+          val sl = (0 to sp.t).map(s(sp.f, _)).reduce(_ add _)
+          leafVal(2 * sp.node) = sl.doubleValue / nl.toDouble
+          leafVal(2 * sp.node + 1) =
+            ss.subtract(sl).doubleValue / (nn - nl).toDouble
+        case None =>
+          val nn = (0 until Bins).map(n(1, _)).sum
+          val ss = (0 until Bins).map(s(1, _)).reduce(_ add _)
+          if (nn > 0) leafVal(node) = ss.doubleValue / nn.toDouble
+      }
+    }
+    RTree(splits.result(), leafVal.toMap)
   }
 
   /** Leaf-value Column for a fitted regression tree (literal CASE). */

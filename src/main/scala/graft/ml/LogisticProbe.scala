@@ -121,26 +121,34 @@ object LogisticProbe {
       w = step(feats, xs, yCol, lr, w)
       snaps += ((t, w))
     }
-    // Per-snapshot metrics are computed EAGERLY (one .head() per
-    // iteration) while the feature scan is still persisted — a lazy
-    // unioned plan consumed after unpersist would re-scan the features
-    // uncached iters+1 times. The collected values are metadata-sized
-    // (iters+1 doubles) and re-emitted as literal rows, bit-identical.
-    val rows = snaps.result().map { case (t, wt) =>
+    // Per-snapshot metrics are computed EAGERLY while the feature scan is
+    // still persisted — a lazy unioned plan consumed after unpersist would
+    // re-scan the features uncached iters+1 times. r14: every snapshot's
+    // weights are plan literals once the GD loop is done, and each
+    // snapshot's (loss, acc) is an independent aggregate over the SAME
+    // cached scan — so all iters+1 metric pairs ride ONE aggregation job
+    // (2·(iters+1) expressions) instead of one blocking .head() per
+    // snapshot (the 12-iteration curve measured 54 sequential jobs; the
+    // per-expression decimal sums are unchanged, so the values are
+    // bit-identical). The collected values are metadata-sized and
+    // re-emitted as literal rows.
+    val allSnaps = snaps.result()
+    val metricCols = allSnaps.flatMap { case (t, wt) =>
       val sg = sigmoid(zCol(xs, wt))
       val logloss = -(col(yCol) * log(sg) +
         (lit(1.0) - col(yCol)) * log(lit(1.0) - sg))
       val correct = when((sg >= lit(0.5)) === (col(yCol) > lit(0.5)), 1)
         .otherwise(0)
-      val m = feats.agg(
-          Exact.rnd4(Exact.eavg(logloss)).as("loss"),
-          Exact.rnd4(sum(correct).cast("double") / count(lit(1))).as("acc"))
-        .head()
+      Seq(Exact.rnd4(Exact.eavg(logloss)).as(s"loss$t"),
+        Exact.rnd4(sum(correct).cast("double") / count(lit(1))).as(s"acc$t"))
+    }
+    val m = feats.agg(metricCols.head, metricCols.tail: _*).head()
+    val rows = allSnaps.map { case (t, wt) =>
       feats.sparkSession.range(1)
         .select((lit(t).as("iter") +:
           wt.indices.map(i => Exact.rnd4(lit(wt(i))).as(s"w$i"))) ++
-          Seq(lit(m.getAs[Double]("loss")).as("loss"),
-            lit(m.getAs[Double]("acc")).as("acc")): _*)
+          Seq(lit(m.getAs[Double](s"loss$t")).as("loss"),
+            lit(m.getAs[Double](s"acc$t")).as("acc")): _*)
     }
     val out = rows.reduce(_ unionByName _)
     feats.unpersist(false)

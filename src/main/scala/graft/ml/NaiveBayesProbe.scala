@@ -106,8 +106,11 @@ object NaiveBayesProbe {
 
   /** Fit + score in one plan over a (doc_id, lang, text) corpus. */
   def fitScore(docs: DataFrame, classes: Seq[String] = defaultClasses,
-               alpha: Double = 1.0): DataFrame =
-    score(docs, fit(docs, classes), alpha)
+               alpha: Double = 1.0): DataFrame = {
+    // scan-parallelism floor for the tokenize-heavy count passes
+    val fd = graft.core.Tables.fanOut(docs)
+    score(fd, fit(fd, classes), alpha)
+  }
 
   /** DuckDB mirror: the identical count CTEs and score DAG. */
   def oracleSql(classes: Seq[String] = defaultClasses,

@@ -102,7 +102,10 @@ object RidgeProbe {
       "is")).cast("double") / nWords
     val avgWlen = length(regexp_replace(col("text"), " ", ""))
       .cast("double") / nWords
-    docs.select(
+    // scan-parallelism floor: the tokenizer/regexp feature map is the
+    // dominant cost of every trainer pass over this table (Tables.fanOut
+    // is a no-op whenever the scan already carries >= cores partitions)
+    graft.core.Tables.fanOut(docs).select(
       col("doc_id"),
       Exact.rnd4(stopRatio).as("x1"),
       Exact.rnd4(least(avgWlen / 8.0, lit(1.0))).as("x2"),

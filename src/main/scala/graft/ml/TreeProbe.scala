@@ -100,72 +100,141 @@ object TreeProbe {
     * each node to the 2 md5-chosen features). One histogram aggregation
     * per level; the tree comes back as plan literals. */
   def fit(feats: DataFrame, xs: Seq[String], yCol: String, depth: Int,
-          weight: Column, featSalt: Option[String]): Tree = {
+          weight: Column, featSalt: Option[String]): Tree =
+    fitBatch(feats, xs, yCol, depth, Seq(weight), Seq(featSalt)).head
+
+  /** Fit `weights.size` independent trees over the SAME binned base in
+    * ONE histogram job per level (r14, guide §1.2/§2.6): the per-tree
+    * per-level aggregations are independent given the shared base, so a
+    * T-tree depth-d fit that used to block on T·(d+1) sequential driver
+    * jobs (every one a full scheduling + codegen round-trip — the forest
+    * query measured 36 jobs for 0.3 s of execution) now runs d jobs
+    * total. Each level unpivots (tree, node, feature, bin) map-side and
+    * partial-aggregates to ≤T·2^level·k·Bins cells — the same
+    * metadata-sized shuffle as before, T trees wide.
+    *
+    * The separate leaf-stats pass is gone too: final-leaf (n, p) derive
+    * from the LAST level's histogram — a split node's children are
+    * partial sums over the split feature's bins (left = Σ_{b≤t}, right =
+    * rest), an unsplit node's total is Σ_b over any one feature — pure
+    * long adds of the same cells, so the derived stats are the integers
+    * the extra pass used to recompute. Split choice, tie-breaks and leaf
+    * votes are bit-identical to the per-tree form (TreeProbeSpec pins
+    * batch ≡ sequential on the real corpus). */
+  def fitBatch(feats: DataFrame, xs: Seq[String], yCol: String, depth: Int,
+               weights: Seq[Column], featSalts: Seq[Option[String]]): Seq[Tree] = {
     val k = xs.size
+    val nT = weights.size
     require(k >= 1 && k <= 8, s"histogram CART supports 1..8 features, got $k")
-    val base = xs.zipWithIndex.foldLeft(
-      feats.withColumn("_w", weight.cast("long"))
-        .withColumn("_yl", col(yCol).cast("long"))) {
+    require(featSalts.size == nT, "one featSalt per tree")
+    val base0 = xs.zipWithIndex.foldLeft(
+      feats.withColumn("_yl", col(yCol).cast("long"))) {
       case (df, (c, i)) => df.withColumn(s"_b${i + 1}", bin(col(c)))
     }
+    val base = weights.zipWithIndex.foldLeft(base0) {
+      case (df, (w, ti)) => df.withColumn(s"_w$ti", w.cast("long"))
+    }
 
-    var nodeCol: Column = lit(1)
-    val splits = Vector.newBuilder[Split]
-    var lastLevel = Seq(1)
+    val nodeCols = Array.fill[Column](nT)(lit(1))
+    val splits = Vector.fill(nT)(Vector.newBuilder[Split])
+    // last level's full histogram + splits, for the leaf derivation below
+    var lastCells: Map[(Int, Int, Int), Array[(Long, Long)]] = Map.empty
+    var lastSplits: Seq[Seq[Split]] = Seq.empty
     for (level <- 0 until depth) {
-      val aggs = for {
-        f <- 1 to k; b <- 0 until Bins; p <- Seq(false, true)
-      } yield {
-        val w = if (p) col("_w") * col("_yl") else col("_w")
-        sum(when(col(s"_b$f") === b, w).otherwise(0L))
-          .as(s"_${if (p) "p" else "n"}_${f}_$b")
+      // one job: unpivot (tree, node, f, bin) map-side over materialized
+      // node/weight COLUMNS (never expressions inlined into the Generate —
+      // the simhashBlocks no-CSE lesson) and partial-aggregate
+      val withNodes = (0 until nT).foldLeft(base) { (df, ti) =>
+        df.withColumn(s"_node$ti", nodeCols(ti))
       }
-      val hist = base.withColumn("_node", nodeCol)
-        .groupBy("_node").agg(aggs.head, aggs.tail: _*).collect()
-
-      // canonical node order: collect() row order is partition-dependent
-      val lvl = hist.toSeq.sortBy(_.getInt(0)).flatMap { row =>
-        val node = row.getInt(0)
-        val fs = featSalt.fold(1 to k: Seq[Int])(s => allowedFeatures(node, k, 2, s))
-        val cands = for {
-          f <- fs
-          nn = (0 until Bins).map(b => row.getAs[Long](s"_n_${f}_$b")).sum
-          pp = (0 until Bins).map(b => row.getAs[Long](s"_p_${f}_$b")).sum
-          t <- 0 until Bins - 1
-          nl = (0 to t).map(b => row.getAs[Long](s"_n_${f}_$b")).sum
-          pl = (0 to t).map(b => row.getAs[Long](s"_p_${f}_$b")).sum
-          if nl > 0 && nn - nl > 0
-        } yield (giniCost(nl, pl, nn - nl, pp - pl), f, t)
-        if (cands.isEmpty) None
-        else {
-          val (_, f, t) = cands.min
-          Some(Split(node, f, t))
+      val entries = for (ti <- 0 until nT; f <- 1 to k) yield
+        struct(lit(ti).as("t"), col(s"_node$ti").as("node"),
+          lit(f).as("f"), col(s"_b$f").as("b"), col(s"_w$ti").as("w"),
+          (col(s"_w$ti") * col("_yl")).as("wy"))
+      val hist = withNodes
+        .select(explode(array(entries: _*)).as("e"))
+        .groupBy(col("e.t").as("t"), col("e.node").as("node"),
+          col("e.f").as("f"), col("e.b").as("b"))
+        .agg(sum(col("e.w")).as("n"), sum(col("e.wy")).as("p"))
+        .collect()
+      // (tree, node, f) -> per-bin (n, p); canonical node order below
+      // (collect() row order is partition-dependent)
+      val cells = hist.map { r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5))
+      }
+      val byTreeNodeF = cells.groupBy(c => (c._1, c._2, c._3))
+      def binArr(t: Int, node: Int, f: Int): Array[(Long, Long)] = {
+        val a = Array.fill(Bins)((0L, 0L))
+        byTreeNodeF.getOrElse((t, node, f), Array.empty)
+          .foreach(c => a(c._4) = (c._5, c._6))
+        a
+      }
+      val lvlSplits = (0 until nT).map { ti =>
+        val nodes = cells.iterator.filter(_._1 == ti).map(_._2)
+          .toSeq.distinct.sorted
+        nodes.flatMap { node =>
+          val fs = featSalts(ti)
+            .fold(1 to k: Seq[Int])(s => allowedFeatures(node, k, 2, s))
+          val cands = for {
+            f <- fs
+            arr = binArr(ti, node, f)
+            nn = arr.map(_._1).sum
+            pp = arr.map(_._2).sum
+            t <- 0 until Bins - 1
+            nl = (0 to t).map(b => arr(b)._1).sum
+            pl = (0 to t).map(b => arr(b)._2).sum
+            if nl > 0 && nn - nl > 0
+          } yield (giniCost(nl, pl, nn - nl, pp - pl), f, t)
+          if (cands.isEmpty) None
+          else { val (_, f, t) = cands.min; Some(Split(node, f, t)) }
         }
       }
-      splits ++= lvl
-      // children of split nodes; unsplit nodes stay and become leaves
-      lastLevel = lastLevel.flatMap { n =>
-        lvl.find(_.node == n) match {
-          case Some(_) => Seq(2 * n, 2 * n + 1)
-          case None    => Seq(n)
+      (0 until nT).foreach { ti =>
+        splits(ti) ++= lvlSplits(ti)
+        val prev = nodeCols(ti)
+        nodeCols(ti) = lvlSplits(ti).foldLeft(prev) { (acc, s) =>
+          when(if (level == 0) lit(true) else prev === s.node,
+            when(col(s"_b${s.f}") <= s.t, lit(2 * s.node))
+              .otherwise(lit(2 * s.node + 1))).otherwise(acc)
         }
       }
-      val prev = nodeCol
-      nodeCol = lvl.foldLeft(prev) { (acc, s) =>
-        when(if (level == 0) lit(true) else prev === s.node,
-          when(col(s"_b${s.f}") <= s.t, lit(2 * s.node))
-            .otherwise(lit(2 * s.node + 1))).otherwise(acc)
+      if (level == depth - 1) {
+        lastCells = byTreeNodeF.map { case (key, cs) =>
+          val a = Array.fill(Bins)((0L, 0L))
+          cs.foreach(c => a(c._4) = (c._5, c._6))
+          key -> a
+        }
+        lastSplits = lvlSplits
       }
     }
 
-    val leafStats = base.withColumn("_node", nodeCol)
-      .groupBy("_node")
-      .agg(sum("_w").as("n"), sum(col("_w") * col("_yl")).as("p"))
-      .collect()
-    val leafPred = leafStats.map { r =>
-      r.getInt(0) -> (if (2 * r.getLong(2) > r.getLong(1)) 1 else 0)
-    }.toMap
-    Tree(splits.result(), leafPred)
+    // final leaves from the last level's histogram: children of a split
+    // are partial sums over the SPLIT feature's bins; an unsplit node's
+    // total is its f=1 bins summed (bins partition the node's rows)
+    (0 until nT).map { ti =>
+      val leafPred = scala.collection.mutable.Map.empty[Int, Int]
+      val splitByNode = lastSplits(ti).map(s => s.node -> s).toMap
+      lastCells.keysIterator
+        .collect { case (t, node, 1) if t == ti => node }
+        .foreach { node =>
+          splitByNode.get(node) match {
+            case Some(s) =>
+              val arr = lastCells((ti, node, s.f))
+              val nn = arr.map(_._1).sum; val pp = arr.map(_._2).sum
+              val nl = (0 to s.t).map(b => arr(b)._1).sum
+              val pl = (0 to s.t).map(b => arr(b)._2).sum
+              leafPred(2 * s.node) = if (2 * pl > nl) 1 else 0
+              leafPred(2 * s.node + 1) =
+                if (2 * (pp - pl) > (nn - nl)) 1 else 0
+            case None =>
+              val a = lastCells((ti, node, 1))
+              val nn = a.map(_._1).sum; val pp = a.map(_._2).sum
+              leafPred(node) = if (2 * pp > nn) 1 else 0
+          }
+        }
+      Tree(splits(ti).result(), leafPred.toMap)
+    }
   }
 
   /** Leaf-assignment Column for a fitted tree: the level-by-level CASE
@@ -216,10 +285,9 @@ object TreeProbe {
     * factored out so the E15 ingest stream trains ONCE offline and scores
     * every arriving micro-batch with the fitted literals. */
   def forestFit(feats: DataFrame): Seq[Tree] =
-    (1 to 4).map { b =>
-      fit(feats, qualityXs, "y", depth = 3,
-        bootstrapWeight(col("doc_id"), b), Some(s"t$b"))
-    }
+    fitBatch(feats, qualityXs, "y", depth = 3,
+      (1 to 4).map(b => bootstrapWeight(col("doc_id"), b)),
+      (1 to 4).map(b => Some(s"t$b")))
 
   /** The scoring half of [[forestQuery]]: fitted trees are pure plan
     * literals, so this applies to a batch OR a streaming micro-batch

@@ -22,9 +22,9 @@ object DedupQueries {
   private def exactCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     assertTwinHeadroom(docs, d, "doc_id")
-    docs.unionByName(docs.select(
+    Tables.fanOut(docs.unionByName(docs.select(
       (col("doc_id") + TwinShift).as("doc_id"),
-      concat(upper(col("text")), lit("  ")).as("text")))
+      concat(upper(col("text")), lit("  ")).as("text"))))
   }
 
   /** Past max(id) = TwinShift−1 a base document's twin collides with a
@@ -56,9 +56,9 @@ object DedupQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
-    docs.unionByName(docs.select(
+    Tables.fanOut(docs.unionByName(docs.select(
       (col("doc_id") + TwinShift).as("doc_id"),
-      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text"))))
   }
 
   private val nearCorpusSql =
@@ -77,11 +77,11 @@ object DedupQueries {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     assertTwinHeadroom(docs, d, "doc_id") // two shifts, spaced TwinShift apart
     val t = split(col("text"), " ")
-    docs
+    Tables.fanOut(docs
       .unionByName(docs.select((col("doc_id") + TwinShift).as("doc_id"),
         concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
       .unionByName(docs.select((col("doc_id") + TwinShift2).as("doc_id"),
-        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 10, lit(3)))).as("text")))
+        concat_ws(" ", slice(t, lit(1), greatest(size(t) - 10, lit(3)))).as("text"))))
   }
 
   private val clusterCorpusSql =
@@ -340,9 +340,9 @@ object DedupQueries {
       .filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text"))
     assertTwinHeadroom(docs, d, "doc_id")
     val t = split(col("text"), " ")
-    docs.unionByName(docs.select(
+    Tables.fanOut(docs.unionByName(docs.select(
       (col("doc_id") + TwinShift).as("doc_id"),
-      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text")))
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 5, lit(3)))).as("text"))))
   }
 
   /** The streamed first-wins SimHash verdicts for `dedup_simhash_stream`

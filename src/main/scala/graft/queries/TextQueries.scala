@@ -14,7 +14,8 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
-  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
 
   /** D31 mix fixture: an up-weighted source, a lightly-weighted one, an
     * excluded one, everything else on the default weight. Budgets are

@@ -35,6 +35,32 @@ class BoostProbeSpec extends SparkSpec {
     base.select(avg(pow(col("y") - pred, 2.0))).head().getDouble(0)
   }
 
+  test("r14 derived leaf values equal the direct final-node aggregate") {
+    val feats = graft.ml.RidgeProbe.qualityFeatures(
+      graft.core.Tables.documents(spark, sfDir))
+    val base = (1 to 3).foldLeft(feats)((d, i) =>
+      d.withColumn(s"_b$i", bin(col(s"x$i")))).persist()
+    val (f0, trees) = BoostProbe.fit(base, 3, "y", depth = 2,
+      rounds = 3, nu = 0.5)
+    var r: org.apache.spark.sql.Column = col("y") - lit(f0)
+    trees.foreach { t =>
+      // the pre-r14 separate pass: aggregate (count, decimal Σr) by the
+      // FINAL leaf and divide — must equal the histogram-derived values
+      val leaf = BoostProbe.leafFromBins(t, 2)
+      val direct = base.withColumn("_node", leaf)
+        .groupBy("_node")
+        .agg(count(lit(1)).as("n"),
+          sum(r.cast("decimal(38,10)")).as("s"))
+        .collect()
+        .map(x => x.getInt(0) ->
+          x.getAs[java.math.BigDecimal]("s").doubleValue / x.getLong(1).toDouble)
+        .toMap
+      assert(t.leafVal == direct, s"derived leafVal diverges: ${t.leafVal} vs $direct")
+      r = r - lit(0.5) * BoostProbe.valueCol(t, leaf)
+    }
+    base.unpersist(false)
+  }
+
   test("boosting reduces training MSE monotonically over rounds") {
     val e = (1 to 4).map(m => mse(fixture, m))
     assert(e.zip(e.tail).forall { case (a, b) => b <= a + 1e-12 },

@@ -49,6 +49,26 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("esumOfConst replays the executed esum10 aggregate bit-for-bit") {
+    // representative iterate magnitudes, including values whose decimal
+    // expansion terminates exactly at digit 11 with a '5' (the cast
+    // boundary class that split the engines at sf0.1) and n = 0
+    val cases = Seq(
+      (1.0 / 12.0, 3L), (1.0 / 20000.0, 9L), (7.36493375e-5, 9L),
+      (1.50765e-5, 9L), (0.000147298675 / 2.0, 4L), (0.9999999999, 7L),
+      (1.2345678901234e-5, 843L))
+    cases.foreach { case (r, n) =>
+      val agg = spark.range(n).select(lit(r).as("r"))
+        .agg(coalesce(GraphRank.esum10(col("r")), lit(0.0)))
+        .head().getDouble(0)
+      val drv = GraphRank.esumOfConst(r, n)
+      assert(java.lang.Double.doubleToLongBits(agg) ==
+        java.lang.Double.doubleToLongBits(drv),
+        s"r=$r n=$n agg=$agg drv=$drv")
+    }
+    assert(GraphRank.esumOfConst(0.123, 0L) == 0.0)
+  }
+
   test("triangles: clique reads 1.0, star hub 0.0, random graph vs brute force") {
     import spark.implicits._
     // K4 clique ∪ 5-leaf star (no triangles) sharing no nodes

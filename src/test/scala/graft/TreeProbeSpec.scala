@@ -76,6 +76,34 @@ class TreeProbeSpec extends SparkSpec {
     assert(all.size > 1, "md5 feature subsets never varied")
   }
 
+  test("r14 batched fit: 4-at-once equals 4 single fits; derived leaf stats equal the direct aggregate") {
+    val feats = graft.ml.RidgeProbe.qualityFeatures(
+      graft.core.Tables.documents(spark, sfDir)).persist()
+    val ws = (1 to 4).map(b => TreeProbe.bootstrapWeight(col("doc_id"), b))
+    val salts = (1 to 4).map(b => Some(s"t$b"))
+    val batched = TreeProbe.fitBatch(feats, Seq("x1", "x2", "x3"), "y",
+      depth = 3, ws, salts)
+    val single = (0 until 4).map(i => TreeProbe.fit(feats,
+      Seq("x1", "x2", "x3"), "y", depth = 3, ws(i), salts(i)))
+    assert(batched == single, "batched trees must equal per-tree fits")
+    // derived leafPred vs the direct final-node aggregate the pre-r14
+    // implementation executed as a separate job
+    batched.zipWithIndex.foreach { case (tree, i) =>
+      val leafStats = feats
+        .withColumn("_w", ws(i).cast("long"))
+        .withColumn("_yl", col("y").cast("long"))
+        .withColumn("_node", TreeProbe.leafCol(tree, Seq("x1", "x2", "x3"), 3))
+        .groupBy("_node")
+        .agg(sum("_w").as("n"), sum(col("_w") * col("_yl")).as("p"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (2 * r.getLong(2) > r.getLong(1)) 1 else 0)).toMap
+      assert(tree.leafPred == leafStats,
+        s"tree $i derived leaf stats diverge from the direct aggregate")
+    }
+    feats.unpersist(false)
+  }
+
   test("forest on the quality label beats chance and trees disagree somewhere") {
     val feats = graft.ml.RidgeProbe.qualityFeatures(
       graft.core.Tables.documents(spark, sfDir))
