@@ -64,15 +64,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floor: the default 1 MB minPartitionSize serializes
-      // CPU-dense post-shuffle stages whenever a stage's whole shuffle is
-      // only a few MB (bytes are a poor work proxy for md5/tokenize-heavy
-      // operators); 64k lets the coalescer keep up to ~cores partitions on
-      // MB-scale stages and is inert at lake scale, where partitions are
-      // orders of magnitude above either floor. Parameterised, never a
-      // tuned constant: GRAFT_AQE_MIN_PART overrides.
+      // AQE coalescing floor: back on Spark's default (1m) since r15 — the
+      // r14 64k default was measured a net LOSS at the 32-core contract
+      // (dedup family battery 73.8 s @64k vs 60.6 s @1m, per-query cpu
+      // ~25% lower at 1m: keeping ~cores sub-MB post-shuffle partitions
+      // alive burns task overhead without adding useful parallelism).
+      // Still parameterised for cluster-profile experiments:
+      // GRAFT_AQE_MIN_PART overrides.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("GRAFT_AQE_MIN_PART", "64k"))
+        sys.env.getOrElse("GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

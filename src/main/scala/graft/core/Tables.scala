@@ -104,18 +104,57 @@ object Tables {
     * the file layout does not carry (guide §6: minPartitionNum floors the
     * SPLIT count, not the row-group count).
     *
-    * When (and only when) the scan's partition count is below the
-    * session's default parallelism, redistribute round-robin to the core
-    * count before the expensive map work. The repartition shuffles the
-    * raw rows once — O(input) bytes, the cheapest possible exchange — and
-    * is a provable no-op at lake scale, where any real table already
-    * carries ≥ cores row groups and this returns `df` unchanged; it is
+    * When (and only when) the scan's file layout caps parallelism below
+    * the session's default parallelism, redistribute round-robin to the
+    * core count before the expensive map work. The repartition shuffles
+    * the raw rows once — O(input) bytes, the cheapest possible exchange —
+    * and is a provable no-op at lake scale, where any real table already
+    * carries ≥ cores splits and this returns `df` unchanged; it is
     * therefore a floor, not a local-mode tuning constant. Row order
     * within partitions changes, which every operator in this repo is
     * already pinned to tolerate (partition-count invariance is bitwise-
-    * verified per round at two core counts and two scale factors). */
+    * verified per round at two core counts and two scale factors).
+    *
+    * The decision reads the FILE LAYOUT of the plan's scans (leaf file
+    * sizes vs `spark.sql.files.maxPartitionBytes`), never `df.rdd` — the
+    * r14 probe materialized an RDD lineage per query build (a fixed
+    * driver tax on every sub-second query) and threw on streaming plans.
+    * File sizes are cached per path for the session lifetime (the lake is
+    * immutable during a run), so repeated corpus builds cost zero FS
+    * calls. Streaming inputs pass through untouched: micro-batch
+    * parallelism is the source's concern, and a static floor computed at
+    * plan-build time would be meaningless there. Apply it ONLY on paths
+    * whose downstream work is CPU-dense; for a cheap map or a tiny
+    * aggregation the exchange is pure cost (the r14 lesson: a blanket
+    * floor taxed ~180 sub-second queries and broke the map-only plan
+    * pins). */
+  private val fileLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Estimated scan-split count of `df`'s leaf files, mirroring Spark's
+    * packing rule (each file charged its size plus one open cost, bins of
+    * maxPartitionBytes). Over-estimating is safe here: the floor then
+    * skips a repartition that large inputs do not need anyway. */
+  private def estScanSplits(df: DataFrame): Long = {
+    val conf = df.sparkSession.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val cost = df.inputFiles.map { p =>
+      fileLenCache.computeIfAbsent(p, { _ =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        try path.getFileSystem(hconf).getFileStatus(path).getLen
+        catch { case _: java.io.IOException => 0L }
+      }).longValue() + openCost
+    }.sum
+    math.max(1L, (cost + maxSplit - 1) / maxSplit)
+  }
+
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (estScanSplits(df) >= target) df else df.repartition(target)
+    }
   }
 }

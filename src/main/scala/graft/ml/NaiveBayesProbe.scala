@@ -106,11 +106,12 @@ object NaiveBayesProbe {
 
   /** Fit + score in one plan over a (doc_id, lang, text) corpus. */
   def fitScore(docs: DataFrame, classes: Seq[String] = defaultClasses,
-               alpha: Double = 1.0): DataFrame = {
-    // scan-parallelism floor for the tokenize-heavy count passes
-    val fd = graft.core.Tables.fanOut(docs)
-    score(fd, fit(fd, classes), alpha)
-  }
+               alpha: Double = 1.0): DataFrame =
+    // No scan-parallelism floor here: r14 wired Tables.fanOut through this
+    // path and ml_nb_fit regressed at BOTH bench core counts (0.51→0.92 s
+    // @32c, 1.59 s @8c) — the count passes are too cheap to repay the
+    // exchange. Reverted to the plain scan in r15.
+    score(docs, fit(docs, classes), alpha)
 
   /** DuckDB mirror: the identical count CTEs and score DAG. */
   def oracleSql(classes: Seq[String] = defaultClasses,

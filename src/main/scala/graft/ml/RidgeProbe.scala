@@ -102,10 +102,12 @@ object RidgeProbe {
       "is")).cast("double") / nWords
     val avgWlen = length(regexp_replace(col("text"), " ", ""))
       .cast("double") / nWords
-    // scan-parallelism floor: the tokenizer/regexp feature map is the
-    // dominant cost of every trainer pass over this table (Tables.fanOut
-    // is a no-op whenever the scan already carries >= cores partitions)
-    graft.core.Tables.fanOut(docs).select(
+    // No scan-parallelism floor HERE: this definition is shared by batch
+    // fits, the RETURNED map-only scoring plans (PlanSpec pins them
+    // Exchange-free) and stream scoring. Trainers that want the floor for
+    // their materialized feature pass apply Tables.fanOut to `docs` at
+    // the call site (TreeProbe/BoostProbe fit inputs).
+    docs.select(
       col("doc_id"),
       Exact.rnd4(stopRatio).as("x1"),
       Exact.rnd4(least(avgWlen / 8.0, lit(1.0))).as("x2"),

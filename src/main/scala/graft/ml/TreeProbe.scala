@@ -268,15 +268,21 @@ object TreeProbe {
     * scoring. ONE definition shared by the `ml_tree_fit` query and the
     * process-graph `fit_tree` node, so both hash against the same oracle. */
   def treeQuery(docs: DataFrame): DataFrame = {
-    // features persist across the plan-time histogram passes (text
-    // featurization dominates each pass); the returned scoring plan
-    // recomputes them once at execution
-    val feats = RidgeProbe.qualityFeatures(docs).persist()
-    val tree = fit(feats, qualityXs, "y", depth = 3, lit(1L), None)
+    // TRAINING features persist across the plan-time histogram passes
+    // (text featurization dominates each pass) and take the
+    // scan-parallelism floor, so the one materialization and every
+    // cached histogram pass run at core-count parallelism. The RETURNED
+    // scoring plan is built on a separate PLAIN feature expression: same
+    // rows (a pure row-wise map; the fit's histograms are order-free),
+    // but the plan stays the Exchange-free literal map PlanSpec pins.
+    val featsT = RidgeProbe.qualityFeatures(
+      graft.core.Tables.fanOut(docs)).persist()
+    val tree = fit(featsT, qualityXs, "y", depth = 3, lit(1L), None)
+    val feats = RidgeProbe.qualityFeatures(docs)
     val out = feats.withColumn("leaf", leafCol(tree, qualityXs, 3))
       .withColumn("pred", predCol(tree, col("leaf")))
       .select("doc_id", "x1", "x2", "x3", "y", "leaf", "pred")
-    feats.unpersist(false)
+    featsT.unpersist(false)
     out
   }
 
@@ -319,10 +325,12 @@ object TreeProbe {
     * 2-of-3 feature subsets and majority vote — shared by `ml_forest_fit`
     * and the `fit_forest` graph node. */
   def forestQuery(docs: DataFrame): DataFrame = {
-    val feats = forestFeatures(docs).persist()
-    val out = forestScore(feats, forestFit(feats))
-    feats.unpersist(false)
-    out
+    // same split as treeQuery: floor + persist for the training passes,
+    // plain Exchange-free plan for the returned scoring map
+    val featsT = forestFeatures(graft.core.Tables.fanOut(docs)).persist()
+    val trees = forestFit(featsT)
+    featsT.unpersist(false)
+    forestScore(forestFeatures(docs), trees)
   }
 
   // ------------------------------------------------------------------

@@ -15,6 +15,16 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Corpus with the scan-parallelism floor applied ([[Tables.fanOut]]).
+    * Wired ONLY into the operators whose downstream per-row work is heavy
+    * enough to repay the exchange (token-explosion aggregations, shingle/
+    * winnow chains — each verified faster at BOTH bench core counts).
+    * Map-only and sub-second queries keep the plain scan: the r14 round
+    * proved a blanket floor taxes every cheap query with an Exchange it
+    * cannot amortize and breaks the map-only plan contracts (PlanSpec). */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
 
   /** D31 mix fixture: an up-weighted source, a lightly-weighted one, an
@@ -474,7 +484,7 @@ object TextQueries {
     },
 
     // D32: tf-idf top-3 characteristic terms per document.
-    "text_tfidf" -> { (s, d) => tfidfTopTerms(docs(s, d), k = 3) },
+    "text_tfidf" -> { (s, d) => tfidfTopTerms(docsWide(s, d), k = 3) },
 
     // D34: KMV distinct sketch — per-source distinct 4-gram cardinality
     // via the bottom-64 native aggregate (O(k) state, mergeable), with
@@ -482,7 +492,7 @@ object TextQueries {
     // in the artifact itself.
     "text_distinct_sketch" -> { (s, d) =>
       val k = 64
-      docs(s, d)
+      docsWide(s, d)
         .select(col("source"),
           explode(graft.functions.TextFunctions.shingles(
             tokens(col("text")), 4)).as("g"))
@@ -512,7 +522,7 @@ object TextQueries {
     // max-union of the per-source register arrays (SketchSpec pins
     // merge ≡ global). True counts ride along to show the bias.
     "text_distinct_hll" -> { (s, d) =>
-      val sh0 = docs(s, d).select(col("source"),
+      val sh0 = docsWide(s, d).select(col("source"),
         explode(graft.functions.TextFunctions.shingles(
           tokens(col("text")), 4)).as("g"))
       val sh = sh0.unionByName(
@@ -602,7 +612,7 @@ object TextQueries {
     // broadcast where the exact answer co-shuffles both crawls.
     "text_bloom_overlap" -> { (s, d) =>
       val (bits, hashes) = (262144, 3)
-      val sh = docs(s, d).select(col("doc_id"),
+      val sh = docsWide(s, d).select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(
           tokens(col("text")), 8)).as("g"))
       val ref = sh.filter(col("doc_id") % 2 === 0).select(col("g"))
@@ -802,7 +812,7 @@ object TextQueries {
     // so the LIMIT edge is deterministic). Partial aggregation makes the
     // shuffle O(distinct ngrams); the final top-k is a tiny sorted take.
     "text_topngrams" -> { (s, d) =>
-      docs(s, d)
+      docsWide(s, d)
         .select(explode(shingles(tokens(col("text")), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ngram").asc)
@@ -924,7 +934,7 @@ object TextQueries {
     // partial agg to O(distinct bigrams), unigram counts broadcast back,
     // final rank on term-level rows — corpus scanned twice, never joined
     // row-wise.
-    "text_collocations" -> { (s, d) => collocations(docs(s, d)) },
+    "text_collocations" -> { (s, d) => collocations(docsWide(s, d)) },
 
     // D66: MOSS winnowing — per-doc fingerprint SET selected as the
     // rightmost window minimum over 3-gram hashes (window 4): every
@@ -933,7 +943,7 @@ object TextQueries {
     // (doc, pos, fp) rows are the provenance index a lake would persist
     // bucketed by fp.
     "text_winnow" -> { (s, d) =>
-      winnowFps(docs(s, d))
+      winnowFps(docsWide(s, d))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     },
 
@@ -948,7 +958,7 @@ object TextQueries {
       // the fingerprint set feeds the cap filter, both pair sides and the
       // per-doc totals — pin it so the md5 gram hashing runs once
       // (released at the harness's per-query barrier)
-      val fps = graft.core.CacheScope.pin(winnowFps(docs(s, d))
+      val fps = graft.core.CacheScope.pin(winnowFps(docsWide(s, d))
         .select(col("doc_id"), col("s.fp").as("fp")).distinct())
       val small = fps.groupBy("fp").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= 16)
