@@ -180,17 +180,23 @@ object BoostProbe {
     * or wrap the action in [[graft.core.CacheScope.scoped]]. */
   def boostQuery(docs: DataFrame): DataFrame = {
     val k = 3
-    val feats = RidgeProbe.qualityFeatures(docs)
-    // CacheScope-pinned (not persist/unpersist): fit() runs ~9 actions
-    // over `base`, and the returned lazy plan scans it once more AFTER
-    // this function returns — an eager unpersist here would force that
-    // final scan (and any battery-pressure re-execution) to re-derive the
-    // features, the r12 process_graph_boost amplification pattern. The
-    // caller's materialization barrier releases the pin.
-    val base = graft.core.CacheScope.pin((1 to k).foldLeft(feats) { (df, i) =>
+    def binned(f: DataFrame) = (1 to k).foldLeft(f) { (df, i) =>
       df.withColumn(s"_b$i", bin(col(s"x$i")))
-    })
-    val (f0, trees) = fit(base, k, "y", depth = 2, rounds = 3, nu = 0.5)
+    }
+    // TRAINING base: CacheScope-pinned (not persist/unpersist — fit() runs
+    // ~7 actions over it; an eager unpersist would re-derive the features
+    // per action, the r12 process_graph_boost amplification pattern) and
+    // behind the scan-parallelism floor: without it every per-level
+    // histogram job runs as ONE task on a one-split corpus (r15 profile:
+    // ml_boost_fit = 18 single-task jobs, 5.6 s of serial build). The
+    // RETURNED plan is built on a separate PLAIN base — same rows (pure
+    // row-wise map; histograms are order-free sums), but the scoring plan
+    // stays the Exchange-free literal map PlanSpec pins, at the price of
+    // one uncached feature pass at materialization (the r13 cost).
+    val baseT = graft.core.CacheScope.pin(binned(
+      RidgeProbe.qualityFeatures(graft.core.Tables.fanOut(docs))))
+    val base = binned(RidgeProbe.qualityFeatures(docs))
+    val (f0, trees) = fit(baseT, k, "y", depth = 2, rounds = 3, nu = 0.5)
     var r: Column = col("y") - lit(f0)
     val withLeaves = trees.zipWithIndex.foldLeft(base) {
       case (df, (t, i)) =>

@@ -60,12 +60,32 @@ object LogisticProbe {
   def step(batch: DataFrame, xs: Seq[String], yCol: String,
            lr: Double, w: Seq[Double]): Seq[Double] = {
     val k = xs.size
-    val sg = sigmoid(zCol(xs, w))
+    // The iteration's weights ride in as a broadcast ONE-ROW table, not
+    // as plan literals: literal doubles are baked into the generated
+    // source text, so every GD iteration used to force a fresh janino
+    // compile of the gradient stage (a fixed ~0.2 s per step that
+    // dominates the 12-iteration fits at bench scale). As row values the
+    // generated code is IDENTICAL across iterations — one compile per
+    // query, cache hits thereafter. The per-row arithmetic is unchanged
+    // (same doubles, same operation order: w0 + Σ wᵢ·xᵢ), so the fitted
+    // weights are bit-identical; LogisticProbeSpec pins the trajectory.
+    val spark = batch.sparkSession
+    val wDf = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(w: _*)),
+      org.apache.spark.sql.types.StructType((0 to k).map(i =>
+        org.apache.spark.sql.types.StructField(s"_gw$i",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val zc = xs.zipWithIndex.foldLeft(col("_gw0"): Column) {
+      case (acc, (c, i)) => acc + col(s"_gw${i + 1}") * col(c)
+    }
+    val sg = sigmoid(zc)
     val err = sg - col(yCol)
     val aggs = (lit(1.0) +: xs.map(col)).zipWithIndex.map {
       case (x, i) => Exact.esum(err * x).as(s"g$i")
     } :+ count(lit(1)).as("n")
-    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    val row = batch.crossJoin(broadcast(wDf))
+      .agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(k + 1)
     if (n == 0) w
     else w.indices.map(i => w(i) - lr * (row.getDouble(i) / n))

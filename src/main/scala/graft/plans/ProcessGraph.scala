@@ -623,8 +623,14 @@ final class ProcessGraph(spark: SparkSession, dataDir: String) {
 
     case "near_dedup_first_wins" =>
       val d = docsArg(args, evalNode)
+      // scan-parallelism floor on the SIGNATURE side only: the shingle+md5
+      // chain is the CPU-dense half of this node, and a one-split filtered
+      // corpus otherwise runs it in one task (r15 profile:
+      // process_graph_export = 10 single-task jobs). The verdict join and
+      // the kept rows keep the caller's layout; first-wins is min-id,
+      // order-free, so the repartition cannot change the verdicts.
       val verdicts = graft.dedup.Dedup.firstWinsKept(
-        graft.dedup.Dedup.minhashSignatures(d))
+        graft.dedup.Dedup.minhashSignatures(Tables.fanOut(d)))
       d.join(verdicts, Seq("doc_id"), "left")
         .filter(col("kept").isNull || col("kept") === 1)
         .drop("kept")

@@ -377,7 +377,7 @@ object TextQueries {
     // with no signature (too short to shingle) carry no near-dup evidence
     // and are KEPT.
     "pipeline_curate" -> { (s, d) =>
-      val base = docs(s, d)
+      val base = docsWide(s, d)
         .select(col("doc_id"), col("source"), col("text"))
         .filter(qualityScore(col("text")) >= 0.5 &&
           langPredict(tokens(col("text"))) === "en")
@@ -396,7 +396,7 @@ object TextQueries {
     // output. Filters stay map-side; shuffles are the dedup bucket hops
     // and the one manifest partial-agg.
     "pipeline_export" -> { (s, d) =>
-      val base = docs(s, d)
+      val base = docsWide(s, d)
         .select(col("doc_id"), col("source"), col("text"))
         .filter(qualityScore(col("text")) >= 0.5 &&
           langPredict(tokens(col("text"))) === "en")
@@ -417,7 +417,7 @@ object TextQueries {
     "pipeline_rag" -> { (s, d) =>
       import graft.functions.Retrieval
       val ch = Retrieval.embedChunks(
-        docs(s, d).select(col("doc_id"),
+        docsWide(s, d).select(col("doc_id"),
             posexplode(chunk(tokens(col("text")), 32, 8)))
           .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
             col("col.text").as("chunk")),
